@@ -1,0 +1,232 @@
+"""Singular Spectrum Transformation change-point scoring (numpy oracle).
+
+Re-derives, from scratch and scipy/numba/fbpca-free, the semantics of the
+reference SST (/root/reference/changepoynt/algorithms/sst.py:10-591), i.e. the
+methods of Ide & Inoue 2005 (SDM) and Ide & Tsuda 2007 (IKA-SST, SDM) plus the
+randomized-SVD variants of Halko et al. 2011 and the implicit FFT-Hankel
+acceleration of Weber & Lenz (IEEE Access 2025).
+
+The scoring loop, parameter defaults, RNG draw order (x0 seed -> per-step
+sketch draws -> feedback noise) and the score write-back smear
+``score[idx-off-ss//2 : idx-off+(ss+1)//2]`` follow the reference exactly so
+that seeded runs are bit-reproducible (reference sst.py:244-289).
+
+This module is pure numpy — it runs identically on the driver (as the golden
+oracle) and inside Spark Arrow grouped-map UDFs (the engine execution path),
+which is what makes Spark-vs-oracle bit-equality achievable.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import numpy as np
+
+from changepoynt_spark.kernels import linalg as lg
+from changepoynt_spark.kernels import normalization
+from changepoynt_spark.kernels.base import SingularSubspaceAlgorithm
+
+
+class SST(SingularSubspaceAlgorithm):
+    """SST with methods: ika, svd, rsvd, fbrsvd, naive, naive updated,
+    weighted, symmetric (reference sst.py:56-199)."""
+
+    def __init__(self, window_length: int, n_windows: int = None, lag: int = None, rank: int = 5,
+                 scale: bool = True, method: str = 'ika', lanczos_rank: int = None,
+                 random_rank: int = None, feedback_noise_level: float = 1e-3,
+                 scoring_step: int = 1, use_fast_hankel: bool = False,
+                 mitigate_offset: bool = False) -> None:
+        self.window_length = window_length
+        self.n_windows = n_windows
+        self.lag = lag
+        self.rank = rank
+        self.scale = scale
+        self.method = method
+        self.lanczos_rank = lanczos_rank
+        self.random_rank = random_rank
+        self.noise = feedback_noise_level
+        self.scoring_step = scoring_step
+        self.use_fast_hankel = use_fast_hankel
+        self.mitigate_offset = mitigate_offset
+
+        # defaults — reference sst.py:127-139
+        if self.n_windows is None:
+            self.n_windows = self.window_length
+        if self.lag is None:
+            self.lag = max(self.n_windows // 3, 1)
+        if self.lanczos_rank is None:
+            # twice the rank, made even (Ide & Tsuda 2007 recommendation)
+            self.lanczos_rank = self.rank * 2 - (self.rank & 1)
+        if self.random_rank is None:
+            self.random_rank = min(self.rank + 10, self.window_length, self.n_windows)
+
+        self.methods = {
+            'ika': partial(_implicit_krylov_approximation,
+                           rank=self.rank, lanczos_rank=self.lanczos_rank),
+            'svd': partial(_rayleigh_singular_value_decomposition, rank=self.rank),
+            'rsvd': partial(_random_singular_value_decomposition,
+                            rank=self.rank, randomized_rank=self.random_rank),
+            'fbrsvd': partial(_facebook_random_singular_value_decomposition,
+                              rank=self.rank, randomized_rank=self.random_rank),
+            'naive': partial(_naive_singular_value_decomposition, rank=self.rank),
+            'naive updated': partial(_naive_singular_value_decomposition_updated_score,
+                                     rank=self.rank),
+            'weighted': partial(_weighted_random_singular_value_decomposition,
+                                rank=self.rank, randomized_rank=self.random_rank),
+            'symmetric': partial(_symmetric_random_singular_value_decomposition,
+                                 rank=self.rank, randomized_rank=self.random_rank),
+        }
+        if self.method not in self.methods:
+            raise ValueError(f'Method {self.method} not defined. '
+                             f'Possible methods: {list(self.methods.keys())}.')
+        # fast Hankel legality — reference sst.py:178-196
+        if use_fast_hankel and self.method not in ('rsvd', 'ika', 'weighted', 'symmetric'):
+            raise ValueError(f'{self.method} method is not defined with use_fast_hankel=True')
+        self.hankel_construction = {False: lg.compile_hankel, True: lg.FastHankel}
+        if self.use_fast_hankel and self.mitigate_offset:
+            raise ValueError(
+                f'use_fast_hankel={self.use_fast_hankel} is not allowed when '
+                f'mitigate_offset={self.mitigate_offset}. You can only use one or none of them.')
+
+    def compute_offset(self) -> int:
+        return self.n_windows // 2 + self.lag
+
+    def transform(self, time_series: np.ndarray) -> np.ndarray:
+        assert time_series.ndim == 1, 'Time series needs to be an 1D array.'
+        starting_point = self.covered_regions()[0]
+        assert starting_point < time_series.shape[0], 'The time series is too short to score any points.'
+        if self.scale:
+            time_series = normalization.min_max_scaling(time_series, min_val=1.0, max_val=2.0,
+                                                        inplace=False)
+        else:
+            time_series = time_series.copy()
+        scoring_function = self.methods[self.method]
+        hankel_function = self.hankel_construction[self.use_fast_hankel]
+        return _transform(time_series=time_series, start_idx=starting_point,
+                          offset=self.compute_offset(), window_length=self.window_length,
+                          n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                          scoring_function=scoring_function,
+                          hankel_construction_function=hankel_function,
+                          mitigate_offset=self.mitigate_offset)
+
+
+def _transform(time_series: np.ndarray, start_idx: int, offset: int, window_length: int,
+               n_windows: int, lag: int, scoring_step: int, scoring_function: Callable,
+               hankel_construction_function: Callable, mitigate_offset: bool = False) -> np.ndarray:
+    """Sliding paired-Hankel scoring loop (reference sst.py:244-289).
+
+    NB: the feedback noise amplitude is the literal 1e-3 of the reference loop
+    (its feedback_noise_level parameter is stored but unused there)."""
+    x0 = np.random.rand(window_length)[:, None]
+    x0 /= np.linalg.norm(x0)
+    score = np.zeros_like(time_series)
+    for idx in range(start_idx, time_series.shape[0], scoring_step):
+        hankel_past = hankel_construction_function(time_series, idx - lag, window_length, n_windows)
+        if mitigate_offset:
+            hankel_past = hankel_past - hankel_past.mean(axis=0) + 1
+        hankel_future = hankel_construction_function(time_series, idx, window_length, n_windows)
+        if mitigate_offset:
+            hankel_future = hankel_future - hankel_future.mean(axis=0) + 1
+        score[idx - offset - scoring_step // 2:idx - offset + (scoring_step + 1) // 2], x1 = \
+            scoring_function(hankel_past, hankel_future, x0)
+        x0 = x1 + 1e-3 * np.random.rand(x0.shape[0])[:, None]
+        x0 /= np.linalg.norm(x0)
+    return score
+
+
+def _implicit_krylov_approximation(hankel_past, hankel_future, x0: np.ndarray,
+                                   rank: int, lanczos_rank: int):
+    """IKA-SST score (Ide & Tsuda 2007; reference sst.py:292-327): power
+    method (5 iters) on C2 for the dominant future eigvec, Lanczos on C1
+    seeded with it, score 1 - sum(eigvecs[0, :rank]^2)."""
+    c_2 = lg.gram(hankel_future)
+    _, eigvec_future = lg.power_method(c_2, x0, n_iterations=5)
+    c_1 = lg.gram(hankel_past)
+    alphas, betas = lg.lanczos(c_1, eigvec_future, lanczos_rank)
+    _, eigvecs = lg.tridiagonal_eigenvalues(alphas, betas, rank)
+    return 1 - (eigvecs[0, :] * eigvecs[0, :]).sum(), eigvec_future
+
+
+def _rayleigh_singular_value_decomposition(hankel_past, hankel_future, x0: np.ndarray, rank: int):
+    """2005-paper score with top-rank left singvecs of H1 (reference
+    sst.py:330-358)."""
+    _, singvecs_past = lg.rayleigh_ritz_singular_value_decomposition(hankel_past, rank)
+    c_2 = lg.gram(hankel_future)
+    _, eigvec_future = lg.power_method(c_2, x0, n_iterations=5)
+    alpha = singvecs_past.T @ eigvec_future
+    return 1 - alpha.T @ alpha, eigvec_future
+
+
+def _facebook_random_singular_value_decomposition(hankel_past, hankel_future, x0: np.ndarray,
+                                                  rank: int, randomized_rank: int):
+    """fbpca-flavoured randomized variant (reference sst.py:361-400)."""
+    c_2 = lg.gram(hankel_future)
+    _, eigvec_future = lg.power_method(c_2, x0, n_iterations=5)
+    _, singvecs_past = lg.facebook_randomized_svd(hankel_past, randomized_rank=randomized_rank)
+    alpha = singvecs_past[:, :rank].T @ eigvec_future
+    return 1 - alpha.T @ alpha, eigvec_future
+
+
+def _random_singular_value_decomposition(hankel_past, hankel_future, x0: np.ndarray,
+                                         rank: int, randomized_rank: int):
+    """Randomized-SVD variant (reference sst.py:403-441): rank-1 rSVD of the
+    future Hankel, rank-r rSVD of the past, projection-distance score."""
+    eigvec_future, _, _ = lg.randomized_hankel_svd(hankel_future, 1,
+                                                   oversampling_p=randomized_rank - rank)
+    singvecs_past, _, _ = lg.randomized_hankel_svd(hankel_past, rank,
+                                                   oversampling_p=randomized_rank - rank)
+    alpha = singvecs_past[:, :rank].T @ eigvec_future
+    return 1 - alpha.T @ alpha, eigvec_future
+
+
+def _weighted_random_singular_value_decomposition(hankel_past, hankel_future, x0: np.ndarray,
+                                                  rank: int, randomized_rank: int):
+    """Eigenvalue-weighted multi-vector score (reference sst.py:444-495)."""
+    singvec_future, singval_future, _ = lg.randomized_hankel_svd(
+        hankel_future, rank, oversampling_p=randomized_rank - rank)
+    singvecs_past, _, _ = lg.randomized_hankel_svd(
+        hankel_past, rank, oversampling_p=randomized_rank - rank)
+    proj = singvecs_past.T @ singvec_future
+    inside = np.sum(proj ** 2, axis=0)
+    s2 = singval_future ** 2
+    score = np.sum((1.0 - inside) * s2) / np.sum(s2)
+    return score, x0
+
+
+def _symmetric_random_singular_value_decomposition(hankel_past, hankel_future, x0: np.ndarray,
+                                                   rank: int, randomized_rank: int):
+    """Mean of forward and backward projection-distance scores (reference
+    sst.py:498-534)."""
+    singvecs_future, _, _ = lg.randomized_hankel_svd(
+        hankel_future, rank, oversampling_p=randomized_rank - rank)
+    singvecs_past, _, _ = lg.randomized_hankel_svd(
+        hankel_past, rank, oversampling_p=randomized_rank - rank)
+    forward_score = 1 - np.sum(np.square(singvecs_past[:, :rank].T @ singvecs_future[:, 0]))
+    backward_score = 1 - np.sum(np.square(singvecs_future[:, :rank].T @ singvecs_past[:, 0]))
+    return (forward_score + backward_score) / 2, x0
+
+
+def _naive_singular_value_decomposition(hankel_past: np.ndarray, hankel_future: np.ndarray,
+                                        x0: np.ndarray, rank: int):
+    """Fully deterministic full-SVD score 1 - s0(svd(U_p^T U_f)) — the primary
+    golden anchor (reference sst.py:537-560)."""
+    eigvec_past, _, _ = np.linalg.svd(hankel_past, full_matrices=False)
+    eigvec_future, _, _ = np.linalg.svd(hankel_future, full_matrices=False)
+    eigvec_past = eigvec_past[:, :rank]
+    eigvec_future = eigvec_future[:, :rank]
+    s = np.linalg.svd(np.dot(eigvec_past.T, eigvec_future), full_matrices=False, compute_uv=False)
+    return 1 - s[0], x0
+
+
+def _naive_singular_value_decomposition_updated_score(hankel_past: np.ndarray,
+                                                      hankel_future: np.ndarray,
+                                                      x0: np.ndarray, rank: int):
+    """Full SVDs with the 2007-paper score 1 - ||U_p^T u_f||^2 — deterministic
+    golden anchor #2; exact buffered-streaming replay holds for this method
+    (reference sst.py:563-591, examples/buffered_streaming_comparison.py:62-75)."""
+    eigvec_past, _, _ = np.linalg.svd(hankel_past, full_matrices=False)
+    eigvec_future, _, _ = np.linalg.svd(hankel_future, full_matrices=False)
+    eigvec_past = eigvec_past[:, :rank]
+    eigvec_future = eigvec_future[:, :1]
+    alpha = eigvec_past.T @ eigvec_future
+    return 1 - alpha.T @ alpha, eigvec_future

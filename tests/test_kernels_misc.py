@@ -1,0 +1,179 @@
+"""Baseline / BOCPD / FLUSS / RuLSIF / normalization / dead-op kernel tests,
+mirroring the reference tests (test_baseline.py, test_bocpd.py, test_fluss.py,
+test_rulsif.py, test_ulsif.py, test_floss.py, test_clasp.py, test_si.py)."""
+import numpy as np
+import pytest
+
+from changepoynt_spark.kernels import (BOCPD, CLASP, FLOSS, FLUSS, KLIEP, ZERO, MovingWindow,
+                                       RuLSIF, SubspaceIdentification, ULSIF)
+from changepoynt_spark.kernels import normalization
+from tests.fixtures import step_signal
+
+
+@pytest.fixture(scope='module')
+def step():
+    return step_signal(300)
+
+
+@pytest.fixture(scope='module')
+def short_step():
+    return step_signal(200)
+
+
+# -- normalization -----------------------------------------------------------
+
+def test_min_max_scaling_range_and_degenerate():
+    x = np.array([2.0, 4.0, 6.0])
+    scaled = normalization.min_max_scaling(x, 1.0, 2.0)
+    np.testing.assert_allclose(scaled, [1.0, 1.5, 2.0])
+    const = np.full(5, 3.0)
+    scaled_const = normalization.min_max_scaling(const, 1.0, 2.0)
+    # degenerate branch: only subtract min, then affine map -> all min_val
+    np.testing.assert_allclose(scaled_const, np.full(5, 1.0))
+
+
+def test_z_scaling():
+    x = np.array([1.0, 2.0, 3.0])
+    z = normalization.z_scaling(x)
+    np.testing.assert_allclose(z.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(z.std(), 1.0, atol=1e-12)
+    const = np.full(4, 2.0)
+    np.testing.assert_allclose(normalization.z_scaling(const), np.zeros(4))
+
+
+# -- baselines ---------------------------------------------------------------
+
+def test_zero(step):
+    score = ZERO().transform(step)
+    assert np.array_equal(score, np.zeros_like(step))
+
+
+@pytest.mark.parametrize('method', ['mean', 'var', 'meanvar'])
+def test_moving_window(step, method):
+    score = MovingWindow(50, method=method).transform(step)
+    assert score.shape == step.shape
+    # zeros outside the valid scoring band
+    assert np.all(score[:50] == 0.0)
+    assert np.all(score[-49:] == 0.0)
+    # the step changes at 300 and 600 should dominate for the mean method
+    if method == 'mean':
+        assert score[250:350].max() > np.median(score[score > 0]) * 2
+
+
+def test_moving_window_matches_naive_loop(step):
+    w = 50
+    score = MovingWindow(w, method='mean').transform(step)
+    # independent naive re-computation
+    expected = np.zeros_like(step)
+    for i in range(w, step.shape[0] - w + 1):
+        expected[i] = abs(step[i - w:i].mean() - step[i:i + w].mean())
+    np.testing.assert_allclose(score, expected, atol=1e-12)
+
+
+def test_moving_window_validations(step):
+    with pytest.raises(AssertionError):
+        MovingWindow(0)
+    with pytest.raises(AssertionError):
+        MovingWindow(10, method='nope')
+    with pytest.raises(AssertionError):
+        MovingWindow(500).transform(step[:600])
+
+
+# -- BOCPD -------------------------------------------------------------------
+
+def test_bocpd_detects_steps(step):
+    det = BOCPD(200)
+    score = det.transform(step)
+    assert score.shape == step.shape
+    assert np.isfinite(score).all()
+    assert score.min() >= 0.0 and score.max() <= 1.0 + 1e-9
+    # change-point probability spikes near the breaks at 300 and 600
+    assert score[290:340].max() > 0.5
+    assert score[590:640].max() > 0.5
+
+
+def test_bocpd_explicit_priors(step):
+    det = BOCPD(200, 0, 1, 1, 10)
+    score = det.transform(step)
+    assert np.isfinite(score).all()
+
+
+def test_bocpd_deterministic(step):
+    a = BOCPD(200).transform(step)
+    b = BOCPD(200).transform(step)
+    assert np.array_equal(a, b)
+
+
+def test_bocpd_threshold_type():
+    with pytest.raises(AssertionError):
+        BOCPD(200, change_length_threshold=1.5)
+
+
+# -- FLUSS -------------------------------------------------------------------
+
+def test_fluss_segments_step_signal(short_step):
+    det = FLUSS(20)
+    score = det.transform(short_step)
+    assert score.shape[0] == short_step.shape[0] - 20 + 1
+    assert np.isfinite(score).all()
+    assert score.min() >= 0.0 and score.max() <= 1.0
+    # segmentation peak near a regime boundary (200 or 400)
+    peak = int(np.argmax(score))
+    assert min(abs(peak - 200), abs(peak - 400)) < 60
+
+
+def test_fluss_rejects_short_signal():
+    with pytest.raises(AssertionError):
+        FLUSS(50).transform(np.arange(40, dtype=np.float64))
+
+
+def test_fluss_deterministic(short_step):
+    a = FLUSS(20).transform(short_step)
+    b = FLUSS(20).transform(short_step)
+    assert np.array_equal(a, b)
+
+
+# -- RuLSIF / ULSIF ----------------------------------------------------------
+
+def test_rulsif_detects_steps(step):
+    np.random.seed(3455)
+    det = RuLSIF(scoring_step=4)
+    score = det.transform(step)
+    assert score.shape == step.shape
+    assert np.isfinite(score).all()
+    # density-ratio divergence spikes near the breaks
+    interior = score[120:-120]
+    assert interior.max() > 0
+    peaks = np.argsort(score)[-20:]
+    assert any(abs(int(p) - 300) < 80 or abs(int(p) - 600) < 80 for p in peaks)
+
+
+def test_rulsif_seeded_reproducible(step):
+    np.random.seed(3455)
+    a = RuLSIF(scoring_step=8).transform(step)
+    np.random.seed(3455)
+    b = RuLSIF(scoring_step=8).transform(step)
+    assert np.array_equal(a, b)
+
+
+def test_rulsif_alpha_bounds():
+    with pytest.raises(AssertionError):
+        RuLSIF(alpha=1.5)
+
+
+def test_ulsif_is_rulsif_alpha_zero(step):
+    det = ULSIF(scoring_step=8)
+    assert det.alpha == 0.0
+    np.random.seed(3455)
+    a = det.transform(step)
+    np.random.seed(3455)
+    b = RuLSIF(alpha=0.0, scoring_step=8).transform(step)
+    assert np.array_equal(a, b)
+
+
+# -- dead ops (API parity) ----------------------------------------------------
+
+@pytest.mark.parametrize('cls', [FLOSS, CLASP, SubspaceIdentification, KLIEP])
+def test_dead_algorithms_raise(cls):
+    with pytest.raises(NotImplementedError):
+        cls(20)
