@@ -1,0 +1,36 @@
+"""SparkSession factory with engine defaults.
+
+Arrow on (all kernel execution crosses the JVM->Python boundary as Arrow
+batches), AQE on (runtime skew-join/partition coalescing), shuffle
+partitions sized for the local harness but overridable for cluster runs.
+"""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = 'changepoynt-spark', master: str = None,
+              shuffle_partitions: int = None, extra_conf: dict = None) -> SparkSession:
+    cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
+    master = master or f'local[{cpus}]'
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 32)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
+        .config('spark.sql.adaptive.enabled', 'true')
+        .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        .config('spark.sql.adaptive.skewJoin.enabled', 'true')
+        .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
+        .config('spark.sql.execution.arrow.maxRecordsPerBatch', '1024')
+        .config('spark.driver.memory', os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
+        .config('spark.sql.session.timeZone', 'UTC')
+        .config('spark.ui.enabled', 'false')
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

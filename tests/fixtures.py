@@ -1,56 +1,15 @@
-"""Deterministic test signals, regenerated exactly per FIXTURES.md §3
-(distilled from the reference test suite, see SURVEY.md §5)."""
+"""Deterministic test signals (re-exported from the package so the same
+generators feed both the pytest suite and the datagen golden carriers) plus
+shared assertion helpers."""
 from __future__ import annotations
 
 import numpy as np
 
+from changepoynt_spark.sources.signals import (frequency_change_signal, mean_shift_signal,
+                                               step_signal, streaming_sine_signal)
 
-def step_signal(segment_length: int = 300) -> np.ndarray:
-    """Three-level step signal, legacy global RNG seed 3455, exact call order
-    (reference tests/test_sst.py:10-21)."""
-    np.random.seed(3455)
-    n = segment_length
-    x0 = 1 * np.ones(n) + np.random.rand(n) * 1
-    x1 = 3 * np.ones(n) + np.random.rand(n) * 2
-    x2 = 5 * np.ones(n) + np.random.rand(n) * 1.5
-    x = np.hstack([x0, x1, x2])
-    x += np.random.rand(x.size)
-    return x
-
-
-def frequency_change_signal(n_per_segment: int = 320, period_before: int = 48,
-                            period_after: int = 14, noise: float = 0.02,
-                            seed: int = 5678):
-    """Sine frequency-change signal (reference tests/test_sst.py:113-126)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(n_per_segment)
-    left = np.sin(2 * np.pi * t / period_before)
-    right = np.sin(2 * np.pi * t / period_after)
-    signal = np.concatenate([left, right])
-    signal += noise * rng.standard_normal(signal.shape[0])
-    return signal, n_per_segment
-
-
-def mean_shift_signal(n_per_segment: int = 320, level_before: float = 48.0,
-                      level_after: float = 14.0, noise: float = 4.0, seed: int = 1234):
-    """Mean-shift signal (reference tests/test_msst.py:10-22)."""
-    rng = np.random.default_rng(seed)
-    left = level_before * np.ones(n_per_segment)
-    right = level_after * np.ones(n_per_segment)
-    signal = np.concatenate([left, right])
-    signal += noise * rng.standard_normal(signal.shape[0])
-    return signal, n_per_segment
-
-
-def streaming_sine_signal(seed: int = 7):
-    """Frequency-doubling sine (reference
-    examples/buffered_streaming_comparison.py:39-46)."""
-    rng = np.random.default_rng(seed)
-    t = np.linspace(0, 12 * np.pi, 300)
-    sig = np.sin(t)
-    sig[150:] = np.sin(t[150:] * 2.2)
-    sig += 0.05 * rng.standard_normal(sig.shape[0])
-    return sig
+__all__ = ['frequency_change_signal', 'mean_shift_signal', 'step_signal',
+           'streaming_sine_signal', 'outside_region']
 
 
 def outside_region(score: np.ndarray, center: int, half_width: int, valid_start: int) -> np.ndarray:
