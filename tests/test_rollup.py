@@ -1,0 +1,133 @@
+"""Rollup cascade / gap-fill / compressed-block tests against independent
+pandas oracles, on the driver-provided events fixture and synthetic spines."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from changepoynt_spark.operators import rollup
+from changepoynt_spark.operators.scoring import score_series, explode_scores
+from changepoynt_spark.plans import partitioning
+from changepoynt_spark.sources import datagen
+
+
+@pytest.fixture(scope='module')
+def events(spark, sf_dir):
+    df = spark.read.parquet(f'{sf_dir}/events.parquet')
+    df.cache().count()
+    return df
+
+
+def _pandas_rollup(pdf, keys, freq):
+    g = (pdf.set_index('ts').groupby(keys).resample(freq)['value']
+            .agg(['count', 'sum', 'min', 'max', 'mean', 'first', 'last'])
+            .reset_index())
+    return g[g['count'] > 0]
+
+
+def test_rollup_1m_matches_pandas(spark, events):
+    tiers = rollup.rollup_cascade(events.withColumnRenamed('event_type', 'etype'),
+                                  keys=['user_id'], ts_col='ts', value_col='value')
+    got = tiers['1m'].toPandas().sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    pdf = events.select('user_id', 'ts', 'value').toPandas()
+    exp = _pandas_rollup(pdf, ['user_id'], '1min').sort_values(['user_id', 'ts']).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(got['cnt_points'].to_numpy(), exp['count'].to_numpy())
+    np.testing.assert_allclose(got['sum_value'].to_numpy(), exp['sum'].to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(got['min_value'].to_numpy(), exp['min'].to_numpy())
+    np.testing.assert_allclose(got['max_value'].to_numpy(), exp['max'].to_numpy())
+    np.testing.assert_allclose(got['avg_value'].to_numpy(), exp['mean'].to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(got['first_value'].to_numpy(), exp['first'].to_numpy())
+    np.testing.assert_allclose(got['last_value'].to_numpy(), exp['last'].to_numpy())
+
+
+def test_cascade_tiers_consistent(spark, events):
+    """1h/1d computed from the 1m tier must equal rollups computed directly
+    from raw points (continuous-aggregate correctness)."""
+    tiers = rollup.rollup_cascade(events, keys=['user_id'], ts_col='ts', value_col='value')
+    direct_1d = rollup.rollup_from_points(events, ['user_id'], ts_col='ts',
+                                          value_col='value', interval='1 day')
+    a = tiers['1d'].toPandas().sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    b = direct_1d.toPandas().sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    assert len(a) == len(b)
+    for col in rollup.AGG_COLS:
+        np.testing.assert_allclose(a[col].to_numpy(dtype=float),
+                                   b[col].to_numpy(dtype=float), rtol=1e-9, err_msg=col)
+
+
+def test_gap_fill_linear_and_locf(spark):
+    pdf = pd.DataFrame({
+        'k': ['a'] * 4 + ['b'] * 2,
+        'bucket_start': pd.to_datetime(['2026-01-01 00:00', '2026-01-01 00:01',
+                                        '2026-01-01 00:04', '2026-01-01 00:06',
+                                        '2026-01-01 00:00', '2026-01-01 00:03']),
+        'avg_value': [1.0, 2.0, 8.0, 10.0, 5.0, 11.0],
+    })
+    df = spark.createDataFrame(pdf)
+    filled = rollup.gap_fill(df, keys=['k'], interval_seconds=60, method='linear')
+    got = filled.toPandas().sort_values(['k', 'bucket_start']).reset_index(drop=True)
+    a = got[got.k == 'a']['avg_value'].tolist()
+    np.testing.assert_allclose(a, [1, 2, 4, 6, 8, 9, 10])
+    assert got[got.k == 'a']['is_gap'].tolist() == [False, False, True, True, False, True, False]
+    b = got[got.k == 'b']['avg_value'].tolist()
+    np.testing.assert_allclose(b, [5, 7, 9, 11])
+
+    locf = rollup.gap_fill(df, keys=['k'], interval_seconds=60, method='locf').toPandas()
+    locf = locf.sort_values(['k', 'bucket_start'])
+    np.testing.assert_allclose(locf[locf.k == 'a']['avg_value'].tolist(),
+                               [1, 2, 2, 2, 8, 8, 10])
+
+
+def test_compress_roundtrip_on_rollup(spark, events):
+    tier = rollup.rollup_from_points(events, ['user_id'], ts_col='ts', value_col='value',
+                                     interval='1 minute')
+    blocks = rollup.compress_blocks(tier, keys=['user_id'], ts_col='bucket_start',
+                                    value_col='avg_value', block_interval='1 day')
+    restored = rollup.decompress_blocks(blocks, keys=['user_id'])
+    a = tier.select('user_id', 'bucket_start', 'avg_value').toPandas()
+    b = restored.toPandas()
+    a = a.sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    b = b.sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a['bucket_start'].to_numpy(), b['bucket_start'].to_numpy())
+    assert (a['avg_value'].to_numpy().view(np.uint64)
+            == b['avg_value'].to_numpy().view(np.uint64)).all()
+    # sanity bound only: sf0.001 blocks are tiny and values high-entropy, so
+    # near-raw size is expected here; real ratios are asserted in
+    # tests/test_codecs.py on structured series.
+    stats = blocks.select(F.sum(F.length('ts_blob') + F.length('value_blob')).alias('enc'),
+                          F.sum(F.col('n_points') * 16).alias('raw')).first()
+    assert stats['enc'] < stats['raw'] * 1.6
+
+
+def test_attach_timestamps(spark):
+    df = datagen.tokens_table(spark, n_docs=3, seed=5, max_len=800, include_golden=False)
+    scored = score_series(df, algorithm='zero')
+    long = rollup.attach_timestamps(explode_scores(scored))
+    row = long.filter('pos = 120').select('ts').first()
+    assert str(row['ts']) == '2026-01-01 00:02:00'
+
+
+def test_chunked_moving_window_equals_unchunked(spark):
+    """Deterministic local kernels chunk exactly: chunk-with-halo scores ==
+    whole-series scores at every owned position."""
+    df = datagen.tokens_table(spark, n_docs=6, seed=9, max_len=3500, include_golden=False)
+    params = {'window_length': 50}
+    whole = explode_scores(score_series(df, algorithm='moving_window', params=params))
+    chunked_in = partitioning.chunk_series(df, max_len=1000, halo=2 * 50 + 1)
+    scored = score_series(chunked_in, algorithm='moving_window', params=params)
+    chunked = partitioning.reassemble_chunked_scores(scored)
+    a = whole.toPandas().sort_values(['doc_id', 'pos']).reset_index(drop=True)
+    b = chunked.toPandas().sort_values(['doc_id', 'pos']).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a['doc_id'] == b['doc_id']).all()
+    np.testing.assert_array_equal(a['pos'].to_numpy(), b['pos'].to_numpy())
+    np.testing.assert_allclose(a['score'].to_numpy(), b['score'].to_numpy(), atol=1e-12)
+
+
+def test_salted_repartition_spreads_heavy_docs(spark):
+    df = datagen.tokens_table(spark, n_docs=60, seed=11, max_len=4000, include_golden=False)
+    out = partitioning.salted_repartition(df, 8)
+    sizes = (out.withColumn('p', F.spark_partition_id())
+                .groupBy('p').agg(F.sum('n_tok').alias('c')).toPandas()['c'])
+    assert sizes.max() < 4 * sizes.mean()
