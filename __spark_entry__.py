@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship pipeline on sf0.001 (events -> series -> SST-ika
+                  scores -> 1m rollup).
+queries()      -> one callable per implemented operator (SURVEY.md §2 + the
+                  training-data-pipeline extensions).
+oracle_sql()   -> equivalent DuckDB SQL for every SQL-expressible query
+                  (identical column aliases).  Kernel queries (SST/ESST/
+                  BOCPD/RuLSIF/FLUSS, LSH, language-ID, fingerprints,
+                  multimodal) are rows-only here and bit-golden-checked
+                  against the numpy oracle in tests/ instead.
+
+Cross-engine float discipline: every aggregate that sums many doubles is
+either computed in DECIMAL (exact, engine-independent) or rounded at a digit
+where double-accumulation-order noise cannot flip the rounding.
 """
 
 from __future__ import annotations
@@ -12,27 +20,428 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+TABLES = ('region', 'nation', 'customer', 'supplier', 'part', 'orders', 'lineitem',
+          'events', 'documents', 'embeddings')
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f'{sf_dir}/{name}.parquet')
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        _read(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """events -> per-user token series -> SST (IKA) change scores ->
+    1-minute rollup tier, on sf0.001."""
+    from changepoynt_spark.functions.series import events_to_series
+    from changepoynt_spark.operators.rollup import attach_timestamps, rollup_cascade
+    from changepoynt_spark.operators.scoring import explode_scores, score_series
+
+    events = _read(spark, '/root/testdata/sf0.001', 'events')
+    series = events_to_series(events)
+    scored = score_series(series, algorithm='sst',
+                          params={'window_length': 10, 'n_windows': 10, 'lag': 3,
+                                  'rank': 2, 'method': 'ika'})
+    long = attach_timestamps(explode_scores(scored)).withColumnRenamed('score', 'value')
+    tiers = rollup_cascade(long, keys=['doc_id'], ts_col='ts', value_col='value',
+                           tiers=('1m',))
+    t = tiers['1m']
+    return t.select('doc_id', 'bucket_start', 'cnt_points',
+                    F.round('sum_value', 6).alias('sum_value'),
+                    F.round('avg_value', 6).alias('avg_value'))
+
+
+# ---------------------------------------------------------------------------
+# shared SQL (runs verbatim on BOTH Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+                 * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE), 2) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_NATION_REVENUE_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_LANG_COUNTS_SQL = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+
+_ZERO_SQL = "SELECT event_id, CAST(0.0 AS DOUBLE) AS score FROM events"
+
+_SIMHASH_BITS = 32
+
+
+def _simhash_sql() -> str:
+    votes = ', '.join(
+        f'SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}'
+        for b in range(_SIMHASH_BITS))
+    recon = ' + '.join(
+        f'CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END'
+        for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h FROM words),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({recon} AS BIGINT) AS simhash FROM votes
+    """
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _events_series(spark, sf_dir):
+    from changepoynt_spark.functions.series import events_to_series
+    return events_to_series(_read(spark, sf_dir, 'events'))
+
+
+def _kernel_query(algorithm, params):
+    def run(spark, sf_dir):
+        from changepoynt_spark.operators.scoring import explode_scores, score_series
+        scored = score_series(_events_series(spark, sf_dir), algorithm=algorithm,
+                              params=params)
+        return (explode_scores(scored)
+                .select('doc_id', 'pos', F.round('score', 9).alias('score')))
+    return run
+
+
+def _rollup_1m(spark, sf_dir):
+    from changepoynt_spark.operators.rollup import rollup_from_points
+    ev = _read(spark, sf_dir, 'events')
+    return rollup_from_points(ev, ['user_id'], ts_col='ts', value_col='value',
+                              interval='1 minute')
+
+
+def _rollup_tiers(spark, sf_dir):
+    from changepoynt_spark.operators.rollup import rollup_cascade
+    ev = _read(spark, sf_dir, 'events')
+    return rollup_cascade(ev, ['user_id'], ts_col='ts', value_col='value')
+
+
+def _round_rollup(df):
+    return df.select('user_id', 'bucket_start', 'cnt_points',
+                     F.round('sum_value', 6).alias('sum_value'),
+                     'min_value', 'max_value',
+                     F.round('avg_value', 6).alias('avg_value'),
+                     'first_value', 'last_value')
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from changepoynt_spark.operators import dedup, multimodal, rollup, similarity, text
+    from changepoynt_spark.operators import window_ops
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def zero_baseline(spark, sf_dir):
+        return window_ops.zero_score(_read(spark, sf_dir, 'events'))
 
+    def mw(method):
+        def run(spark, sf_dir):
+            return window_ops.moving_window_score(_read(spark, sf_dir, 'events'),
+                                                  window_length=8, method=method)
+        return run
+
+    def events_rollup_1m(spark, sf_dir):
+        return _round_rollup(_rollup_1m(spark, sf_dir))
+
+    def events_rollup_1h_cascade(spark, sf_dir):
+        return _round_rollup(_rollup_tiers(spark, sf_dir)['1h'])
+
+    def events_rollup_1d_cascade(spark, sf_dir):
+        return _round_rollup(_rollup_tiers(spark, sf_dir)['1d'])
+
+    def events_gapfill_1m(spark, sf_dir):
+        tier = _rollup_1m(spark, sf_dir)
+        filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
+        return filled.groupBy('user_id').agg(
+            F.count('*').alias('n_buckets'),
+            F.sum(F.col('is_gap').cast('long')).alias('n_gaps'))
+
+    def doc_token_counts(spark, sf_dir):
+        return text.token_counts(_read(spark, sf_dir, 'documents'))
+
+    def doc_quality_stats(spark, sf_dir):
+        return text.quality_stats(_read(spark, sf_dir, 'documents'))
+
+    def doc_language_counts(spark, sf_dir):
+        return text.language_counts(_read(spark, sf_dir, 'documents'))
+
+    def doc_exact_dups(spark, sf_dir):
+        return dedup.exact_dup_groups(_read(spark, sf_dir, 'documents'))
+
+    def doc_prefix_dups(spark, sf_dir):
+        docs = _read(spark, sf_dir, 'documents')
+        prefix = F.concat_ws(' ', F.slice(F.split('text', ' '), 1, 8))
+        return (docs.groupBy(F.md5(prefix).alias('prefix_hash'))
+                    .agg(F.count('*').alias('n_dups'), F.min('doc_id').alias('min_doc_id'))
+                    .filter(F.col('n_dups') > 1))
+
+    def ngram_jaccard_dups(spark, sf_dir):
+        return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, 'documents'),
+                                         n=3, threshold=0.5)
+
+    def doc_simhash(spark, sf_dir):
+        return dedup.simhash(_read(spark, sf_dir, 'documents'))
+
+    def embedding_topk_cosine(spark, sf_dir):
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        qvec = emb.filter('vec_id = 0').select('embedding').first()[0]
+        return similarity.cosine_topk(emb.filter('vec_id <> 0'), qvec, k=10)
+
+    def lineitem_pricing_summary(spark, sf_dir):
+        _register(spark, sf_dir, 'lineitem')
+        return spark.sql(_Q1_SQL)
+
+    def nation_revenue(spark, sf_dir):
+        _register(spark, sf_dir, 'orders', 'customer', 'nation')
+        return spark.sql(_NATION_REVENUE_SQL)
+
+    # ---- rows-only (non-SQL-expressible; bit-golden-checked in tests/) ----
+
+    def scored_rollup_compressed(spark, sf_dir):
+        from changepoynt_spark.operators.rollup import (attach_timestamps, compress_blocks,
+                                                        rollup_cascade)
+        from changepoynt_spark.operators.scoring import explode_scores, score_series
+        scored = score_series(_events_series(spark, sf_dir), algorithm='sst',
+                              params={'window_length': 10, 'n_windows': 10, 'lag': 3,
+                                      'rank': 2, 'method': 'ika'})
+        long = attach_timestamps(explode_scores(scored)).withColumnRenamed('score', 'value')
+        tier = rollup_cascade(long, ['doc_id'], ts_col='ts', value_col='value',
+                              tiers=('1m',))['1m']
+        blocks = compress_blocks(tier, keys=['doc_id'])
+        return blocks.select('doc_id', 'block_start', 'n_points',
+                             F.length('ts_blob').alias('ts_bytes'),
+                             F.length('value_blob').alias('value_bytes'))
+
+    def minhash_lsh_dups(spark, sf_dir):
+        return dedup.minhash_lsh_pairs(_read(spark, sf_dir, 'documents'),
+                                       num_hashes=32, bands=8, threshold=0.4)
+
+    def simhash_dup_pairs(spark, sf_dir):
+        return dedup.simhash_dup_pairs(_read(spark, sf_dir, 'documents'), max_hamming=6)
+
+    def embedding_lsh_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        qvec = emb.filter('vec_id = 0').select('embedding').first()[0]
+        return similarity.lsh_bucket_topk(emb.filter('vec_id <> 0'), qvec, k=10, n_planes=6)
+
+    def embedding_knn(spark, sf_dir):
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        return similarity.embedding_knn_pairs(emb, query_ids=[0, 1, 2], k=5)
+
+    def doc_language_id(spark, sf_dir):
+        return text.language_id(_read(spark, sf_dir, 'documents'))
+
+    def doc_fingerprints(spark, sf_dir):
+        return text.fingerprint_documents(_read(spark, sf_dir, 'documents'))
+
+    def doc_tokenize(spark, sf_dir):
+        return text.tokenize_documents(_read(spark, sf_dir, 'documents')) \
+                   .select('doc_id', 'n_tok', F.hash('tokens').alias('tokens_hash'), 'source')
+
+    def multimodal_features(spark, sf_dir):
+        media = multimodal.synthetic_media_table(spark, n_items=24)
+        feats = multimodal.extract_features(media)
+        return feats.select('media_id', 'modality', 'n_bytes',
+                            F.round(F.aggregate('feature', F.lit(0.0),
+                                                lambda a, v: a + v), 4).alias('feature_sum'))
+
+    def gap_fill_linear_values(spark, sf_dir):
+        tier = _rollup_1m(spark, sf_dir)
+        filled = rollup.gap_fill(tier, keys=['user_id'], value_cols=('avg_value',),
+                                 interval_seconds=60, method='linear')
+        return filled.select('user_id', 'bucket_start',
+                             F.round('avg_value', 6).alias('avg_value'), 'is_gap')
+
+    return {
+        # SQL-oracled
+        'zero_baseline': zero_baseline,
+        'moving_window_mean': mw('mean'),
+        'moving_window_var': mw('var'),
+        'moving_window_meanvar': mw('meanvar'),
+        'events_rollup_1m': events_rollup_1m,
+        'events_rollup_1h_cascade': events_rollup_1h_cascade,
+        'events_rollup_1d_cascade': events_rollup_1d_cascade,
+        'events_gapfill_1m': events_gapfill_1m,
+        'doc_token_counts': doc_token_counts,
+        'doc_quality_stats': doc_quality_stats,
+        'doc_language_counts': doc_language_counts,
+        'doc_exact_dups': doc_exact_dups,
+        'doc_prefix_dups': doc_prefix_dups,
+        'ngram_jaccard_dups': ngram_jaccard_dups,
+        'doc_simhash': doc_simhash,
+        'embedding_topk_cosine': embedding_topk_cosine,
+        'lineitem_pricing_summary': lineitem_pricing_summary,
+        'nation_revenue': nation_revenue,
+        # rows-only kernels (bit-goldens in tests/)
+        'sst_ika_scores': _kernel_query('sst', {'window_length': 10, 'n_windows': 10,
+                                                'lag': 3, 'rank': 2, 'method': 'ika'}),
+        'sst_rsvd_fast_hankel_scores': _kernel_query('sst', {'window_length': 16,
+                                                             'n_windows': 16, 'lag': 4,
+                                                             'rank': 2, 'method': 'rsvd',
+                                                             'use_fast_hankel': True}),
+        'esst_scores': _kernel_query('esst', {'window_length': 12, 'n_windows': 6,
+                                              'lag': 6, 'rank': 2, 'method': 'rsvd'}),
+        'bocpd_scores': _kernel_query('bocpd', {'run_length': 30}),
+        'rulsif_scores': _kernel_query('rulsif', {'window_length': 4, 'n_windows': 8,
+                                                  'scoring_step': 2}),
+        'fluss_scores': _kernel_query('fluss', {'window_length': 8}),
+        'scored_rollup_compressed': scored_rollup_compressed,
+        'minhash_lsh_dups': minhash_lsh_dups,
+        'simhash_dup_pairs': simhash_dup_pairs,
+        'embedding_lsh_topk': embedding_lsh_topk,
+        'embedding_knn': embedding_knn,
+        'doc_language_id': doc_language_id,
+        'doc_fingerprints': doc_fingerprints,
+        'doc_tokenize': doc_tokenize,
+        'multimodal_features': multimodal_features,
+        'gap_fill_linear_values': gap_fill_linear_values,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from changepoynt_spark.operators.window_ops import moving_window_oracle_sql
+    from changepoynt_spark.operators.text import STOPWORDS
+
+    stoplist = ', '.join(f"'{w}'" for w in STOPWORDS)
+    rollup_direct = """
+        SELECT user_id,
+               date_trunc('minute', ts) AS bucket_start,
+               COUNT(value) AS cnt_points,
+               ROUND(SUM(value), 6) AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               ROUND(SUM(value) / COUNT(value), 6) AS avg_value,
+               arg_min(value, ts) AS first_value,
+               arg_max(value, ts) AS last_value
+        FROM events GROUP BY 1, 2
     """
-    return {}
+
+    def rollup_tier(trunc):
+        return rollup_direct.replace("date_trunc('minute', ts)", f"date_trunc('{trunc}', ts)")
+
+    return {
+        'zero_baseline': _ZERO_SQL,
+        'moving_window_mean': moving_window_oracle_sql(window_length=8, method='mean'),
+        'moving_window_var': moving_window_oracle_sql(window_length=8, method='var'),
+        'moving_window_meanvar': moving_window_oracle_sql(window_length=8, method='meanvar'),
+        'events_rollup_1m': rollup_tier('minute'),
+        'events_rollup_1h_cascade': rollup_tier('hour'),
+        'events_rollup_1d_cascade': rollup_tier('day'),
+        'events_gapfill_1m': """
+            WITH b AS (SELECT user_id, date_trunc('minute', MIN(ts)) AS lo,
+                              date_trunc('minute', MAX(ts)) AS hi
+                       FROM events GROUP BY user_id),
+            spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_start
+                      FROM b),
+            obs AS (SELECT DISTINCT user_id, date_trunc('minute', ts) AS bucket_start FROM events)
+            SELECT s.user_id,
+                   COUNT(*) AS n_buckets,
+                   CAST(SUM(CASE WHEN o.bucket_start IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+            FROM spine s LEFT JOIN obs o
+              ON s.user_id = o.user_id AND s.bucket_start = o.bucket_start
+            GROUP BY s.user_id
+        """,
+        'doc_token_counts': r"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1)) AS BIGINT) AS n_bpe_ish
+            FROM documents
+        """,
+        'doc_quality_stats': rf"""
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                         / len(string_split(text, ' ')), 6) AS avg_word_len,
+                   ROUND(len(list_filter(string_split(text, ' '),
+                                         w -> list_contains([{stoplist}], lower(w)))) * 1.0
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                   ROUND((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))) * 1.0
+                         / length(text), 6) AS punct_ratio
+            FROM documents
+        """,
+        'doc_language_counts': _LANG_COUNTS_SQL,
+        'doc_exact_dups': """
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS min_doc_id
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        'doc_prefix_dups': """
+            SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash,
+                   COUNT(*) AS n_dups, MIN(doc_id) AS min_doc_id
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        'ngram_jaccard_dups': """
+            WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                                  generate_subscripts(string_split(text, ' '), 1) AS i
+                           FROM documents),
+            sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                   FROM words a
+                   JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pair AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+                     FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM pair
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
+        """,
+        'doc_simhash': _simhash_sql(),
+        'embedding_topk_cosine': """
+            WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+                  FROM embeddings WHERE vec_id <> 0)
+            SELECT e.vec_id,
+                   ROUND(list_inner_product(ev, qv)
+                         / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))),
+                         6) AS cos_sim
+            FROM e, q
+            ORDER BY cos_sim DESC, vec_id
+            LIMIT 10
+        """,
+        'lineitem_pricing_summary': _Q1_SQL,
+        'nation_revenue': _NATION_REVENUE_SQL,
+    }

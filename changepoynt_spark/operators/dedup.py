@@ -1,0 +1,148 @@
+"""Deduplication operators for the documents corpus: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design:
+- exact dedup: hash-groupBy on md5(text) — one shuffle, map-side combine.
+- n-gram Jaccard: candidate pairs come from an inverted shingle join (only
+  docs sharing >=1 shingle ever meet — never the O(n^2) cross join), then the
+  exact Jaccard is verified natively with array_intersect/array_union.
+- MinHash+LSH: k min-hashes per doc computed fully JVM-side
+  (transform + xxhash64 + array_min — no Python), banded, bucket-joined;
+  candidates verified by exact Jaccard.  The LSH band join bounds candidate
+  generation at 10^12-doc scale where even the shingle join would blow up.
+- SimHash: 32-bit md5-derived word hashes, bitwise majority vote via
+  explode + groupBy — SQL-expressible end to end (DuckDB md5 matches Spark's).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """(text_hash, n_dups, min_doc_id) for exact-duplicate groups (>1 doc)."""
+    return (df.groupBy(F.md5(text_col).alias('text_hash'))
+              .agg(F.count('*').alias('n_dups'), F.min('doc_id').alias('min_doc_id'))
+              .filter(F.col('n_dups') > 1))
+
+
+def shingles(df: DataFrame, n: int = 3, text_col: str = 'text') -> DataFrame:
+    """Adds ``shingle_set``: distinct word n-gram strings per doc (JVM-side)."""
+    words = F.split(F.col(text_col), ' ')
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(' ', F.slice(words, i + 1, n)))
+    return df.withColumn('shingle_set', F.array_distinct(grams)).filter(F.size(words) >= n)
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = 'doc_id') -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold.
+
+    Candidates via inverted shingle index: explode distinct shingles, self-
+    join on shingle with doc_a < doc_b, distinct pairs, then verify exactly.
+    Any pair with jaccard > 0 shares a shingle, so this finds the same set a
+    cross join would — without the cross join.
+    """
+    sh = shingles(df, n).select(F.col(id_col).alias('_id'), 'shingle_set')
+    inv = sh.select('_id', F.explode('shingle_set').alias('_sh'))
+    cands = (inv.alias('a').join(inv.alias('b'),
+                                 (F.col('a._sh') == F.col('b._sh')) &
+                                 (F.col('a._id') < F.col('b._id')))
+                .select(F.col('a._id').alias('doc_a'), F.col('b._id').alias('doc_b'))
+                .distinct())
+    sets_a = sh.select(F.col('_id').alias('doc_a'), F.col('shingle_set').alias('_sa'))
+    sets_b = sh.select(F.col('_id').alias('doc_b'), F.col('shingle_set').alias('_sb'))
+    joined = cands.join(sets_a, 'doc_a').join(sets_b, 'doc_b')
+    inter = F.size(F.array_intersect('_sa', '_sb'))
+    union = F.size(F.array_union('_sa', '_sb'))
+    return (joined.withColumn('jaccard', F.round(inter / union, 6))
+                  .filter(F.col('jaccard') >= threshold)
+                  .select('doc_a', 'doc_b', 'jaccard'))
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
+                       id_col: str = 'doc_id') -> DataFrame:
+    """(id, signature array<bigint>) — k min-hashes over distinct shingles,
+    all native expressions: min(xxhash64(shingle, seed_i))."""
+    sh = shingles(df, n)
+    sig = F.array(*[
+        F.array_min(F.transform('shingle_set', lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)])
+    return sh.select(F.col(id_col).alias('doc_id'), 'shingle_set',
+                     sig.alias('signature'))
+
+
+def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
+                      threshold: float = 0.5, id_col: str = 'doc_id') -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH with
+    exact Jaccard verification of candidates."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, id_col)
+    band_hash = F.explode(F.array(*[
+        F.struct(F.lit(b).alias('band'),
+                 F.xxhash64(F.concat_ws(',', *[
+                     F.col('signature')[b * rows_per_band + r].cast('string')
+                     for r in range(rows_per_band)])).alias('bh'))
+        for b in range(bands)]))
+    buckets = sigs.select('doc_id', 'shingle_set', band_hash.alias('bb')) \
+                  .select('doc_id', 'shingle_set', 'bb.band', 'bb.bh')
+    cands = (buckets.alias('a').join(
+                buckets.alias('b'),
+                (F.col('a.band') == F.col('b.band')) & (F.col('a.bh') == F.col('b.bh')) &
+                (F.col('a.doc_id') < F.col('b.doc_id')))
+             .select(F.col('a.doc_id').alias('doc_a'), F.col('a.shingle_set').alias('_sa'),
+                     F.col('b.doc_id').alias('doc_b'), F.col('b.shingle_set').alias('_sb'))
+             .dropDuplicates(['doc_a', 'doc_b']))
+    inter = F.size(F.array_intersect('_sa', '_sb'))
+    union = F.size(F.array_union('_sa', '_sb'))
+    return (cands.withColumn('jaccard', F.round(inter / union, 6))
+                 .filter(F.col('jaccard') >= threshold)
+                 .select('doc_a', 'doc_b', 'jaccard'))
+
+
+def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
+            bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — bitwise majority vote over 32-bit md5-derived word
+    hashes.  Pure SQL (explode + groupBy), reproducible in DuckDB since both
+    engines agree on md5(hex)."""
+    words = df.select(F.col(id_col).alias('doc_id'),
+                      F.explode(F.split(text_col, ' ')).alias('w'))
+    # first 8 hex chars of md5 -> 32-bit unsigned int
+    h = F.conv(F.substring(F.md5('w'), 1, 8), 16, 10).cast('long')
+    words = words.withColumn('h', h)
+    votes = [F.sum(F.when(F.shiftright(F.col('h'), b).bitwiseAND(F.lit(1)) == 1,
+                          F.lit(1)).otherwise(F.lit(-1))).alias(f'b{b}')
+             for b in range(bits)]
+    agg = words.groupBy('doc_id').agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f'b{b}') > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
+        sim = bit if sim is None else sim + bit
+    return agg.select('doc_id', sim.cast('long').alias('simhash'))
+
+
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """(doc_a, doc_b, hamming) — SimHash near-dup pairs.  Candidate pruning
+    by bucketing on the top 16 bits (a doc pair within hamming<=3 of 32 bits
+    collides on at least one of the two 16-bit halves; we join on both
+    halves and union)."""
+    sh = simhash(df, bits=bits)
+    lo = (F.col('simhash') % (1 << 16)).alias('half')
+    hi = (F.col('simhash') / (1 << 16)).cast('long').alias('half')
+    parts = []
+    for half, tag in ((lo, 0), (hi, 1)):
+        b = sh.select('doc_id', 'simhash', half, F.lit(tag).alias('side'))
+        parts.append(b)
+    buckets = parts[0].unionByName(parts[1])
+    cands = (buckets.alias('a').join(
+                buckets.alias('b'),
+                (F.col('a.side') == F.col('b.side')) & (F.col('a.half') == F.col('b.half')) &
+                (F.col('a.doc_id') < F.col('b.doc_id')))
+             .select(F.col('a.doc_id').alias('doc_a'), F.col('a.simhash').alias('_ha'),
+                     F.col('b.doc_id').alias('doc_b'), F.col('b.simhash').alias('_hb'))
+             .dropDuplicates(['doc_a', 'doc_b']))
+    hamming = F.bit_count(F.col('_ha').bitwiseXOR(F.col('_hb')))
+    return (cands.withColumn('hamming', hamming)
+                 .filter(F.col('hamming') <= max_hamming)
+                 .select('doc_a', 'doc_b', 'hamming'))

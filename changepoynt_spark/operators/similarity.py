@@ -1,0 +1,108 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+- :func:`cosine_topk` — brute-force cosine top-k against a query vector,
+  entirely native (zip_with/aggregate dot products, JVM-side) — the exactness
+  baseline and the broadcast-side of any re-ranking stage.
+- :func:`embedding_knn_pairs` — all-pairs k-NN via a block-broadcast join of
+  a (small) query set against the corpus.
+- :func:`lsh_bucket_topk` — scale path: random-hyperplane LSH buckets shrink
+  the candidate set before exact re-ranking (signs of dot products with
+  seeded Gaussian planes, computed natively from a broadcast literal matrix).
+- :func:`embedding_cosine_dups` — embedding near-duplicate pairs (cosine >=
+  threshold) via the same bucket-then-verify pattern.
+"""
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(df: DataFrame, query_vec, k: int = 10, id_col: str = 'vec_id',
+                vec_col: str = 'embedding') -> DataFrame:
+    """Top-k rows by cosine similarity to ``query_vec`` (python list/ndarray).
+    Fully native; the top-k is a TakeOrderedAndProject (no full sort)."""
+    q = [float(x) for x in query_vec]
+    qlit = F.array(*[F.lit(x) for x in q])
+    qnorm = float(np.linalg.norm(q))
+    sim = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qnorm))
+    return (df.select(F.col(id_col), F.round(sim, 6).alias('cos_sim'))
+              .orderBy(F.col('cos_sim').desc(), F.col(id_col))
+              .limit(k))
+
+
+def embedding_knn_pairs(df: DataFrame, query_ids, k: int = 5, id_col: str = 'vec_id',
+                        vec_col: str = 'embedding') -> DataFrame:
+    """Exact k-NN of a small query-id set against the whole corpus via a
+    broadcast join (query side broadcast — corpus is never shuffled)."""
+    queries = df.filter(F.col(id_col).isin(list(query_ids))) \
+                .select(F.col(id_col).alias('query_id'), F.col(vec_col).alias('_qv'))
+    joined = df.join(F.broadcast(queries), F.col(id_col) != F.col('query_id'))
+    sim = _dot(F.col(vec_col), F.col('_qv')) / (_norm(F.col(vec_col)) * _norm(F.col('_qv')))
+    scored = joined.select('query_id', F.col(id_col).alias('neighbor_id'),
+                           F.round(sim, 6).alias('cos_sim'))
+    from pyspark.sql import Window
+    w = Window.partitionBy('query_id').orderBy(F.col('cos_sim').desc(), F.col('neighbor_id'))
+    return (scored.withColumn('rank', F.row_number().over(w))
+                  .filter(F.col('rank') <= k)
+                  .select('query_id', 'neighbor_id', 'cos_sim', 'rank'))
+
+
+def hyperplane_signatures(df: DataFrame, dim: int, n_planes: int = 16, seed: int = 7,
+                          vec_col: str = 'embedding') -> DataFrame:
+    """Adds ``bucket``: sign-pattern of dot products with ``n_planes`` seeded
+    Gaussian hyperplanes (random-hyperplane LSH; Charikar 2002).  The plane
+    matrix is a deterministic literal — identical on every executor."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast('long')
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = F.when(_dot(F.col(vec_col), plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + bit.cast('long') * F.lit(2 ** i)
+    return df.withColumn('bucket', bucket)
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, seed: int = 7,
+                    id_col: str = 'vec_id', vec_col: str = 'embedding') -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to the query's LSH
+    bucket (candidates shrink ~2^n_planes-fold; recall measured in tests)."""
+    q = np.asarray([float(x) for x in query_vec])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, q.shape[0]))
+    qbucket = int(sum((1 << i) for i in range(n_planes) if planes[i] @ q >= 0))
+    sigs = hyperplane_signatures(df, dim=q.shape[0], n_planes=n_planes, seed=seed,
+                                 vec_col=vec_col)
+    return cosine_topk(sigs.filter(F.col('bucket') == qbucket), q, k=k,
+                       id_col=id_col, vec_col=vec_col)
+
+
+def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int = 8,
+                          seed: int = 7, id_col: str = 'vec_id',
+                          vec_col: str = 'embedding') -> DataFrame:
+    """(vec_a, vec_b, cos_sim) near-duplicate embedding pairs: bucket join on
+    the LSH signature, exact cosine verify.  NOTE: single-signature LSH can
+    miss pairs straddling a hyperplane; production raises recall with
+    multiple signature tables (union of joins) — the plumbing is identical."""
+    sigs = hyperplane_signatures(
+        df, dim=len(df.select(vec_col).first()[0]), n_planes=n_planes, seed=seed,
+        vec_col=vec_col).select(F.col(id_col).alias('_id'), F.col(vec_col).alias('_v'),
+                                'bucket')
+    pairs = (sigs.alias('a').join(sigs.alias('b'),
+                                  (F.col('a.bucket') == F.col('b.bucket')) &
+                                  (F.col('a._id') < F.col('b._id')))
+                 .select(F.col('a._id').alias('vec_a'), F.col('a._v').alias('_va'),
+                         F.col('b._id').alias('vec_b'), F.col('b._v').alias('_vb')))
+    sim = _dot(F.col('_va'), F.col('_vb')) / (_norm(F.col('_va')) * _norm(F.col('_vb')))
+    return (pairs.withColumn('cos_sim', F.round(sim, 6))
+                 .filter(F.col('cos_sim') >= threshold)
+                 .select('vec_a', 'vec_b', 'cos_sim'))

@@ -1,0 +1,92 @@
+"""Native-SQL forms of the reference baseline scorers over event streams.
+
+ZERO and MovingWindow (reference changepoynt/algorithms/baseline.py:23-98)
+are fully expressible in Spark SQL window functions — no UDF, whole-stage
+codegen end to end — and therefore DuckDB-oracle-checkable.  Semantics per
+position i (0-based row_number per series, ordered by ts):
+
+    score[i] = |mean(x[i-w:i]) - mean(x[i:i+w])|   for w <= i <= T-w
+             (+ the same with var_pop for 'var'/'meanvar'), else 0.0
+
+exactly the reference's write-band [w, T-w] (baseline.py:93-97).
+
+Cross-engine determinism: window sums are computed in DECIMAL (exact and
+independent of accumulation order), then mean = sum/w and
+var = sumsq/w - mean^2 are derived in double — bit-identical between Spark
+and DuckDB, no rounding tolerance needed.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def zero_score(df: DataFrame, id_cols=('event_id',)) -> DataFrame:
+    return df.select(*id_cols, F.lit(0.0).alias('score'))
+
+
+def moving_window_score(df: DataFrame, key_col: str = 'user_id', ts_col: str = 'ts',
+                        value_col: str = 'value', window_length: int = 8,
+                        method: str = 'mean') -> DataFrame:
+    """(key, rn, score) — per-series moving-window change score."""
+    assert method in ('mean', 'var', 'meanvar')
+    w = window_length
+    order = Window.partitionBy(key_col).orderBy(ts_col)
+    past = order.rowsBetween(-w, -1)
+    future = order.rowsBetween(0, w - 1)
+    dec = F.col(value_col).cast('decimal(18,4)')
+    dec2 = dec * dec
+    df = (df.withColumn('rn', F.row_number().over(order) - 1)
+            .withColumn('n_rows', F.count('*').over(Window.partitionBy(key_col)))
+            .withColumn('_s1p', F.sum(dec).over(past).cast('double'))
+            .withColumn('_s1f', F.sum(dec).over(future).cast('double'))
+            .withColumn('_s2p', F.sum(dec2).over(past).cast('double'))
+            .withColumn('_s2f', F.sum(dec2).over(future).cast('double')))
+    m_past = F.col('_s1p') / w
+    m_fut = F.col('_s1f') / w
+    score = F.lit(0.0)
+    if method.startswith('mean'):
+        score = score + F.abs(m_fut - m_past)
+    if method.endswith('var'):
+        var_past = F.col('_s2p') / w - m_past * m_past
+        var_fut = F.col('_s2f') / w - m_fut * m_fut
+        score = score + F.abs(var_fut - var_past)
+    in_band = (F.col('rn') >= w) & (F.col('rn') <= F.col('n_rows') - w)
+    return df.select(F.col(key_col), 'rn',
+                     F.when(in_band, score).otherwise(F.lit(0.0)).alias('score'))
+
+
+def moving_window_oracle_sql(key_col: str = 'user_id', ts_col: str = 'ts',
+                             value_col: str = 'value', window_length: int = 8,
+                             method: str = 'mean', table: str = 'events') -> str:
+    """The DuckDB-equivalent ANSI SQL of :func:`moving_window_score` (same
+    decimal-sum construction)."""
+    w = window_length
+    terms = []
+    if method.startswith('mean'):
+        terms.append('abs(s1f / {w} - s1p / {w})'.format(w=w))
+    if method.endswith('var'):
+        terms.append('abs((s2f / {w} - (s1f / {w}) * (s1f / {w}))'
+                     ' - (s2p / {w} - (s1p / {w}) * (s1p / {w})))'.format(w=w))
+    expr = ' + '.join(terms)
+    return f"""
+        SELECT {key_col},
+               rn,
+               CASE WHEN rn >= {w} AND rn <= n_rows - {w} THEN {expr} ELSE 0.0 END AS score
+        FROM (
+          SELECT {key_col},
+                 row_number() OVER (PARTITION BY {key_col} ORDER BY {ts_col}) - 1 AS rn,
+                 count(*) OVER (PARTITION BY {key_col}) AS n_rows,
+                 CAST(sum(CAST({value_col} AS DECIMAL(18,4))) OVER past AS DOUBLE) AS s1p,
+                 CAST(sum(CAST({value_col} AS DECIMAL(18,4))) OVER fut AS DOUBLE) AS s1f,
+                 CAST(sum(CAST({value_col} AS DECIMAL(18,4))
+                          * CAST({value_col} AS DECIMAL(18,4))) OVER past AS DOUBLE) AS s2p,
+                 CAST(sum(CAST({value_col} AS DECIMAL(18,4))
+                          * CAST({value_col} AS DECIMAL(18,4))) OVER fut AS DOUBLE) AS s2f
+          FROM {table}
+          WINDOW past AS (PARTITION BY {key_col} ORDER BY {ts_col}
+                          ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING),
+                 fut  AS (PARTITION BY {key_col} ORDER BY {ts_col}
+                          ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+        ) t
+    """

@@ -13,6 +13,11 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = 'changepoynt-spark', master: str = None,
               shuffle_partitions: int = None, extra_conf: dict = None) -> SparkSession:
+    # one BLAS thread per Python worker: parallelism comes from Spark tasks;
+    # multi-threaded BLAS on the kernels' tiny gemms only causes contention
+    for var in ('OMP_NUM_THREADS', 'OPENBLAS_NUM_THREADS', 'MKL_NUM_THREADS',
+                'VECLIB_MAXIMUM_THREADS', 'NUMEXPR_NUM_THREADS'):
+        os.environ.setdefault(var, '1')
     cpus = int(os.environ.get('SPARK_GRAFT_CPUS', '32'))
     master = master or f'local[{cpus}]'
     if shuffle_partitions is None:
