@@ -134,6 +134,21 @@ def _kernel_query(algorithm, params):
     return run
 
 
+def _multichannel_query(algorithm, params, min_len=40):
+    def run(spark, sf_dir):
+        from changepoynt_spark.operators.scoring import score_multichannel_series
+        series = _events_series(spark, sf_dir).filter(f'n_tok >= {min_len}')
+        two = series.select(
+            'doc_id', 'source', 'n_tok',
+            F.array(F.transform('tokens', lambda t: t.cast('double')),
+                    F.transform(F.reverse('tokens'), lambda t: t.cast('double'))
+                    ).alias('channels'))
+        scored = score_multichannel_series(two, algorithm=algorithm, params=params)
+        return scored.select('doc_id', F.posexplode('score').alias('pos', 'score')) \
+                     .withColumn('score', F.round('score', 9))
+    return run
+
+
 def _rollup_1m(spark, sf_dir):
     from changepoynt_spark.operators.rollup import rollup_from_points
     ev = _read(spark, sf_dir, 'events')
@@ -319,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'rulsif_scores': _kernel_query('rulsif', {'window_length': 4, 'n_windows': 8,
                                                   'scoring_step': 2}),
         'fluss_scores': _kernel_query('fluss', {'window_length': 8}),
+        'msst_scores': _multichannel_query('msst', {'window_length': 12, 'n_windows': 12,
+                                                    'lag': 4, 'rank': 2, 'method': 'ika'}),
+        'messt_scores': _multichannel_query('messt', {'window_length': 12, 'n_windows': 6,
+                                                      'lag': 6, 'rank': 2, 'method': 'rsvd'}),
         'scored_rollup_compressed': scored_rollup_compressed,
         'minhash_lsh_dups': minhash_lsh_dups,
         'simhash_dup_pairs': simhash_dup_pairs,

@@ -16,10 +16,12 @@ from changepoynt_spark.kernels.dead import CLASP, FLOSS, KLIEP, SubspaceIdentifi
 from changepoynt_spark.kernels.density_ratio import RuLSIF, ULSIF
 from changepoynt_spark.kernels.esst import ESST
 from changepoynt_spark.kernels.fluss import FLUSS
+from changepoynt_spark.kernels.messt import MESST
+from changepoynt_spark.kernels.msst import MSST
 from changepoynt_spark.kernels.sst import SST
 
 __all__ = [
     'Algorithm', 'SingularSubspaceAlgorithm', 'ZERO', 'MovingWindow', 'BOCPD',
     'CLASP', 'FLOSS', 'KLIEP', 'SubspaceIdentification', 'RuLSIF', 'ULSIF',
-    'ESST', 'FLUSS', 'SST',
+    'ESST', 'FLUSS', 'MESST', 'MSST', 'SST',
 ]

@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, SST, ZERO, MovingWindow, RuLSIF,
-                                       ULSIF)
+from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, MESST, MSST, SST, ZERO,
+                                       MovingWindow, RuLSIF, ULSIF)
 from changepoynt_spark.kernels.base import SingularSubspaceAlgorithm
 from changepoynt_spark.sources.datagen import QUANT_SCALE
 
@@ -44,6 +44,11 @@ ALGORITHMS = {
     'fluss': FLUSS,
     'zero': ZERO,
     'moving_window': MovingWindow,
+}
+
+MULTIVARIATE_ALGORITHMS = {
+    'msst': MSST,
+    'messt': MESST,
 }
 
 
@@ -105,6 +110,36 @@ def score_series(df: DataFrame, algorithm: str = 'sst', params: dict = None,
                 # fitted priors across transform calls
                 algo = build_algorithm(algorithm, params)
                 scores.append(algo.transform(ts))
+            out = pdf.copy()
+            out[score_col] = scores
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def score_multichannel_series(df: DataFrame, algorithm: str = 'msst', params: dict = None,
+                              channels_col: str = 'channels', score_col: str = 'score',
+                              seed_fn=series_seed) -> DataFrame:
+    """Multivariate scoring: ``channels_col`` holds array<array<double>>,
+    one inner array per channel (equal lengths); the kernel consumes the
+    (n_samples, n_channels) matrix.  Same shuffle-free mapInPandas shape as
+    :func:`score_series`."""
+    params = dict(params or {})
+    if algorithm not in MULTIVARIATE_ALGORITHMS:
+        raise ValueError(f'Unknown multivariate algorithm {algorithm!r}. '
+                         f'Available: {sorted(MULTIVARIATE_ALGORITHMS)}')
+    MULTIVARIATE_ALGORITHMS[algorithm](**params)  # validate early
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField(score_col, T.ArrayType(T.DoubleType()), True)])
+
+    def kernel(batches):
+        for pdf in batches:
+            scores = []
+            for doc_id, chans in zip(pdf['doc_id'].to_numpy(), pdf[channels_col].to_numpy()):
+                mat = np.stack([np.asarray(c, dtype=np.float64) for c in chans], axis=1)
+                np.random.seed(seed_fn(doc_id))
+                algo = MULTIVARIATE_ALGORITHMS[algorithm](**params)
+                scores.append(algo.transform(mat))
             out = pdf.copy()
             out[score_col] = scores
             yield out

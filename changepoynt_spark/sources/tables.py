@@ -1,0 +1,145 @@
+"""Iceberg-style table layout: parquet data files + JSON snapshot manifests.
+
+No Iceberg runtime jar exists in this environment (checked $SPARK_HOME/jars;
+no network), so the engine implements the *structure* of an Iceberg table —
+immutable data files, JSON manifest/snapshot metadata, snapshot lineage,
+hidden partitioning, time travel — in a layout it controls:
+
+    <root>/data/snap-<n>/...parquet       (files added by snapshot n)
+    <root>/metadata/snapshot-<n>.json     (schema, spec, manifest entries,
+                                           parent pointer, summary)
+    <root>/metadata/version-hint.txt      (current snapshot number)
+
+Each manifest entry carries per-partition lineage + metrics (input
+fingerprint, row count, rollup watermark) which is what makes jobs resumable
+(see changepoynt_spark.plans.checkpoint).  The writer is behind this one
+class, so a real ``iceberg-spark-runtime`` catalog can be dropped in later
+without touching callers.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergishTable:
+
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, 'data')
+        self.meta_dir = os.path.join(root, 'metadata')
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, 'version-hint.txt')
+
+    def current_snapshot_id(self) -> int:
+        try:
+            with open(self._hint_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def snapshot(self, snapshot_id: int = None) -> Optional[dict]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid < 0:
+            return None
+        with open(os.path.join(self.meta_dir, f'snapshot-{sid}.json')) as f:
+            return json.load(f)
+
+    def history(self) -> list:
+        """Snapshot lineage, oldest first."""
+        out = []
+        sid = self.current_snapshot_id()
+        while sid >= 0:
+            snap = self.snapshot(sid)
+            out.append(snap)
+            sid = snap.get('parent', -1)
+        return out[::-1]
+
+    # -- write / read ----------------------------------------------------------
+
+    def append(self, df: DataFrame, partition_by=('source',), properties: dict = None,
+               invalidates=()) -> dict:
+        """Append df as a new snapshot; returns the snapshot dict.
+
+        ``properties`` lands in the manifest entry — callers put lineage /
+        watermark metrics there (bucket id, input fingerprint, max rollup
+        ts).  Hidden partitioning: callers pass derived columns (e.g.
+        doc_bucket) that readers never need to know about.
+
+        ``invalidates``: snapshot ids whose data files this snapshot
+        logically replaces (overwrite-partition semantics — readers of this
+        or later snapshots skip them)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        parent = self.current_snapshot_id()
+        sid = parent + 1
+        snap_dir = os.path.join(self.data_dir, f'snap-{sid}')
+        writer = df.write.mode('error')
+        if partition_by:
+            writer = writer.partitionBy(*list(partition_by))
+        writer.parquet(snap_dir)
+        n_rows = df.sparkSession.read.parquet(snap_dir).count()
+        files = []
+        for dirpath, _, names in os.walk(snap_dir):
+            for name in names:
+                if name.endswith('.parquet'):
+                    p = os.path.join(dirpath, name)
+                    files.append({'path': os.path.relpath(p, self.root),
+                                  'bytes': os.path.getsize(p)})
+        snap = {
+            'snapshot_id': sid,
+            'parent': parent,
+            'invalidates': sorted(int(i) for i in invalidates),
+            'timestamp_ms': int(time.time() * 1000),
+            'schema': df.schema.jsonValue(),
+            'partition_spec': list(partition_by or []),
+            'manifest': {
+                'entries': files,
+                'row_count': n_rows,
+                'properties': dict(properties or {}),
+            },
+        }
+        tmp = os.path.join(self.meta_dir, f'.snapshot-{sid}.json.tmp')
+        with open(tmp, 'w') as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, os.path.join(self.meta_dir, f'snapshot-{sid}.json'))
+        # version hint last: a crash before this line leaves the table at the
+        # previous snapshot (the new files are unreachable -> atomic commit)
+        tmp_hint = self._hint_path() + '.tmp'
+        with open(tmp_hint, 'w') as f:
+            f.write(str(sid))
+        os.replace(tmp_hint, self._hint_path())
+        return snap
+
+    def read(self, spark: SparkSession, snapshot_id: int = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). Time travel =
+        union of data files of the snapshot's full lineage."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        assert sid >= 0, f'table {self.root} has no snapshots'
+        dead = set()
+        chain = []
+        cur = sid
+        while cur >= 0:
+            snap = self.snapshot(cur)
+            chain.append(cur)
+            dead.update(snap.get('invalidates', []))
+            cur = snap.get('parent', -1)
+        dirs = [os.path.join(self.data_dir, f'snap-{c}') for c in chain if c not in dead]
+        existing = [d for d in dirs if os.path.isdir(d)]
+        assert existing, f'no live data files at snapshot {sid}'
+        # one read per snapshot dir (each with its own partition discovery),
+        # unioned by name — the snap-N level is not a partition column
+        out = None
+        for d in existing:
+            part = spark.read.parquet(d)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out
+
+    def properties_by_snapshot(self) -> dict:
+        return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}

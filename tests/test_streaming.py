@@ -1,0 +1,61 @@
+"""Streaming rollup == batch rollup on the same data (complete mode), and
+append-mode emits exactly the watermark-closed buckets."""
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from changepoynt_spark.operators.rollup import AGG_COLS, rollup_from_points
+from changepoynt_spark.streaming.rollup_stream import streaming_rollup
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    out = str(tmp_path / 'events_stream')
+    spark.read.parquet(f'{sf_dir}/events.parquet').repartition(4).write.parquet(out)
+    return out
+
+
+def _run_stream(spark, events_dir, mode):
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    tier = streaming_rollup(stream, keys=['user_id'], ts_col='ts', value_col='value',
+                            interval='1 hour', watermark_delay='30 minutes')
+    name = f'tier_{mode}'
+    q = (tier.writeStream.outputMode(mode).format('memory').queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.sql(f'SELECT * FROM {name}').toPandas()
+
+
+def test_streaming_complete_matches_batch(spark, events_dir):
+    got = _run_stream(spark, events_dir, 'complete')
+    batch = rollup_from_points(spark.read.parquet(events_dir), ['user_id'],
+                               ts_col='ts', value_col='value', interval='1 hour').toPandas()
+    got = got.sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    batch = batch.sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    assert len(got) == len(batch) > 0
+    for col in AGG_COLS:
+        np.testing.assert_allclose(got[col].to_numpy(dtype=float),
+                                   batch[col].to_numpy(dtype=float), rtol=1e-9, err_msg=col)
+
+
+def test_streaming_append_emits_closed_buckets_once(spark, events_dir):
+    got = _run_stream(spark, events_dir, 'append')
+    batch = rollup_from_points(spark.read.parquet(events_dir), ['user_id'],
+                               ts_col='ts', value_col='value', interval='1 hour').toPandas()
+    # emitted buckets are final: each matches the batch value exactly
+    merged = got.merge(batch, on=['user_id', 'bucket_start'], suffixes=('_s', '_b'))
+    assert len(merged) == len(got)
+    assert not got.duplicated(['user_id', 'bucket_start']).any()
+    np.testing.assert_allclose(merged['sum_value_s'], merged['sum_value_b'], rtol=1e-9)
+    # everything strictly before the final watermark was emitted
+    max_ts = spark.read.parquet(events_dir).agg(F.max('ts')).first()[0]
+    import pandas as pd
+    closed = batch[batch['bucket_start'] + pd.Timedelta(hours=1)
+                   < max_ts - pd.Timedelta(minutes=30)]
+    have = set(zip(got['user_id'], got['bucket_start']))
+    missing = [k for k in zip(closed['user_id'], closed['bucket_start']) if k not in have]
+    assert not missing, missing[:5]
