@@ -100,6 +100,17 @@ class SST(SingularSubspaceAlgorithm):
                                                         inplace=False)
         else:
             time_series = time_series.copy()
+        if self.method == 'ika' and not self.use_fast_hankel:
+            # batched execution path: identical RNG stream and score
+            # semantics, ~6x fewer python/numpy dispatches per step (the
+            # CPU-side analogue of the reference's TESST step batching,
+            # torch_esst.py:96-124)
+            return _transform_ika_batched(
+                time_series=time_series, start_idx=starting_point,
+                offset=self.compute_offset(), window_length=self.window_length,
+                n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                rank=self.rank, lanczos_rank=self.lanczos_rank,
+                mitigate_offset=self.mitigate_offset)
         scoring_function = self.methods[self.method]
         hankel_function = self.hankel_construction[self.use_fast_hankel]
         return _transform(time_series=time_series, start_idx=starting_point,
@@ -131,6 +142,102 @@ def _transform(time_series: np.ndarray, start_idx: int, offset: int, window_leng
             scoring_function(hankel_past, hankel_future, x0)
         x0 = x1 + 1e-3 * np.random.rand(x0.shape[0])[:, None]
         x0 /= np.linalg.norm(x0)
+    return score
+
+
+def _batched_hankels(time_series: np.ndarray, ends: np.ndarray, window_length: int,
+                     n_windows: int, mitigate_offset: bool) -> np.ndarray:
+    """(B, w, n) stack of dense Hankels ending at each index in ``ends``.
+    Built directly in row-major (w, n) layout: row i of H(e) is
+    ts[start+i : start+i+n], so a single gather of length-n windows
+    produces the batch without a transpose copy."""
+    view = np.lib.stride_tricks.sliding_window_view(time_series, n_windows)
+    starts = ends - window_length - n_windows + 1
+    hb = view[starts[:, None] + np.arange(window_length)[None, :]]  # (B, w, n)
+    if mitigate_offset:
+        hb = hb - hb.mean(axis=1, keepdims=True) + 1
+    return hb
+
+
+def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
+                           window_length: int, n_windows: int, lag: int, scoring_step: int,
+                           rank: int, lanczos_rank: int, mitigate_offset: bool) -> np.ndarray:
+    """IKA-SST with step-batched heavy phases.
+
+    Same math as the per-step loop (gram -> 5-iter power method with the
+    feedback chain -> Lanczos -> top-rank tridiagonal eigvecs -> score
+    1 - sum(eigvecs[0, :r]^2)) and the exact same RNG draw order (x0 seed,
+    then one feedback-noise draw per step).  Gram construction, Lanczos and
+    the tridiagonal eigendecomposition are vectorized across steps; only the
+    power-method feedback chain is inherently sequential.
+    """
+    w, n, k = window_length, n_windows, lanczos_rank
+    score = np.zeros_like(time_series)
+    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    if ends.size == 0:
+        np.random.rand(w)  # keep the RNG stream aligned with the loop path
+        return score
+    x0 = np.random.rand(w)[:, None]
+    x0 /= np.linalg.norm(x0)
+
+    # chunk so the gram batches stay within ~100 MB
+    chunk = max(16, int(3e6 / (w * w)))
+    for c0 in range(0, ends.size, chunk):
+        sub = ends[c0:c0 + chunk]
+        b = sub.size
+        # each gram is computed ONCE for the union of past/future end
+        # indices (when lag aligns with the step grid the two sets overlap
+        # almost completely — ~2x less gram work)
+        union, inv = np.unique(np.concatenate([sub - lag, sub]), return_inverse=True)
+        h_union = _batched_hankels(time_series, union, w, n, mitigate_offset)
+        g_union = np.matmul(h_union, h_union.transpose(0, 2, 1))
+        del h_union
+        past_idx = inv[:b]
+        future_idx = inv[b:]
+
+        # sequential phase: power method with eigvec feedback (RNG per step)
+        eigvecs_future = np.empty((b, w))
+        for i in range(b):
+            c2 = g_union[future_idx[i]]
+            x = x0
+            for _ in range(5):
+                x = c2 @ x
+                x = x / np.max(np.abs(x))
+            x = x / np.linalg.norm(x)
+            y = c2 @ x
+            u = y / np.linalg.norm(y)
+            eigvecs_future[i] = u[:, 0]
+            x0 = u + 1e-3 * np.random.rand(w)[:, None]
+            x0 /= np.linalg.norm(x0)
+        g_past = g_union[past_idx]
+
+        # batched Lanczos on the past grams, seeded with the (unnormalized)
+        # future eigvecs, beta_0 = 1 — mirrors lg.lanczos exactly
+        r = eigvecs_future
+        q = np.zeros_like(r)
+        alphas = np.zeros((b, k + 1))
+        betas = np.ones((b, k + 1))
+        for j in range(k):
+            new_q = r / betas[:, j:j + 1]
+            tmp = np.matmul(g_past, new_q[:, :, None])[:, :, 0]
+            alphas[:, j + 1] = np.einsum('bi,bi->b', new_q, tmp)
+            r = tmp - alphas[:, j + 1, None] * new_q - betas[:, j, None] * q
+            betas[:, j + 1] = np.linalg.norm(r, axis=1)
+            q = new_q
+        del g_past
+
+        # batched tridiagonal eigendecomposition + score
+        tmat = np.zeros((b, k, k))
+        idx = np.arange(k)
+        tmat[:, idx, idx] = alphas[:, 1:]
+        off = np.arange(k - 1)
+        tmat[:, off, off + 1] = betas[:, 1:-1]
+        tmat[:, off + 1, off] = betas[:, 1:-1]
+        _, vecs = np.linalg.eigh(tmat)
+        scores = 1.0 - np.sum(vecs[:, 0, -rank:] ** 2, axis=1)
+
+        for i, e in enumerate(sub):
+            score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]
     return score
 
 

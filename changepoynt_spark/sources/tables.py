@@ -143,3 +143,23 @@ class IcebergishTable:
 
     def properties_by_snapshot(self) -> dict:
         return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}
+
+    def vacuum(self) -> list:
+        """Physically delete data files of snapshots invalidated by the
+        current lineage (logical deletes become physical).  Returns the
+        removed snapshot ids.  Metadata is kept (history stays auditable);
+        time travel to a vacuumed snapshot raises on read."""
+        import shutil
+        dead = set()
+        cur = self.current_snapshot_id()
+        while cur >= 0:
+            snap = self.snapshot(cur)
+            dead.update(snap.get('invalidates', []))
+            cur = snap.get('parent', -1)
+        removed = []
+        for sid in sorted(dead):
+            d = os.path.join(self.data_dir, f'snap-{sid}')
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(sid)
+        return removed
