@@ -140,12 +140,13 @@ def _hw_frequency_factor() -> float:
     per-process slowdown factor (time@8 / time@32, <= 1)."""
     import multiprocessing as mp
 
-    means = {}
-    for n in (8, 32):
-        with mp.Pool(n) as p:
-            times = p.map(_hw_probe_work, range(n))
-        means[n] = sum(times) / len(times)
-    return means[8] / means[32]
+    best = {8: float('inf'), 32: float('inf')}
+    for _ in range(3):  # alternate and keep best-of-3: the host is noisy
+        for n in (8, 32):
+            with mp.Pool(n) as p:
+                times = p.map(_hw_probe_work, range(n))
+            best[n] = min(best[n], sum(times) / len(times))
+    return min(best[8] / best[32], 1.0)
 
 
 def scaling():
@@ -153,13 +154,15 @@ def scaling():
     os.environ.setdefault('OMP_NUM_THREADS', '1')
     hw_factor = _hw_frequency_factor()
     results = {}
+    # a 3x bigger input than the throughput bench, so per-session fixed costs
+    # (python worker spin-up, job latencies) amortize out of the ratio
+    n_docs = 3 * N_DOCS
     # interleave repetitions (8,32,8,32) and keep the best run per level:
     # the sandbox host has noisy neighbors, best-of-N de-noises
     for rep, cpus in enumerate((8, 32, 8, 32)):
         spark = make_session(cpus)
-        if rep < 2:
-            headline_pipeline(spark, n_docs=min(N_DOCS, 1000), max_len=MAX_LEN)  # warm
-        rolled, raw, wall, _ = headline_pipeline(spark)
+        headline_pipeline(spark, n_docs=400, max_len=MAX_LEN)  # warm the workers
+        rolled, raw, wall, _ = headline_pipeline(spark, n_docs=n_docs)
         spark.stop()
         cur = {'rolled_points': rolled, 'raw_points': raw, 'wall_sec': wall,
                'rolled_per_sec': rolled / wall, 'raw_per_sec': raw / wall}
@@ -173,7 +176,7 @@ def scaling():
 
 Same job (tokens -> SST-ika scores -> 1m/1h/1d rollup cascade -> Gorilla
 blocks, fused zero-shuffle path) on identical deterministic input
-({N_DOCS} docs, heavy-tailed lengths <= {MAX_LEN}, seed 42), run at two
+({n_docs} docs, heavy-tailed lengths <= {MAX_LEN}, seed 42), run at two
 parallelism levels on one 32-core host (in-sandbox stand-in for N -> 4N
 executors).
 

@@ -1,0 +1,83 @@
+"""Freeze golden score arrays from the numpy oracle (FIXTURES.md §4).
+
+Run once: ``python tests/make_goldens.py`` writes .npy files under
+tests/goldens/.  tests/test_goldens.py asserts the oracle still reproduces
+them bit-for-bit (cross-session stability of the whole kernel stack).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from changepoynt_spark.kernels import BOCPD, ESST, FLUSS, MESST, MSST, SST, MovingWindow
+from changepoynt_spark.sources import signals
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'goldens')
+
+# (name, builder, signal factory, seed-or-None)
+CELLS = [
+    ('sst_naive_w50_r2_step3x300',
+     lambda: SST(50, rank=2, method='naive'),
+     lambda: signals.step_signal(300), None),
+    ('sst_naive_updated_w50_r2_step3x300',
+     lambda: SST(50, rank=2, method='naive updated'),
+     lambda: signals.step_signal(300), None),
+    ('sst_ika_w48_r2_freq5678_seed11',
+     lambda: SST(48, n_windows=48, lag=16, rank=2, method='ika'),
+     lambda: signals.frequency_change_signal(seed=5678)[0], 11),
+    ('sst_rsvd_w40_r2_freq5678_seed7',
+     lambda: SST(40, n_windows=40, lag=10, rank=2, method='rsvd'),
+     lambda: signals.frequency_change_signal(seed=5678)[0], 7),
+    ('sst_ika_fast_w40_r2_freq5678_seed31',
+     lambda: SST(40, n_windows=40, lag=10, rank=2, method='ika', use_fast_hankel=True),
+     lambda: signals.frequency_change_signal(seed=5678)[0], 31),
+    ('esst_rsvd_w40_n20_freq1234_seed7',
+     lambda: ESST(40, n_windows=20, lag=20, rank=2, method='rsvd'),
+     lambda: signals.frequency_change_signal(seed=1234)[0], 7),
+    ('msst_rsvd_w40_n20_mean1234_seed7',
+     lambda: MSST(40, n_windows=20, lag=20, rank=2, method='rsvd'),
+     lambda: signals.mean_shift_signal(seed=1234)[0][..., None], 7),
+    ('messt_rsvd_w40_n20_mean1234_seed7',
+     lambda: MESST(40, n_windows=20, lag=20, rank=2, method='rsvd'),
+     lambda: signals.mean_shift_signal(seed=1234)[0][..., None], 7),
+    ('bocpd_rl200_step3x300',
+     lambda: BOCPD(200),
+     lambda: signals.step_signal(300), None),
+    ('fluss_w20_step3x200',
+     lambda: FLUSS(20),
+     lambda: signals.step_signal(200), None),
+    ('moving_window_meanvar_w50_step3x300',
+     lambda: MovingWindow(50, method='meanvar'),
+     lambda: signals.step_signal(300), None),
+    ('sst_naive_updated_streaming_sine',
+     lambda: SST(20, n_windows=20, lag=6, rank=3, method='naive updated', scale=False),
+     lambda: signals.streaming_sine_signal(seed=7), None),
+]
+
+
+def compute(name=None):
+    out = {}
+    for cell_name, builder, sig_fn, seed in CELLS:
+        if name and cell_name != name:
+            continue
+        sig = sig_fn()
+        if seed is not None:
+            np.random.seed(seed)
+        out[cell_name] = builder().transform(sig)
+    return out
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for cell_name, arr in compute().items():
+        np.save(os.path.join(GOLDEN_DIR, f'{cell_name}.npy'), arr)
+        print(f'{cell_name}: shape={arr.shape} sum={arr.sum():.6f}')
+    print(f'wrote {len(CELLS)} goldens to {GOLDEN_DIR}')
+
+
+if __name__ == '__main__':
+    main()
