@@ -192,6 +192,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_rollup_1d_cascade(spark, sf_dir):
         return _round_rollup(_rollup_tiers(spark, sf_dir)['1d'])
 
+    def events_rollup_1h_global(spark, sf_dir):
+        # cross-series tier: algebraic merge of the per-user 1m partials
+        # (count/sum/min/max merge; first/last via min_by/max_by on ts)
+        from changepoynt_spark.operators.rollup import rollup_from_rollup
+        tier_1m = _rollup_1m(spark, sf_dir)
+        merged = rollup_from_rollup(tier_1m, keys=[], interval='1 hour')
+        return merged.select('bucket_start', 'cnt_points',
+                             F.round('sum_value', 6).alias('sum_value'),
+                             'min_value', 'max_value',
+                             F.round('avg_value', 6).alias('avg_value'))
+
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
@@ -304,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # SQL-oracled
         'zero_baseline': zero_baseline,
+        'events_rollup_1h_global': events_rollup_1h_global,
         'moving_window_mean': mw('mean'),
         'moving_window_var': mw('var'),
         'moving_window_meanvar': mw('meanvar'),
@@ -381,6 +393,15 @@ def oracle_sql() -> dict[str, str]:
         'moving_window_mean': moving_window_oracle_sql(window_length=8, method='mean'),
         'moving_window_var': moving_window_oracle_sql(window_length=8, method='var'),
         'moving_window_meanvar': moving_window_oracle_sql(window_length=8, method='meanvar'),
+        'events_rollup_1h_global': """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   COUNT(value) AS cnt_points,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   ROUND(SUM(value) / COUNT(value), 6) AS avg_value
+            FROM events GROUP BY 1
+        """,
         'events_rollup_1m': rollup_tier('minute'),
         'events_rollup_1h_cascade': rollup_tier('hour'),
         'events_rollup_1d_cascade': rollup_tier('day'),

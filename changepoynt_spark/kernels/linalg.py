@@ -142,6 +142,63 @@ def _qr_q(a: np.ndarray) -> np.ndarray:
     return q
 
 
+def _plu_batched(a: np.ndarray) -> np.ndarray:
+    """Batched partial-pivot LU returning P@L for a (B, m, n) stack — the
+    same factorization as :func:`_plu`, vectorized across the batch (one
+    python iteration per column instead of per column per step)."""
+    b, m, n = a.shape
+    k = min(m, n)
+    u = a.astype(np.float64, copy=True)
+    perm = np.tile(np.arange(m), (b, 1))
+    lower = np.zeros((b, m, k), dtype=np.float64)
+    bidx = np.arange(b)
+    for j in range(k):
+        p = j + np.argmax(np.abs(u[:, j:, j]), axis=1)
+        for mat in (u, lower):
+            row_j = mat[bidx, j, :].copy()
+            mat[bidx, j, :] = mat[bidx, p, :]
+            mat[bidx, p, :] = row_j
+        pj = perm[bidx, j].copy()
+        perm[bidx, j] = perm[bidx, p]
+        perm[bidx, p] = pj
+        lower[:, j, j] = 1.0
+        piv = u[:, j, j]
+        safe = np.where(piv == 0.0, 1.0, piv)
+        mult = np.where(piv[:, None] == 0.0, 0.0, u[:, j + 1:, j] / safe[:, None])
+        lower[:, j + 1:, j] = mult
+        u[:, j + 1:, j:] -= mult[:, :, None] * u[:, j, j:][:, None, :]
+    out = np.zeros_like(lower)
+    np.put_along_axis(out, perm[:, :, None], lower, axis=1)
+    return out
+
+
+def batched_randomized_hankel_svd(hankels: np.ndarray, k: int, omegas: np.ndarray,
+                                  subspace_iteration_q: int = 2):
+    """Randomized truncated SVD of a (B, w, n) Hankel stack — the batched
+    form of :func:`randomized_hankel_svd` with pre-drawn sketches ``omegas``
+    of shape (B, n, l) (callers replay the RNG stream in the reference's
+    draw order before calling).  Returns (U, s, Va) stacks.
+    """
+    q = np.matmul(hankels, omegas)
+    if subspace_iteration_q == 0:
+        q, _ = np.linalg.qr(q)
+    if subspace_iteration_q > 0:
+        q = _plu_batched(q)
+    ht = hankels.transpose(0, 2, 1)
+    for it in range(subspace_iteration_q):
+        q = np.matmul(ht, q)
+        q = _plu_batched(q)
+        q = np.matmul(hankels, q)
+        if it + 1 < subspace_iteration_q:
+            q = _plu_batched(q)
+        else:
+            q, _ = np.linalg.qr(q)
+    lower_space = np.matmul(q.transpose(0, 2, 1), hankels)
+    r, s, va = np.linalg.svd(lower_space, full_matrices=False)
+    u = np.matmul(q, r)
+    return u[:, :, :k], s[:, :k], va[:, :k, :]
+
+
 def randomized_hankel_svd(hankel_matrix, k: int, subspace_iteration_q: int = 2,
                           oversampling_p: int = 2):
     """Randomized truncated SVD (Halko et al. 2011), structured like the

@@ -100,6 +100,26 @@ class SST(SingularSubspaceAlgorithm):
                                                         inplace=False)
         else:
             time_series = time_series.copy()
+        if self.method in ('naive', 'naive updated', 'weighted', 'symmetric', 'svd') \
+                and not self.use_fast_hankel:
+            # batched execution for the dense feedback-free methods (and the
+            # hybrid 'svd', whose power method keeps the sequential chain)
+            return _transform_dense_batched(
+                time_series=time_series, start_idx=starting_point,
+                offset=self.compute_offset(), window_length=self.window_length,
+                n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                method=self.method, rank=self.rank, randomized_rank=self.random_rank,
+                mitigate_offset=self.mitigate_offset)
+        if self.method == 'rsvd' and not self.use_fast_hankel:
+            # batched execution: rsvd has no cross-step feedback (x0 is
+            # unused), so after replaying the RNG stream in the loop's draw
+            # order the whole computation vectorizes across steps
+            return _transform_rsvd_batched(
+                time_series=time_series, start_idx=starting_point,
+                offset=self.compute_offset(), window_length=self.window_length,
+                n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                rank=self.rank, randomized_rank=self.random_rank,
+                mitigate_offset=self.mitigate_offset)
         if self.method == 'ika' and not self.use_fast_hankel:
             # batched execution path: identical RNG stream and score
             # semantics, ~6x fewer python/numpy dispatches per step (the
@@ -238,6 +258,142 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
 
         for i, e in enumerate(sub):
             score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]
+    return score
+
+
+def _transform_rsvd_batched(time_series: np.ndarray, start_idx: int, offset: int,
+                            window_length: int, n_windows: int, lag: int, scoring_step: int,
+                            rank: int, randomized_rank: int, mitigate_offset: bool) -> np.ndarray:
+    """rsvd-SST with all steps batched.
+
+    Per-step math identical to _random_singular_value_decomposition (rank-1
+    rSVD of the future Hankel, rank-r of the past, projection-distance
+    score); the RNG stream is replayed first in the loop's exact order
+    (x0 seed; per step: future sketch, past sketch, feedback noise), then
+    the RNG-free numerics run as batched matmul/LU/QR/SVD.
+    """
+    w, n = window_length, n_windows
+    p = randomized_rank - rank
+    l_fut, l_past = 1 + p, rank + p
+    assert 1.25 * l_fut < min(w, n) and 1.25 * l_past < min(w, n)
+    score = np.zeros_like(time_series)
+    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    np.random.rand(w)  # x0 seed draw (kept for stream parity; rsvd ignores x0)
+    if ends.size == 0:
+        return score
+    b = ends.size
+    omegas_fut = np.empty((b, n, l_fut))
+    omegas_past = np.empty((b, n, l_past))
+    for i in range(b):
+        omegas_fut[i] = np.random.uniform(low=-1, high=1, size=(n, l_fut))
+        omegas_past[i] = np.random.uniform(low=-1, high=1, size=(n, l_past))
+        np.random.rand(w)  # feedback-noise draw of the loop path
+
+    chunk = max(16, int(3e6 / (w * w)))
+    scores = np.empty(b)
+    for c0 in range(0, b, chunk):
+        sl = slice(c0, min(b, c0 + chunk))
+        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
+        u_fut, _, _ = lg.batched_randomized_hankel_svd(h_fut, 1, omegas_fut[sl])
+        del h_fut
+        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
+        u_past, _, _ = lg.batched_randomized_hankel_svd(h_past, rank, omegas_past[sl])
+        del h_past
+        alpha = np.matmul(u_past.transpose(0, 2, 1), u_fut)  # (B, rank, 1)
+        scores[sl] = 1.0 - np.sum(alpha[:, :, 0] ** 2, axis=1)
+    for i, e in enumerate(ends):
+        score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]
+    return score
+
+
+def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: int,
+                             window_length: int, n_windows: int, lag: int, scoring_step: int,
+                             method: str, rank: int, randomized_rank: int,
+                             mitigate_offset: bool) -> np.ndarray:
+    """Step-batched transforms for the dense methods without a numerical
+    feedback dependency: 'naive', 'naive updated' (full batched SVDs),
+    'weighted', 'symmetric' (batched randomized SVDs), and the hybrid 'svd'
+    (batched past SVDs + the sequential power-method feedback chain).
+
+    RNG stream parity with the per-step loop: x0 seed draw, then per step
+    the method's sketch draws (weighted/symmetric) and one feedback-noise
+    draw — replayed in order before the batched numerics.
+    """
+    w, n = window_length, n_windows
+    score = np.zeros_like(time_series)
+    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    x0 = np.random.rand(w)[:, None]
+    x0 /= np.linalg.norm(x0)
+    b = ends.size
+    if b == 0:
+        return score
+
+    omegas_fut = omegas_past = None
+    if method in ('weighted', 'symmetric'):
+        p = randomized_rank - rank
+        l = rank + p
+        assert 1.25 * l < min(w, n)
+        omegas_fut = np.empty((b, n, l))
+        omegas_past = np.empty((b, n, l))
+        for i in range(b):
+            omegas_fut[i] = np.random.uniform(low=-1, high=1, size=(n, l))
+            omegas_past[i] = np.random.uniform(low=-1, high=1, size=(n, l))
+            np.random.rand(w)
+    elif method in ('naive', 'naive updated'):
+        for _ in range(b):
+            np.random.rand(w)
+    # 'svd': noise draws happen inside the sequential power loop below
+
+    chunk = max(16, int(3e6 / (w * w)))
+    scores = np.empty(b)
+    for c0 in range(0, b, chunk):
+        sl = slice(c0, min(b, c0 + chunk))
+        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
+        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
+        if method in ('naive', 'naive updated'):
+            u_past = np.linalg.svd(h_past, full_matrices=False)[0][:, :, :rank]
+            u_fut_full = np.linalg.svd(h_fut, full_matrices=False)[0]
+            if method == 'naive':
+                cross = np.matmul(u_past.transpose(0, 2, 1), u_fut_full[:, :, :rank])
+                s = np.linalg.svd(cross, compute_uv=False)
+                scores[sl] = 1.0 - s[:, 0]
+            else:
+                alpha = np.matmul(u_past.transpose(0, 2, 1), u_fut_full[:, :, :1])
+                scores[sl] = 1.0 - np.sum(alpha[:, :, 0] ** 2, axis=1)
+        elif method in ('weighted', 'symmetric'):
+            u_fut, s_fut, _ = lg.batched_randomized_hankel_svd(h_fut, rank, omegas_fut[sl])
+            u_past, _, _ = lg.batched_randomized_hankel_svd(h_past, rank, omegas_past[sl])
+            if method == 'weighted':
+                proj = np.matmul(u_past.transpose(0, 2, 1), u_fut)   # (B, r, r)
+                inside = np.sum(proj ** 2, axis=1)                   # per future vec
+                s2 = s_fut ** 2
+                scores[sl] = np.sum((1.0 - inside) * s2, axis=1) / np.sum(s2, axis=1)
+            else:
+                fwd = 1.0 - np.sum(
+                    np.matmul(u_past.transpose(0, 2, 1), u_fut[:, :, :1])[:, :, 0] ** 2, axis=1)
+                bwd = 1.0 - np.sum(
+                    np.matmul(u_fut.transpose(0, 2, 1), u_past[:, :, :1])[:, :, 0] ** 2, axis=1)
+                scores[sl] = (fwd + bwd) / 2.0
+        else:  # 'svd' hybrid
+            u_past = np.linalg.svd(h_past, full_matrices=False)[0][:, :, :rank]
+            g_fut = np.matmul(h_fut, h_fut.transpose(0, 2, 1))
+            bb = g_fut.shape[0]
+            for i in range(bb):
+                c2 = g_fut[i]
+                x = x0
+                for _ in range(5):
+                    x = c2 @ x
+                    x = x / np.max(np.abs(x))
+                x = x / np.linalg.norm(x)
+                y = c2 @ x
+                u = y / np.linalg.norm(y)
+                alpha = u_past[i].T @ u
+                scores[sl][i] = float(1.0 - alpha.T @ alpha)
+                x0 = u + 1e-3 * np.random.rand(w)[:, None]
+                x0 /= np.linalg.norm(x0)
+        del h_fut, h_past
+    for i, e in enumerate(ends):
+        score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]
     return score
 
 
