@@ -78,6 +78,16 @@ class ESST(SingularSubspaceAlgorithm):
                                                         inplace=False)
         else:
             time_series = time_series.copy()
+        if not self.use_fast_hankel:
+            # batched execution: ESST has no cross-step feedback — after
+            # replaying the per-step sketch draws, the concatenated-Hankel
+            # randomized SVDs and the entropy math vectorize across steps
+            return _transform_batched(
+                time_series=time_series, start_idx=starting_point,
+                offset=self.compute_offset(), window_length=self.window_length,
+                n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                rank=self.rank, random_rank=self.random_rank, method=self.method,
+                mitigate_offset=self.mitigate_offset)
         scoring_function = self.methods[self.method]
         hankel_function = self.hankel_construction[self.use_fast_hankel]
         return _transform(time_series=time_series, start_idx=starting_point,
@@ -107,6 +117,48 @@ def _transform(time_series: np.ndarray, start_idx: int, offset: int, window_leng
             concatenated = np.concatenate((hankel_past, hankel_future), axis=1)
         score[idx - offset - scoring_step // 2:idx - offset + (scoring_step + 1) // 2] = \
             scoring_function(concatenated)
+    return score
+
+
+def _transform_batched(time_series: np.ndarray, start_idx: int, offset: int,
+                       window_length: int, n_windows: int, lag: int, scoring_step: int,
+                       rank: int, random_rank: int, method: str,
+                       mitigate_offset: bool) -> np.ndarray:
+    """Step-batched ESST over dense concatenated Hankels.  Same per-step
+    math as left_entropy; RNG stream parity: one uniform sketch draw per
+    step, replayed in order first."""
+    from changepoynt_spark.kernels.sst import _batched_hankels
+
+    w, n = window_length, n_windows
+    oversampling = 2 if method == 'fbrsvd' else random_rank - rank
+    l = rank + oversampling
+    assert 1.25 * l < min(w, 2 * n)
+    score = np.zeros_like(time_series)
+    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    b = ends.size
+    if b == 0:
+        return score
+    omegas = np.empty((b, 2 * n, l))
+    for i in range(b):
+        omegas[i] = np.random.uniform(low=-1, high=1, size=(2 * n, l))
+
+    chunk = max(16, int(3e6 / (w * w)))
+    scores = np.empty(b)
+    for c0 in range(0, b, chunk):
+        sl = slice(c0, min(b, c0 + chunk))
+        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
+        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
+        concat = np.concatenate((h_past, h_fut), axis=2)
+        del h_past, h_fut
+        _, eigenvalues, va = lg.batched_randomized_hankel_svd(concat, rank, omegas[sl])
+        del concat
+        va = va - np.min(va, axis=2, keepdims=True) + 1
+        va = va / np.sum(va, axis=2, keepdims=True)
+        half = va.shape[2] // 2
+        skew = np.abs(np.mean(va[:, :, :half] - va[:, :, half:], axis=2))
+        scores[sl] = np.einsum('bk,bk->b', eigenvalues, skew) / np.sum(eigenvalues, axis=1)
+    for i, e in enumerate(ends):
+        score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]
     return score
 
 
