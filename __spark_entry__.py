@@ -254,17 +254,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- rows-only (non-SQL-expressible; bit-golden-checked in tests/) ----
 
     def scored_rollup_compressed(spark, sf_dir):
-        from changepoynt_spark.operators.rollup import (attach_timestamps, compress_blocks,
-                                                        rollup_cascade)
-        from changepoynt_spark.operators.scoring import explode_scores, score_series
-        scored = score_series(_events_series(spark, sf_dir), algorithm='sst',
+        # fused zero-shuffle path: scores + tiers + gorilla blocks in one
+        # mapInPandas pass (value-identical to the generic cascade,
+        # tests/test_fused.py)
+        from changepoynt_spark.operators.fused import score_rollup
+        blocks = score_rollup(_events_series(spark, sf_dir), algorithm='sst',
                               params={'window_length': 10, 'n_windows': 10, 'lag': 3,
-                                      'rank': 2, 'method': 'ika'})
-        long = attach_timestamps(explode_scores(scored)).withColumnRenamed('score', 'value')
-        tier = rollup_cascade(long, ['doc_id'], ts_col='ts', value_col='value',
-                              tiers=('1m',))['1m']
-        blocks = compress_blocks(tier, keys=['doc_id'])
-        return blocks.select('doc_id', 'block_start', 'n_points',
+                                      'rank': 2, 'method': 'ika'}, output='blocks')
+        return blocks.select('doc_id', 'tier', 'block_start', 'n_points',
                              F.length('ts_blob').alias('ts_bytes'),
                              F.length('value_blob').alias('value_bytes'))
 
