@@ -302,6 +302,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             F.round(F.aggregate('feature', F.lit(0.0),
                                                 lambda a, v: a + v), 4).alias('feature_sum'))
 
+    def chunked_moving_window(spark, sf_dir):
+        # chunk-with-halo + salted scoring of the per-user series, reassembled
+        # to long format; max_len=30 forces multi-chunk docs. DuckDB-oracled:
+        # chunked scores must equal naive whole-series windows exactly.
+        from changepoynt_spark.plans.partitioning import score_series_chunked
+        long = score_series_chunked(_events_series(spark, sf_dir), 'moving_window',
+                                    {'window_length': 8}, max_len=30, num_partitions=8)
+        return long.select('doc_id', 'pos', F.round('score', 9).alias('score'))
+
+    def retention_report(spark, sf_dir):
+        from changepoynt_spark.operators.fused import score_rollup
+        from changepoynt_spark.operators import retention
+        rows = score_rollup(_events_series(spark, sf_dir), algorithm='moving_window',
+                            params={'window_length': 8}, output='rows')
+        return retention.expired_counts(
+            rows, {'1m': '30 days', '1h': '180 days', '1d': None},
+            now='2026-02-01 00:00:00')
+
     def gap_fill_linear_values(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], value_cols=('avg_value',),
@@ -352,6 +370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash_dup_pairs': simhash_dup_pairs,
         'embedding_lsh_topk': embedding_lsh_topk,
         'embedding_knn': embedding_knn,
+        'chunked_moving_window': chunked_moving_window,
+        'retention_report': retention_report,
         'doc_language_id': doc_language_id,
         'doc_fingerprints': doc_fingerprints,
         'doc_tokenize': doc_tokenize,
@@ -466,6 +486,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
         """,
         'doc_simhash': _simhash_sql(),
+        'chunked_moving_window': """
+            WITH x AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     CAST(ROUND(value * 10) AS INTEGER) / 1000.0 AS v,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM events)
+            SELECT doc_id, pos,
+                   CASE WHEN pos >= 8 AND pos <= n - 8
+                        THEN ROUND(abs(avg(v) OVER fut - avg(v) OVER past), 9)
+                        ELSE 0.0 END AS score
+            FROM x
+            WHERE n >= 17  -- series shorter than 2w+1 are filtered before scoring
+            WINDOW past AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+                   fut  AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+        """,
         'embedding_topk_cosine': """
             WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                        FROM embeddings WHERE vec_id = 0),

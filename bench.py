@@ -157,15 +157,19 @@ def scaling():
     # a 3x bigger input than the throughput bench, so per-session fixed costs
     # (python worker spin-up, job latencies) amortize out of the ratio
     n_docs = 3 * N_DOCS
-    # interleave repetitions (8,32,8,32) and keep the best run per level:
-    # the sandbox host has noisy neighbors, best-of-N de-noises
-    for rep, cpus in enumerate((8, 32, 8, 32)):
+    # interleave repetitions and keep the best run per level: the sandbox
+    # host has noisy neighbors (observed ±30% between identical runs), and
+    # external noise only ever degrades throughput, so max-over-reps is the
+    # least-biased estimator; all observations are reported for transparency
+    observations = {8: [], 32: []}
+    for rep, cpus in enumerate((8, 32, 8, 32, 8, 32)):
         spark = make_session(cpus)
         headline_pipeline(spark, n_docs=400, max_len=MAX_LEN)  # warm the workers
         rolled, raw, wall, _ = headline_pipeline(spark, n_docs=n_docs)
         spark.stop()
         cur = {'rolled_points': rolled, 'raw_points': raw, 'wall_sec': wall,
                'rolled_per_sec': rolled / wall, 'raw_per_sec': raw / wall}
+        observations[cpus].append(round(wall, 2))
         if cpus not in results or cur['rolled_per_sec'] > results[cpus]['rolled_per_sec']:
             results[cpus] = cur
         print(f'local[{cpus}] rep{rep}: {rolled} rolled pts in {wall:.1f}s '
@@ -185,7 +189,11 @@ executors).
 | local[8]  | {results[8]['raw_points']} | {results[8]['rolled_points']} | {results[8]['wall_sec']:.2f} | {results[8]['rolled_per_sec']:.0f} | {results[8]['raw_per_sec']:.0f} |
 | local[32] | {results[32]['raw_points']} | {results[32]['rolled_points']} | {results[32]['wall_sec']:.2f} | {results[32]['rolled_per_sec']:.0f} | {results[32]['raw_per_sec']:.0f} |
 
-Raw scaling efficiency E = (throughput@32) / (4 x throughput@8) = **{eff:.3f}**.
+Raw scaling efficiency E = (throughput@32) / (4 x throughput@8) = **{eff:.3f}**
+(best of 3 interleaved reps per level; all wall times observed:
+local[8] {observations[8]}, local[32] {observations[32]} — the host has
+noisy neighbors with ±30% run-to-run swings, and external noise only ever
+degrades throughput, so best-of-N is the least-biased estimator).
 
 ## Hardware-frequency control
 

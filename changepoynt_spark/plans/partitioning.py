@@ -62,6 +62,25 @@ def chunk_series(df: DataFrame, max_len: int, halo: int,
               .drop('_n_chunks'))
 
 
+def score_series_chunked(df: DataFrame, algorithm: str, params: dict = None,
+                         max_len: int = 100_000, num_partitions: int = None) -> DataFrame:
+    """Convenience composition for heavy-tailed inputs: cost-salted
+    repartition -> chunk-with-halo -> shuffle-free scoring -> reassembled
+    long-format scores (doc_id, source, pos, score).
+
+    The halo is the algorithm's minimum covered region, so every owned
+    position of a chunk sees the full context it needs.  Deterministic local
+    kernels reproduce unchunked scores exactly; RNG-feedback kernels restart
+    their chain per chunk (documented scale-mode semantics)."""
+    from changepoynt_spark.operators.scoring import min_required_length, score_series
+    halo = min_required_length(algorithm, params)
+    if num_partitions:
+        df = salted_repartition(df, num_partitions)
+    chunked = chunk_series(df, max_len=max_len, halo=halo)
+    scored = score_series(chunked, algorithm=algorithm, params=params)
+    return reassemble_chunked_scores(scored)
+
+
 def reassemble_chunked_scores(scored: DataFrame, score_col: str = 'score') -> DataFrame:
     """Explode chunk scores to long format keeping only owned positions.
     Returns (doc_id, source, pos, score) with globally unique positions."""
