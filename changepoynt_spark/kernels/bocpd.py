@@ -61,6 +61,11 @@ class BOCPD(Algorithm):
         self.has_fit = True
 
     def transform(self, time_series: np.ndarray):
+        """O(T^2) time like the exact recursion, but O(T) memory: only the
+        message vector and each step's normalized posterior head are kept
+        (the reference materializes the full (T+1)^2 run-length matrix,
+        which is ~0.5 GB for an 8000-sample series — identical outputs,
+        asserted in tests)."""
         if not self.has_fit:
             self.fit(time_series)
         model = _GaussianUnknownMean(self.prior_mean, self.prior_var, self.signal_var)
@@ -71,23 +76,21 @@ class BOCPD(Algorithm):
                                    if self.change_length_threshold is not None
                                    else int(self.run_length * 0.1))
         t_len = time_series.shape[0]
-        pmean = np.empty_like(time_series)
-        pvar = np.empty_like(time_series)
-        log_run_length_prob = -np.inf * np.ones((t_len + 1, t_len + 1))
-        log_run_length_prob[:self.run_length - 1, 0] = 0
+        change_score = np.zeros(t_len)
         for t in range(1, t_len):
             x = time_series[t - 1]
-            pmean[t - 1] = np.sum(np.exp(log_run_length_prob[t - 1, :t]) * model.mean_params[:t])
-            pvar[t - 1] = np.sum(np.exp(log_run_length_prob[t - 1, :t]) * model.var_params[:t])
             log_pis = model.log_pred_prob(t, x)
             log_growth_probs = log_pis + log_message + log_one_minus_hazard
             log_cp_prob = _logsumexp(log_pis + log_message + log_hazard)
             new_log_joint = np.append(log_cp_prob, log_growth_probs)
-            log_run_length_prob[t, :t + 1] = new_log_joint
-            log_run_length_prob[t, :t + 1] -= _logsumexp(new_log_joint)
+            norm = _logsumexp(new_log_joint)
+            head = new_log_joint[:change_length_threshold + 1] - norm
+            change_score[t - 1] = np.sum(np.exp(head))
             model.update_params(t, x)
             log_message = new_log_joint
-        change_score = np.sum(np.exp(log_run_length_prob[1:, :change_length_threshold + 1]), axis=1)
+        # the final row of the reference's posterior matrix is never filled
+        # by the recursion -> its score entry is exp(-inf) sums == 0
+        change_score[t_len - 1] = 0.0
         return change_score
 
 
