@@ -39,23 +39,29 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold.
 
     Candidates via inverted shingle index: explode distinct shingles, self-
-    join on shingle with doc_a < doc_b, distinct pairs, then verify exactly.
-    Any pair with jaccard > 0 shares a shingle, so this finds the same set a
-    cross join would — without the cross join.
+    join on shingle with doc_a < doc_b.  Any pair with jaccard > 0 shares a
+    shingle, so this finds the same set a cross join would — without the
+    cross join.  |A ∩ B| is the per-pair match count of that same join, so
+    no shingle-set arrays ever cross a shuffle; |A ∪ B| = |A| + |B| - inter
+    from broadcast per-doc counts.
     """
     sh = shingles(df, n).select(F.col(id_col).alias('_id'), 'shingle_set')
-    inv = sh.select('_id', F.explode('shingle_set').alias('_sh'))
-    cands = (inv.alias('a').join(inv.alias('b'),
+    # hash shingle strings to 64-bit first: the exchange carries (id, int64)
+    # instead of raw n-gram strings (distinct shingles -> no collisions
+    # within a doc; xxhash64 cross-collisions are ~2^-64 per pair)
+    inv = sh.select('_id', F.explode('shingle_set').alias('_s')) \
+            .select('_id', F.xxhash64('_s').alias('_sh'))
+    counts = sh.select('_id', F.size('shingle_set').alias('_n'))
+    inter = (inv.alias('a').join(inv.alias('b'),
                                  (F.col('a._sh') == F.col('b._sh')) &
                                  (F.col('a._id') < F.col('b._id')))
-                .select(F.col('a._id').alias('doc_a'), F.col('b._id').alias('doc_b'))
-                .distinct())
-    sets_a = sh.select(F.col('_id').alias('doc_a'), F.col('shingle_set').alias('_sa'))
-    sets_b = sh.select(F.col('_id').alias('doc_b'), F.col('shingle_set').alias('_sb'))
-    joined = cands.join(sets_a, 'doc_a').join(sets_b, 'doc_b')
-    inter = F.size(F.array_intersect('_sa', '_sb'))
-    union = F.size(F.array_union('_sa', '_sb'))
-    return (joined.withColumn('jaccard', F.round(inter / union, 6))
+                .groupBy(F.col('a._id').alias('doc_a'), F.col('b._id').alias('doc_b'))
+                .agg(F.count('*').alias('_inter')))
+    ca = counts.select(F.col('_id').alias('doc_a'), F.col('_n').alias('_na'))
+    cb = counts.select(F.col('_id').alias('doc_b'), F.col('_n').alias('_nb'))
+    joined = inter.join(F.broadcast(ca), 'doc_a').join(F.broadcast(cb), 'doc_b')
+    jac = F.round(F.col('_inter') / (F.col('_na') + F.col('_nb') - F.col('_inter')), 6)
+    return (joined.withColumn('jaccard', jac)
                   .filter(F.col('jaccard') >= threshold)
                   .select('doc_a', 'doc_b', 'jaccard'))
 
