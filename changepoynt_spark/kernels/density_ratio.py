@@ -231,22 +231,35 @@ class RuLSIF(Algorithm):
         time_series = time_series.copy()
         if self.symmetric:
             forward = _transform(time_series, starting_point, self.window_length, self.n_windows,
-                                 self.lag, self.scoring_step, estimator)
+                                 self.lag, self.scoring_step, estimator, self.estimation_lag)
             backward = _transform(time_series[::-1], starting_point, self.window_length,
-                                  self.n_windows, self.lag, self.scoring_step, estimator)
+                                  self.n_windows, self.lag, self.scoring_step, estimator,
+                                  self.estimation_lag)
             return forward + backward[::-1]
         return _transform(time_series, starting_point, self.window_length, self.n_windows,
-                          self.lag, self.scoring_step, estimator)
+                          self.lag, self.scoring_step, estimator, self.estimation_lag)
 
 
 def _transform(time_series: np.ndarray, starting_point: int, window_length: int, n_windows: int,
-               lag: int, scoring_step: int, estimator: DensityRatioEstimator) -> np.ndarray:
+               lag: int, scoring_step: int, estimator: DensityRatioEstimator,
+               estimation_lag: int = None) -> np.ndarray:
+    """Per-step density-ratio scoring.  ``estimation_lag`` (the reference
+    stores this parameter but never reads it, rulsif.py:33,42) is implemented
+    here: the (sigma, lambda) cross-validation — 125 linear solves per step —
+    re-runs only every ``estimation_lag`` steps; in between, the cached model
+    parameters are reused (centers are still re-drawn each step, keeping the
+    center-permutation RNG stream aligned).  None = re-estimate every step
+    (reference behavior, golden path)."""
     score = np.zeros_like(time_series)
     offset = n_windows
-    for idx in range(starting_point, time_series.shape[0], scoring_step):
+    cv_orig = estimator.cv
+    for i, idx in enumerate(range(starting_point, time_series.shape[0], scoring_step)):
+        if estimation_lag:
+            estimator.cv = cv_orig if (i % estimation_lag) == 0 else False
         hankel_matrix = lg.compile_hankel(time_series, idx, window_length, 2 * n_windows)
         score[idx - offset - scoring_step // 2:idx - offset + (scoring_step + 1) // 2] = \
             estimator(hankel_matrix[:, :n_windows], hankel_matrix[:, n_windows:])
+    estimator.cv = cv_orig
     return score
 
 

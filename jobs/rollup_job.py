@@ -47,7 +47,13 @@ def main(argv=None):
                                               max_len=args.synth_max_len)
         else:
             assert args.input, 'need --input or --synth-docs'
-            tokens = spark.read.parquet(args.input)
+            import os as _os
+            if _os.path.exists(f'{args.input}/metadata/version-hint.txt'):
+                # input is itself an Iceberg-style table of tokenized sequences
+                from changepoynt_spark.sources.tables import IcebergishTable
+                tokens = IcebergishTable(args.input).read(spark)
+            else:
+                tokens = spark.read.parquet(args.input)
         tokens = tokens.cache()
         job = RollupCheckpointJob(args.output, n_buckets=args.buckets,
                                   algorithm=args.algorithm,

@@ -171,6 +171,21 @@ def test_ulsif_is_rulsif_alpha_zero(step):
     assert np.array_equal(a, b)
 
 
+def test_rulsif_estimation_lag_detects_steps(step):
+    """estimation_lag re-runs the (sigma, lambda) CV only every k steps —
+    the reference declares this parameter but never uses it; the engine
+    implements it.  Must stay deterministic and still find the breaks."""
+    np.random.seed(3455)
+    det = RuLSIF(scoring_step=4, estimation_lag=16)
+    score = det.transform(step)
+    assert np.isfinite(score).all()
+    peaks = np.argsort(score)[-20:]
+    assert any(abs(int(p) - 300) < 80 or abs(int(p) - 600) < 80 for p in peaks)
+    np.random.seed(3455)
+    again = RuLSIF(scoring_step=4, estimation_lag=16).transform(step)
+    assert np.array_equal(score, again)
+
+
 # -- dead ops (API parity) ----------------------------------------------------
 
 @pytest.mark.parametrize('cls', [FLOSS, CLASP, SubspaceIdentification, KLIEP])
