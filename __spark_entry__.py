@@ -295,6 +295,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.tokenize_documents(_read(spark, sf_dir, 'documents')) \
                    .select('doc_id', 'n_tok', F.hash('tokens').alias('tokens_hash'), 'source')
 
+    def embedding_cosine_dups(spark, sf_dir):
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        return similarity.embedding_cosine_dups(emb, threshold=0.6, n_planes=6)
+
+    def multimodal_frame_plan(spark, sf_dir):
+        media = multimodal.synthetic_media_table(spark, n_items=24)
+        return multimodal.frame_sample_plan(media, every_ms=5000)
+
     def multimodal_features(spark, sf_dir):
         media = multimodal.synthetic_media_table(spark, n_items=24)
         feats = multimodal.extract_features(media)
@@ -375,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_language_id': doc_language_id,
         'doc_fingerprints': doc_fingerprints,
         'doc_tokenize': doc_tokenize,
+        'embedding_cosine_dups': embedding_cosine_dups,
+        'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_features': multimodal_features,
         'gap_fill_linear_values': gap_fill_linear_values,
     }

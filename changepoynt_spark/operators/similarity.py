@@ -73,17 +73,27 @@ def hyperplane_signatures(df: DataFrame, dim: int, n_planes: int = 16, seed: int
 
 
 def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, seed: int = 7,
-                    id_col: str = 'vec_id', vec_col: str = 'embedding') -> DataFrame:
-    """Approximate top-k: restrict the exact cosine scan to the query's LSH
-    bucket (candidates shrink ~2^n_planes-fold; recall measured in tests)."""
+                    n_tables: int = 1, id_col: str = 'vec_id',
+                    vec_col: str = 'embedding') -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to the union of the
+    query's buckets across ``n_tables`` independent hyperplane tables.
+
+    Single-table collision probability for angle theta is (1 - theta/pi)^b —
+    for near-orthogonal corpora that is low by theory, so recall is tuned
+    with more tables: recall ~ 1 - (1 - p)^L, candidate share ~ L / 2^b.
+    (Measured in tests/test_similarity_text.py.)"""
     q = np.asarray([float(x) for x in query_vec])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, q.shape[0]))
-    qbucket = int(sum((1 << i) for i in range(n_planes) if planes[i] @ q >= 0))
-    sigs = hyperplane_signatures(df, dim=q.shape[0], n_planes=n_planes, seed=seed,
-                                 vec_col=vec_col)
-    return cosine_topk(sigs.filter(F.col('bucket') == qbucket), q, k=k,
-                       id_col=id_col, vec_col=vec_col)
+    out = None
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 104729 * t)
+        planes = rng.standard_normal((n_planes, q.shape[0]))
+        qbucket = int(sum((1 << i) for i in range(n_planes) if planes[i] @ q >= 0))
+        sigs = hyperplane_signatures(df, dim=q.shape[0], n_planes=n_planes,
+                                     seed=seed + 104729 * t, vec_col=vec_col)
+        match = sigs.filter(F.col('bucket') == qbucket).drop('bucket')
+        out = match if out is None else out.unionByName(match)
+    candidates = out.dropDuplicates([id_col])
+    return cosine_topk(candidates, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int = 8,

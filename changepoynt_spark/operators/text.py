@@ -110,33 +110,48 @@ def language_id(df: DataFrame) -> DataFrame:
 
 _FP_SCHEMA = T.StructType([
     T.StructField('doc_id', T.LongType()),
-    T.StructField('fingerprint', T.LongType()),
+    T.StructField('content_hash', T.LongType()),
+    T.StructField('min_shingle_hash', T.LongType()),
 ])
 
 
 def fingerprint_documents(df: DataFrame, window: int = 8, base: int = 257,
                           mod: int = (1 << 61) - 1) -> DataFrame:
-    """Rolling-hash (Rabin-Karp) document fingerprint: min of all length-
-    ``window`` rolling hashes over the byte stream (winnowing-style).
-    Deterministic; vectorized numpy inside mapInPandas."""
+    """Rolling-hash (Rabin-Karp) document fingerprints, two channels:
+
+    - ``content_hash``: the rolling hash of the FULL byte stream — an
+      identity fingerprint (distinct texts get distinct values w.h.p.),
+    - ``min_shingle_hash``: the minimum over all length-``window`` rolling
+      hashes (winnowing / minhash-k=1) — a similarity fingerprint that
+      deliberately collides for documents sharing their minimal shingle.
+
+    Deterministic; runs as an Arrow-batched kernel."""
 
     def kernel(batches):
         for pdf in batches:
-            fps = []
+            content = []
+            minsh = []
             for text in pdf['text'].astype(str):
-                data = np.frombuffer(text.encode('utf-8'), dtype=np.uint8).astype(object)
+                data = np.frombuffer(text.encode('utf-8'), dtype=np.uint8)
                 if len(data) < window:
-                    data = np.pad(data, (0, window - len(data)), constant_values=0)
+                    data = np.pad(data, (0, window - len(data)))
                 h = 0
                 top = pow(base, window - 1, mod)
-                hashes = np.empty(len(data) - window + 1, dtype=object)
+                full = 0
+                for byte in data:
+                    full = (full * base + int(byte)) % mod
+                n_hashes = len(data) - window + 1
+                best = None
                 for i in range(window):
                     h = (h * base + int(data[i])) % mod
-                hashes[0] = h
-                for i in range(1, len(data) - window + 1):
+                best = h
+                for i in range(1, n_hashes):
                     h = ((h - int(data[i - 1]) * top) * base + int(data[i + window - 1])) % mod
-                    hashes[i] = h
-                fps.append(int(min(hashes)) - (1 << 60))  # shift into int64
-            yield pd.DataFrame({'doc_id': pdf['doc_id'], 'fingerprint': fps})
+                    if h < best:
+                        best = h
+                content.append(full - (1 << 60))
+                minsh.append(best - (1 << 60))
+            yield pd.DataFrame({'doc_id': pdf['doc_id'], 'content_hash': content,
+                                'min_shingle_hash': minsh})
 
     return df.select('doc_id', 'text').mapInPandas(kernel, schema=_FP_SCHEMA)
