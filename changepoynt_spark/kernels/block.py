@@ -33,6 +33,25 @@ def compile_block_hankel(time_series: np.ndarray, end_index: int, window_size: i
     return view.transpose(2, 1, 0).reshape(w * c, n).astype(np.float64, copy=True)
 
 
+def batched_block_hankels(time_series: np.ndarray, ends: np.ndarray, window_size: int,
+                          rank: int) -> np.ndarray:
+    """(B, w*C, n) stack of dense block Hankels ending at each index in
+    ``ends`` — the multivariate analogue of sst._batched_hankels (one
+    strided gather per channel, rows interleaved sample-major)."""
+    assert time_series.ndim == 2
+    w, n = int(window_size), int(rank)
+    c = time_series.shape[1]
+    per_channel = []
+    for ch in range(c):
+        view = np.lib.stride_tricks.sliding_window_view(
+            np.ascontiguousarray(time_series[:, ch]), n)
+        starts = ends - w - n + 1
+        per_channel.append(view[starts[:, None] + np.arange(w)[None, :]])  # (B, w, n)
+    stacked = np.stack(per_channel, axis=2)  # (B, w, C, n)
+    b = ends.shape[0]
+    return stacked.reshape(b, w * c, n)
+
+
 class BlockFastHankel:
     """Implicit block Hankel: per-channel FFT Hankels with interleaved rows."""
 

@@ -122,19 +122,24 @@ def _transform(time_series: np.ndarray, start_idx: int, offset: int, window_leng
 
 def _transform_batched(time_series: np.ndarray, start_idx: int, offset: int,
                        window_length: int, n_windows: int, lag: int, scoring_step: int,
-                       rank: int, random_rank: int, method: str,
-                       mitigate_offset: bool) -> np.ndarray:
+                       rank: int, random_rank: int, method: str, mitigate_offset: bool,
+                       hankel_builder=None, row_dim: int = None) -> np.ndarray:
     """Step-batched ESST over dense concatenated Hankels.  Same per-step
     math as left_entropy; RNG stream parity: one uniform sketch draw per
-    step, replayed in order first."""
+    step, replayed in order first.  ``hankel_builder``/``row_dim`` plug in
+    block-Hankel stacks for MESST."""
     from changepoynt_spark.kernels.sst import _batched_hankels
 
     w, n = window_length, n_windows
+    rd = row_dim or w
+    build = hankel_builder or (lambda ends_: _batched_hankels(
+        time_series, ends_, w, n, mitigate_offset))
     oversampling = 2 if method == 'fbrsvd' else random_rank - rank
     l = rank + oversampling
-    assert 1.25 * l < min(w, 2 * n)
-    score = np.zeros_like(time_series)
-    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    assert 1.25 * l < min(rd, 2 * n)
+    t_len = time_series.shape[0]
+    score = np.zeros(t_len)
+    ends = np.arange(start_idx, t_len, scoring_step)
     b = ends.size
     if b == 0:
         return score
@@ -142,12 +147,12 @@ def _transform_batched(time_series: np.ndarray, start_idx: int, offset: int,
     for i in range(b):
         omegas[i] = np.random.uniform(low=-1, high=1, size=(2 * n, l))
 
-    chunk = max(16, int(3e6 / (w * w)))
+    chunk = max(16, int(3e6 / (rd * rd)))
     scores = np.empty(b)
     for c0 in range(0, b, chunk):
         sl = slice(c0, min(b, c0 + chunk))
-        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
-        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
+        h_past = build(ends[sl] - lag)
+        h_fut = build(ends[sl])
         concat = np.concatenate((h_past, h_fut), axis=2)
         del h_past, h_fut
         _, eigenvalues, va = lg.batched_randomized_hankel_svd(concat, rank, omegas[sl])

@@ -61,6 +61,20 @@ class MESST(SingularSubspaceAlgorithm):
             for idx in range(time_series.shape[1]):
                 time_series[:, idx] = normalization.min_max_scaling(time_series[:, idx], 1, 2,
                                                                     inplace=True)
+        if not self.use_fast_hankel:
+            # step-batched over dense block-Hankel stacks
+            from changepoynt_spark.kernels.block import batched_block_hankels
+            from changepoynt_spark.kernels.esst import _transform_batched
+            c = time_series.shape[1]
+            builder = lambda ends: batched_block_hankels(time_series, ends,
+                                                         self.window_length, self.n_windows)
+            return _transform_batched(
+                time_series=time_series[:, 0], start_idx=starting_point,
+                offset=self.compute_offset(), window_length=self.window_length,
+                n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                rank=self.rank, random_rank=self.random_rank, method=self.method,
+                mitigate_offset=False, hankel_builder=builder,
+                row_dim=self.window_length * c)
         scoring_function = self.methods[self.method]
         return _transform(time_series=time_series, start_idx=starting_point,
                           offset=self.compute_offset(), window_length=self.window_length,

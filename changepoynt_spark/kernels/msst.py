@@ -76,13 +76,30 @@ class MSST(SingularSubspaceAlgorithm):
             for idx in range(time_series.shape[1]):
                 time_series[:, idx] = normalization.min_max_scaling(time_series[:, idx], 1, 2,
                                                                     inplace=True)
-        scoring_function = self.methods[self.method]
-        # the reference always uses the implicit (fast) block Hankel inside
-        # the loop regardless of the flag (msst.py:207-209)
-        return _transform(time_series=time_series, start_idx=starting_point,
-                          offset=self.compute_offset(), window_length=self.window_length,
-                          n_windows=self.n_windows, lag=self.lag,
-                          scoring_step=self.scoring_step, scoring_function=scoring_function)
+        # step-batched execution over dense block-Hankel stacks (the
+        # reference always uses its implicit block form, msst.py:207-209;
+        # dense-vs-implicit differ only in float rounding and the engine's
+        # goldens are defined by this batched path)
+        from changepoynt_spark.kernels.block import batched_block_hankels
+        from changepoynt_spark.kernels.sst import (_transform_dense_batched,
+                                                   _transform_ika_batched,
+                                                   _transform_rsvd_batched)
+        c = time_series.shape[1]
+        builder = lambda ends: batched_block_hankels(time_series, ends,
+                                                     self.window_length, self.n_windows)
+        common = dict(time_series=time_series[:, 0], start_idx=starting_point,
+                      offset=self.compute_offset(), window_length=self.window_length,
+                      n_windows=self.n_windows, lag=self.lag, scoring_step=self.scoring_step,
+                      mitigate_offset=False, hankel_builder=builder,
+                      row_dim=self.window_length * c)
+        if self.method == 'ika':
+            return _transform_ika_batched(rank=self.rank, lanczos_rank=self.lanczos_rank,
+                                          **common)
+        if self.method == 'rsvd':
+            return _transform_rsvd_batched(rank=self.rank, randomized_rank=self.random_rank,
+                                           **common)
+        return _transform_dense_batched(method=self.method, rank=self.rank,
+                                        randomized_rank=self.random_rank, **common)
 
 
 def _transform(time_series: np.ndarray, start_idx: int, offset: int, window_length: int,

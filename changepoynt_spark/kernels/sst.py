@@ -181,7 +181,8 @@ def _batched_hankels(time_series: np.ndarray, ends: np.ndarray, window_length: i
 
 def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
                            window_length: int, n_windows: int, lag: int, scoring_step: int,
-                           rank: int, lanczos_rank: int, mitigate_offset: bool) -> np.ndarray:
+                           rank: int, lanczos_rank: int, mitigate_offset: bool,
+                           hankel_builder=None, row_dim: int = None) -> np.ndarray:
     """IKA-SST with step-batched heavy phases.
 
     Same math as the per-step loop (gram -> 5-iter power method with the
@@ -192,16 +193,20 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
     power-method feedback chain is inherently sequential.
     """
     w, n, k = window_length, n_windows, lanczos_rank
-    score = np.zeros_like(time_series)
-    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
+    rd = row_dim or w  # hankel row dimension (w, or w*channels for block form)
+    build = hankel_builder or (lambda ends_: _batched_hankels(
+        time_series, ends_, w, n, mitigate_offset))
+    t_len = time_series.shape[0]
+    score = np.zeros(t_len)
+    ends = np.arange(start_idx, t_len, scoring_step)
     if ends.size == 0:
-        np.random.rand(w)  # keep the RNG stream aligned with the loop path
+        np.random.rand(rd)  # keep the RNG stream aligned with the loop path
         return score
-    x0 = np.random.rand(w)[:, None]
+    x0 = np.random.rand(rd)[:, None]
     x0 /= np.linalg.norm(x0)
 
     # chunk so the gram batches stay within ~100 MB
-    chunk = max(16, int(3e6 / (w * w)))
+    chunk = max(16, int(3e6 / (rd * rd)))
     for c0 in range(0, ends.size, chunk):
         sub = ends[c0:c0 + chunk]
         b = sub.size
@@ -209,14 +214,14 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
         # indices (when lag aligns with the step grid the two sets overlap
         # almost completely — ~2x less gram work)
         union, inv = np.unique(np.concatenate([sub - lag, sub]), return_inverse=True)
-        h_union = _batched_hankels(time_series, union, w, n, mitigate_offset)
+        h_union = build(union)
         g_union = np.matmul(h_union, h_union.transpose(0, 2, 1))
         del h_union
         past_idx = inv[:b]
         future_idx = inv[b:]
 
         # sequential phase: power method with eigvec feedback (RNG per step)
-        eigvecs_future = np.empty((b, w))
+        eigvecs_future = np.empty((b, rd))
         for i in range(b):
             c2 = g_union[future_idx[i]]
             x = x0
@@ -227,7 +232,7 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
             y = c2 @ x
             u = y / np.linalg.norm(y)
             eigvecs_future[i] = u[:, 0]
-            x0 = u + 1e-3 * np.random.rand(w)[:, None]
+            x0 = u + 1e-3 * np.random.rand(rd)[:, None]
             x0 /= np.linalg.norm(x0)
         g_past = g_union[past_idx]
 
@@ -263,7 +268,8 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
 
 def _transform_rsvd_batched(time_series: np.ndarray, start_idx: int, offset: int,
                             window_length: int, n_windows: int, lag: int, scoring_step: int,
-                            rank: int, randomized_rank: int, mitigate_offset: bool) -> np.ndarray:
+                            rank: int, randomized_rank: int, mitigate_offset: bool,
+                            hankel_builder=None, row_dim: int = None) -> np.ndarray:
     """rsvd-SST with all steps batched.
 
     Per-step math identical to _random_singular_value_decomposition (rank-1
@@ -273,12 +279,16 @@ def _transform_rsvd_batched(time_series: np.ndarray, start_idx: int, offset: int
     the RNG-free numerics run as batched matmul/LU/QR/SVD.
     """
     w, n = window_length, n_windows
+    rd = row_dim or w
+    build = hankel_builder or (lambda ends_: _batched_hankels(
+        time_series, ends_, w, n, mitigate_offset))
     p = randomized_rank - rank
     l_fut, l_past = 1 + p, rank + p
-    assert 1.25 * l_fut < min(w, n) and 1.25 * l_past < min(w, n)
-    score = np.zeros_like(time_series)
-    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
-    np.random.rand(w)  # x0 seed draw (kept for stream parity; rsvd ignores x0)
+    assert 1.25 * l_fut < min(rd, n) and 1.25 * l_past < min(rd, n)
+    t_len = time_series.shape[0]
+    score = np.zeros(t_len)
+    ends = np.arange(start_idx, t_len, scoring_step)
+    np.random.rand(rd)  # x0 seed draw (kept for stream parity; rsvd ignores x0)
     if ends.size == 0:
         return score
     b = ends.size
@@ -287,16 +297,16 @@ def _transform_rsvd_batched(time_series: np.ndarray, start_idx: int, offset: int
     for i in range(b):
         omegas_fut[i] = np.random.uniform(low=-1, high=1, size=(n, l_fut))
         omegas_past[i] = np.random.uniform(low=-1, high=1, size=(n, l_past))
-        np.random.rand(w)  # feedback-noise draw of the loop path
+        np.random.rand(rd)  # feedback-noise draw of the loop path
 
-    chunk = max(16, int(3e6 / (w * w)))
+    chunk = max(16, int(3e6 / (rd * rd)))
     scores = np.empty(b)
     for c0 in range(0, b, chunk):
         sl = slice(c0, min(b, c0 + chunk))
-        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
+        h_fut = build(ends[sl])
         u_fut, _, _ = lg.batched_randomized_hankel_svd(h_fut, 1, omegas_fut[sl])
         del h_fut
-        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
+        h_past = build(ends[sl] - lag)
         u_past, _, _ = lg.batched_randomized_hankel_svd(h_past, rank, omegas_past[sl])
         del h_past
         alpha = np.matmul(u_past.transpose(0, 2, 1), u_fut)  # (B, rank, 1)
@@ -309,7 +319,8 @@ def _transform_rsvd_batched(time_series: np.ndarray, start_idx: int, offset: int
 def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: int,
                              window_length: int, n_windows: int, lag: int, scoring_step: int,
                              method: str, rank: int, randomized_rank: int,
-                             mitigate_offset: bool) -> np.ndarray:
+                             mitigate_offset: bool, hankel_builder=None,
+                             row_dim: int = None) -> np.ndarray:
     """Step-batched transforms for the dense methods without a numerical
     feedback dependency: 'naive', 'naive updated' (full batched SVDs),
     'weighted', 'symmetric' (batched randomized SVDs), and the hybrid 'svd'
@@ -320,9 +331,13 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
     draw — replayed in order before the batched numerics.
     """
     w, n = window_length, n_windows
-    score = np.zeros_like(time_series)
-    ends = np.arange(start_idx, time_series.shape[0], scoring_step)
-    x0 = np.random.rand(w)[:, None]
+    rd = row_dim or w
+    build = hankel_builder or (lambda ends_: _batched_hankels(
+        time_series, ends_, w, n, mitigate_offset))
+    t_len = time_series.shape[0]
+    score = np.zeros(t_len)
+    ends = np.arange(start_idx, t_len, scoring_step)
+    x0 = np.random.rand(rd)[:, None]
     x0 /= np.linalg.norm(x0)
     b = ends.size
     if b == 0:
@@ -332,24 +347,24 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
     if method in ('weighted', 'symmetric'):
         p = randomized_rank - rank
         l = rank + p
-        assert 1.25 * l < min(w, n)
+        assert 1.25 * l < min(rd, n)
         omegas_fut = np.empty((b, n, l))
         omegas_past = np.empty((b, n, l))
         for i in range(b):
             omegas_fut[i] = np.random.uniform(low=-1, high=1, size=(n, l))
             omegas_past[i] = np.random.uniform(low=-1, high=1, size=(n, l))
-            np.random.rand(w)
+            np.random.rand(rd)
     elif method in ('naive', 'naive updated'):
         for _ in range(b):
-            np.random.rand(w)
+            np.random.rand(rd)
     # 'svd': noise draws happen inside the sequential power loop below
 
-    chunk = max(16, int(3e6 / (w * w)))
+    chunk = max(16, int(3e6 / (rd * rd)))
     scores = np.empty(b)
     for c0 in range(0, b, chunk):
         sl = slice(c0, min(b, c0 + chunk))
-        h_fut = _batched_hankels(time_series, ends[sl], w, n, mitigate_offset)
-        h_past = _batched_hankels(time_series, ends[sl] - lag, w, n, mitigate_offset)
+        h_fut = build(ends[sl])
+        h_past = build(ends[sl] - lag)
         if method in ('naive', 'naive updated'):
             u_past = np.linalg.svd(h_past, full_matrices=False)[0][:, :, :rank]
             u_fut_full = np.linalg.svd(h_fut, full_matrices=False)[0]
@@ -389,7 +404,7 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
                 u = y / np.linalg.norm(y)
                 alpha = u_past[i].T @ u
                 scores[sl][i] = float(1.0 - alpha.T @ alpha)
-                x0 = u + 1e-3 * np.random.rand(w)[:, None]
+                x0 = u + 1e-3 * np.random.rand(rd)[:, None]
                 x0 /= np.linalg.norm(x0)
         del h_fut, h_past
     for i, e in enumerate(ends):
