@@ -1,0 +1,100 @@
+"""Streaming change-point scoring as a custom stateful operator.
+
+The reference documents buffered-replay streaming only as an OFFLINE pattern
+(docs/guides/experimental-buffered-streaming.md: keep the last
+total_region+1 samples, replay the batch transform, emit the score at
+first_score_position with a fixed delay — exact for deterministic methods).
+This module turns that pattern into a real Structured Streaming operator via
+``applyInPandasWithState``: per-series state holds the rolling buffer, each
+micro-batch appends in-order points and emits the newly determined scores.
+
+Exactness: for deterministic methods ('naive updated', 'naive',
+moving_window) the emitted scores are identical to the batch transform
+(rtol 1e-10 asserted in tests, mirroring the reference's replay proof,
+examples/buffered_streaming_comparison.py:62-75).  The reference's caveats
+carry over: per-buffer min-max scaling drifts (use scale=False) and
+randomized methods restart their RNG per buffer.
+
+Out-of-order handling: rows are sorted by position inside each batch; a gap
+in positions stalls the series until the missing points arrive (points
+beyond the gap are buffered in state up to ``max_pending``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from changepoynt_spark.operators.scoring import build_algorithm
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField('doc_id', T.StringType(), False),
+    T.StructField('pos', T.LongType(), False),
+    T.StructField('score', T.DoubleType(), False),
+])
+
+# state: contiguous buffer tail, next expected position, pending out-of-order
+STATE_SCHEMA = T.StructType([
+    T.StructField('buffer', T.ArrayType(T.DoubleType()), True),
+    T.StructField('next_pos', T.LongType(), True),
+    T.StructField('pending_pos', T.ArrayType(T.LongType()), True),
+    T.StructField('pending_val', T.ArrayType(T.DoubleType()), True),
+])
+
+
+def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
+    params = dict(params or {})
+    probe = build_algorithm(algorithm, params)
+    total_region = probe.covered_regions()[0]
+    buffer_size = total_region + 1
+    score_position = probe.first_score_position
+    delay = buffer_size - 1 - score_position
+
+    def fn(key, pdfs, state: GroupState):
+        doc_id = key[0]
+        if state.exists:
+            buf, next_pos, pend_p, pend_v = state.get
+            buf = list(buf)
+            pending = dict(zip(pend_p, pend_v))
+        else:
+            buf, next_pos, pending = [], 0, {}
+        algo = build_algorithm(algorithm, params)
+        out_pos, out_score = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values('pos')
+            for p, v in zip(pdf['pos'].astype('int64'), pdf['value'].astype('float64')):
+                if p != next_pos:
+                    if p > next_pos and len(pending) < max_pending:
+                        pending[int(p)] = float(v)   # out of order: park it
+                    continue                          # late duplicate: drop
+                pending[int(p)] = float(v)
+                while next_pos in pending:            # drain the contiguous run
+                    buf.append(pending.pop(next_pos))
+                    if len(buf) > buffer_size:
+                        buf.pop(0)
+                    if len(buf) == buffer_size:
+                        score = algo.transform(np.asarray(buf, dtype=np.float64))
+                        out_pos.append(next_pos - delay)
+                        out_score.append(float(score[score_position]))
+                    next_pos += 1
+        state.update((buf, next_pos, list(pending.keys()), list(pending.values())))
+        if out_pos:
+            yield pd.DataFrame({'doc_id': doc_id, 'pos': out_pos, 'score': out_score})
+
+    return fn
+
+
+def streaming_scores(stream_df: DataFrame, algorithm: str = 'sst', params: dict = None,
+                     max_pending: int = 10_000) -> DataFrame:
+    """(doc_id, pos, value) point stream -> (doc_id, pos, score) stream.
+
+    One emitted row per position once its score is determined (append
+    semantics); state is one rolling buffer per series.
+    """
+    fn = _make_stateful_fn(algorithm, params, max_pending)
+    return (stream_df.groupBy('doc_id')
+            .applyInPandasWithState(fn, OUTPUT_SCHEMA, STATE_SCHEMA,
+                                    outputMode='append',
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
