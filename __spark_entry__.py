@@ -30,6 +30,18 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f'{sf_dir}/{name}.parquet')
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread across the cores for CPU-heavy per-row work (shingling,
+    min-hashing, Python kernels).  The test parquet files are single-split,
+    so without this the whole map stage runs as one task; at cluster scale
+    scans carry >= cores splits and the repartition below is skipped."""
+    df = _read(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
         _read(spark, sf_dir, n).createOrReplaceTempView(n)
@@ -121,7 +133,8 @@ def _simhash_sql() -> str:
 
 def _events_series(spark, sf_dir):
     from changepoynt_spark.functions.series import events_to_series
-    return events_to_series(_read(spark, sf_dir, 'events'))
+    return events_to_series(_read(spark, sf_dir, 'events'),
+                            partitions=spark.sparkContext.defaultParallelism)
 
 
 def _kernel_query(algorithm, params):
@@ -230,11 +243,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     .filter(F.col('n_dups') > 1))
 
     def ngram_jaccard_dups(spark, sf_dir):
-        return dedup.ngram_jaccard_pairs(_read(spark, sf_dir, 'documents'),
-                                         n=3, threshold=0.5)
+        # df_cap=50 sits above the corpus' max shingle document frequency
+        # (7 at sf0.01, 25 at sf0.1 — so results are exact here) while
+        # bounding the self-join fan-out against boilerplate shingles at scale
+        return dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
+                                         n=3, threshold=0.5, df_cap=50)
 
     def doc_simhash(spark, sf_dir):
-        return dedup.simhash(_read(spark, sf_dir, 'documents'))
+        return dedup.simhash(_read_spread(spark, sf_dir, 'documents'))
 
     def embedding_topk_cosine(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
@@ -266,11 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              F.length('value_blob').alias('value_bytes'))
 
     def minhash_lsh_dups(spark, sf_dir):
-        return dedup.minhash_lsh_pairs(_read(spark, sf_dir, 'documents'),
+        return dedup.minhash_lsh_pairs(_read_spread(spark, sf_dir, 'documents'),
                                        num_hashes=32, bands=8, threshold=0.4)
 
     def simhash_dup_pairs(spark, sf_dir):
-        return dedup.simhash_dup_pairs(_read(spark, sf_dir, 'documents'), max_hamming=6)
+        return dedup.simhash_dup_pairs(_read_spread(spark, sf_dir, 'documents'), max_hamming=6)
 
     def embedding_lsh_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
@@ -286,10 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_knn_pairs(emb, query_ids=[0, 1, 2], k=5)
 
     def doc_language_id(spark, sf_dir):
-        return text.language_id(_read(spark, sf_dir, 'documents'))
+        return text.language_id(_read_spread(spark, sf_dir, 'documents'))
 
     def doc_fingerprints(spark, sf_dir):
-        return text.fingerprint_documents(_read(spark, sf_dir, 'documents'))
+        return text.fingerprint_documents(_read_spread(spark, sf_dir, 'documents'))
 
     def doc_tokenize(spark, sf_dir):
         return text.tokenize_documents(_read(spark, sf_dir, 'documents')) \

@@ -14,7 +14,16 @@ SERIES_QUANT = 10  # events values are O(100); x10 keeps int32 range comfy
 
 
 def events_to_series(df: DataFrame, key_col: str = 'user_id', ts_col: str = 'ts',
-                     value_col: str = 'value', source: str = 'events') -> DataFrame:
+                     value_col: str = 'value', source: str = 'events',
+                     partitions: int = None) -> DataFrame:
+    """``partitions``: explicit hash-partition count for the groupBy shuffle.
+    AQE coalesces small-byte shuffles down to one partition, which serializes
+    the (CPU-bound) scoring kernels that consume these series; an explicit
+    ``repartition(n, key)`` is honored by AQE and is absorbed by the groupBy
+    (same clustering — still exactly one shuffle).  Leave None at scale,
+    where shuffle partitions are byte-sized correctly anyway."""
+    if partitions:
+        df = df.repartition(partitions, key_col)
     pts = F.sort_array(F.collect_list(F.struct(ts_col, value_col)))
     tokens = F.transform(pts, lambda p: F.round(p[value_col] * SERIES_QUANT).cast('int'))
     return (df.groupBy(key_col)

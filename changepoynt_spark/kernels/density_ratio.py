@@ -247,18 +247,26 @@ def _transform(time_series: np.ndarray, starting_point: int, window_length: int,
     stores this parameter but never reads it, rulsif.py:33,42) is implemented
     here: the (sigma, lambda) cross-validation — 125 linear solves per step —
     re-runs only every ``estimation_lag`` steps; in between, the cached model
-    parameters are reused (centers are still re-drawn each step, keeping the
-    center-permutation RNG stream aligned).  None = re-estimate every step
-    (reference behavior, golden path)."""
+    parameters are reused.  Skipped steps still consume cross_validate's two
+    permutation draws (as dummies), so the global RNG stream stays aligned
+    with the estimation_lag=None path: center draws are identical at every
+    step, and scores at re-estimation steps bit-match the default path
+    (asserted in tests).  None = re-estimate every step (reference behavior,
+    golden path)."""
     score = np.zeros_like(time_series)
     offset = n_windows
     cv_orig = estimator.cv
     for i, idx in enumerate(range(starting_point, time_series.shape[0], scoring_step)):
+        skip_cv = bool(estimation_lag) and (i % estimation_lag) != 0
         if estimation_lag:
-            estimator.cv = cv_orig if (i % estimation_lag) == 0 else False
+            estimator.cv = False if skip_cv else cv_orig
         hankel_matrix = lg.compile_hankel(time_series, idx, window_length, 2 * n_windows)
         score[idx - offset - scoring_step // 2:idx - offset + (scoring_step + 1) // 2] = \
             estimator(hankel_matrix[:, :n_windows], hankel_matrix[:, n_windows:])
+        if skip_cv:
+            # cross_validate would have drawn ref-CV and test-CV permutations
+            np.random.permutation(n_windows)
+            np.random.permutation(n_windows)
     estimator.cv = cv_orig
     return score
 

@@ -403,7 +403,7 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
                 y = c2 @ x
                 u = y / np.linalg.norm(y)
                 alpha = u_past[i].T @ u
-                scores[sl][i] = float(1.0 - alpha.T @ alpha)
+                scores[sl][i] = (1.0 - alpha.T @ alpha).item()
                 x0 = u + 1e-3 * np.random.rand(rd)[:, None]
                 x0 /= np.linalg.norm(x0)
         del h_fut, h_past

@@ -35,7 +35,7 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = 'text') -> DataFrame:
 
 
 def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
-                        id_col: str = 'doc_id') -> DataFrame:
+                        id_col: str = 'doc_id', df_cap: int = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with Jaccard >= threshold.
 
     Candidates via inverted shingle index: explode distinct shingles, self-
@@ -44,6 +44,15 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     cross join.  |A ∩ B| is the per-pair match count of that same join, so
     no shingle-set arrays ever cross a shuffle; |A ∪ B| = |A| + |B| - inter
     from broadcast per-doc counts.
+
+    ``df_cap``: document-frequency ceiling on the inverted index.  A shingle
+    shared by k docs emits k^2/2 join rows — one boilerplate shingle on a
+    100 TB corpus is a job-killer, so postings with df > df_cap are dropped
+    BEFORE the self-join (a stop-shingle filter; it can only undercount the
+    intersection for pairs glued together by ubiquitous boilerplate).  The
+    hot-shingle list is tiny by construction (only shingles in > df_cap
+    docs), so it is found with a map-side-combined count and removed with a
+    broadcast anti-join — no extra shuffle of the postings themselves.
     """
     sh = shingles(df, n).select(F.col(id_col).alias('_id'), 'shingle_set')
     # hash shingle strings to 64-bit first: the exchange carries (id, int64)
@@ -51,6 +60,10 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     # within a doc; xxhash64 cross-collisions are ~2^-64 per pair)
     inv = sh.select('_id', F.explode('shingle_set').alias('_s')) \
             .select('_id', F.xxhash64('_s').alias('_sh'))
+    if df_cap is not None:
+        hot = (inv.groupBy('_sh').agg(F.count('*').alias('_df'))
+                  .filter(F.col('_df') > df_cap).select('_sh'))
+        inv = inv.join(F.broadcast(hot), '_sh', 'left_anti')
     counts = sh.select('_id', F.size('shingle_set').alias('_n'))
     inter = (inv.alias('a').join(inv.alias('b'),
                                  (F.col('a._sh') == F.col('b._sh')) &
@@ -91,15 +104,23 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: in
                      F.col('signature')[b * rows_per_band + r].cast('string')
                      for r in range(rows_per_band)])).alias('bh'))
         for b in range(bands)]))
-    buckets = sigs.select('doc_id', 'shingle_set', band_hash.alias('bb')) \
-                  .select('doc_id', 'shingle_set', 'bb.band', 'bb.bh')
+    # the band join moves ONLY (doc_id, band, bh): the shingle arrays would
+    # otherwise ride the exchange `bands` times each.  They are re-attached
+    # to the (far smaller) candidate pair set for the exact-Jaccard verify.
+    buckets = sigs.select('doc_id', band_hash.alias('bb')) \
+                  .select('doc_id', 'bb.band', 'bb.bh')
     cands = (buckets.alias('a').join(
                 buckets.alias('b'),
                 (F.col('a.band') == F.col('b.band')) & (F.col('a.bh') == F.col('b.bh')) &
                 (F.col('a.doc_id') < F.col('b.doc_id')))
-             .select(F.col('a.doc_id').alias('doc_a'), F.col('a.shingle_set').alias('_sa'),
-                     F.col('b.doc_id').alias('doc_b'), F.col('b.shingle_set').alias('_sb'))
+             .select(F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b'))
              .dropDuplicates(['doc_a', 'doc_b']))
+    sets = shingles(df, n).select(F.col(id_col).alias('doc_id'), 'shingle_set')
+    cands = (cands
+             .join(sets.select(F.col('doc_id').alias('doc_a'),
+                               F.col('shingle_set').alias('_sa')), 'doc_a')
+             .join(sets.select(F.col('doc_id').alias('doc_b'),
+                               F.col('shingle_set').alias('_sb')), 'doc_b'))
     inter = F.size(F.array_intersect('_sa', '_sb'))
     union = F.size(F.array_union('_sa', '_sb'))
     return (cands.withColumn('jaccard', F.round(inter / union, 6))
@@ -129,21 +150,37 @@ def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
-    """(doc_a, doc_b, hamming) — SimHash near-dup pairs.  Candidate pruning
-    by bucketing on the top 16 bits (a doc pair within hamming<=3 of 32 bits
-    collides on at least one of the two 16-bit halves; we join on both
-    halves and union)."""
+    """(doc_a, doc_b, hamming) — SimHash near-dup pairs with GUARANTEED recall.
+
+    Candidate pruning by the multi-index pigeonhole scheme (Manku et al.,
+    WWW'07): split the ``bits``-bit simhash into ``max_hamming + 1`` disjoint
+    bit segments.  Two hashes within hamming distance ``max_hamming`` differ
+    in at most ``max_hamming`` segments, so at least one segment is IDENTICAL
+    — joining on (segment index, segment value) and verifying the exact
+    hamming distance finds every qualifying pair (recall 1.0, asserted
+    exhaustively in tests/test_similarity_text.py).
+
+    Scale note: segment width is bits/(max_hamming+1); bucket count per band
+    is 2^width.  At 32 bits / hamming 6 that is 4-5 bit segments (16-32
+    buckets) — fine at test scale but k^2-per-bucket at 10^9 docs.  At 100 TB
+    use a 64-bit simhash (9-bit segments, 512 buckets/band) or two-stage
+    blocks; the banding below is width-generic.
+    """
     sh = simhash(df, bits=bits)
-    lo = (F.col('simhash') % (1 << 16)).alias('half')
-    hi = (F.col('simhash') / (1 << 16)).cast('long').alias('half')
-    parts = []
-    for half, tag in ((lo, 0), (hi, 1)):
-        b = sh.select('doc_id', 'simhash', half, F.lit(tag).alias('side'))
-        parts.append(b)
-    buckets = parts[0].unionByName(parts[1])
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(bits, n_bands)
+    # first `extra` bands get one extra bit; offsets tile [0, bits)
+    segs, off = [], 0
+    for b in range(n_bands):
+        w = base_w + (1 if b < extra else 0)
+        seg = F.shiftrightunsigned(F.col('simhash'), off).bitwiseAND(F.lit((1 << w) - 1))
+        segs.append(F.struct(F.lit(b).alias('band'), seg.alias('seg')))
+        off += w
+    buckets = (sh.select('doc_id', 'simhash', F.explode(F.array(*segs)).alias('bb'))
+                 .select('doc_id', 'simhash', 'bb.band', 'bb.seg'))
     cands = (buckets.alias('a').join(
                 buckets.alias('b'),
-                (F.col('a.side') == F.col('b.side')) & (F.col('a.half') == F.col('b.half')) &
+                (F.col('a.band') == F.col('b.band')) & (F.col('a.seg') == F.col('b.seg')) &
                 (F.col('a.doc_id') < F.col('b.doc_id')))
              .select(F.col('a.doc_id').alias('doc_a'), F.col('a.simhash').alias('_ha'),
                      F.col('b.doc_id').alias('doc_b'), F.col('b.simhash').alias('_hb'))

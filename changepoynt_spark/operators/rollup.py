@@ -202,15 +202,19 @@ def decompress_blocks(df: DataFrame, keys, ts_col: str = 'bucket_start',
 
     def codec(batches):
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                ts = decode_timestamps(r['ts_blob']).astype('datetime64[us]')
-                vals = decode_values(r['value_blob'])
-                frame = pd.DataFrame({ts_col: ts, value_col: vals})
-                for k in keys:
-                    frame[k] = r[k]
-                frames.append(frame[keys + [ts_col, value_col]])
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            if not len(pdf):
+                continue
+            # blob decode is per-row by nature; everything else is one
+            # np.repeat/concatenate per Arrow batch (no iterrows, no
+            # per-block DataFrame allocation)
+            ts_arrs = [decode_timestamps(b).astype('datetime64[us]')
+                       for b in pdf['ts_blob'].to_numpy()]
+            val_arrs = [decode_values(b) for b in pdf['value_blob'].to_numpy()]
+            lens = np.fromiter((len(a) for a in ts_arrs), dtype=np.int64,
+                               count=len(ts_arrs))
+            out = {k: np.repeat(pdf[k].to_numpy(), lens) for k in keys}
+            out[ts_col] = np.concatenate(ts_arrs)
+            out[value_col] = np.concatenate(val_arrs)
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(codec, schema=out_schema)

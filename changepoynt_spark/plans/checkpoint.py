@@ -46,6 +46,22 @@ def bucket_fingerprint(df: DataFrame) -> dict:
             'hashxor': int(row['hashxor'] or 0)}
 
 
+def all_bucket_fingerprints(bucketed: DataFrame, n_buckets: int) -> dict:
+    """Fingerprints for EVERY bucket in ONE grouped aggregate — a single
+    scan of the input, vs one full-scan job per bucket (at 10^12-sequence
+    scale, B scans of a 100 TB table).  Map-side partial aggregation means
+    the shuffle carries one row per (partition, bucket)."""
+    rows = bucketed.groupBy(BUCKET_COL).agg(
+        F.count('*').alias('docs'),
+        F.sum('n_tok').alias('tokens'),
+        F.expr('bit_xor(xxhash64(doc_id, tokens, n_tok))').alias('hashxor')).collect()
+    out = {b: {'docs': 0, 'tokens': 0, 'hashxor': 0} for b in range(n_buckets)}
+    for r in rows:
+        out[int(r[BUCKET_COL])] = {'docs': int(r['docs']), 'tokens': int(r['tokens'] or 0),
+                                   'hashxor': int(r['hashxor'] or 0)}
+    return out
+
+
 class RollupCheckpointJob:
     """Resumable tokens -> scored rollup blocks job over an Iceberg-style
     table."""
@@ -67,15 +83,25 @@ class RollupCheckpointJob:
                 out[int(props['bucket'])] = props
         return out
 
+    def _props_current(self) -> dict:
+        return {'algorithm': self.algorithm,
+                'params': repr(sorted(self.params.items())),
+                'kernel_version': KERNEL_VERSION}
+
     def pending_buckets(self, tokens: DataFrame) -> list:
         done = self.completed()
         bucketed = with_bucket(tokens, self.n_buckets)
+        fps = all_bucket_fingerprints(bucketed, self.n_buckets)  # one Spark job
+        cur = self._props_current()
         pending = []
         for b in range(self.n_buckets):
-            sub = bucketed.filter(F.col(BUCKET_COL) == b)
-            fp = bucket_fingerprint(sub)
+            fp = fps[b]
             rec = done.get(b)
-            if rec and rec.get('fingerprint') == fp:
+            # a bucket is skipped only if BOTH its input fingerprint AND the
+            # scoring settings (algorithm/params/kernel version) match — a
+            # rerun with different settings must not retain stale snapshots
+            if rec and rec.get('fingerprint') == fp and \
+                    all(rec.get(k) == v for k, v in cur.items()):
                 continue
             pending.append((b, fp))
         return pending

@@ -28,6 +28,13 @@ def get_spark(app_name: str = 'changepoynt-spark', master: str = None,
         .config('spark.sql.shuffle.partitions', str(shuffle_partitions))
         .config('spark.sql.adaptive.enabled', 'true')
         .config('spark.sql.adaptive.coalescePartitions.enabled', 'true')
+        # AQE's coalescing targets BYTES per partition (1 MiB floor by
+        # default) — the wrong cost proxy for CPU-heavy kernel stages, where
+        # a 100 KB partition of token arrays is seconds of numpy.  Lowering
+        # the floor keeps small-SF shuffles spread across the cores; at
+        # cluster scale partitions are far above either floor, so this is a
+        # no-op there.
+        .config('spark.sql.adaptive.coalescePartitions.minPartitionSize', '64k')
         .config('spark.sql.adaptive.skewJoin.enabled', 'true')
         .config('spark.sql.execution.arrow.pyspark.enabled', 'true')
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '1024')

@@ -17,7 +17,10 @@ randomized methods restart their RNG per buffer.
 
 Out-of-order handling: rows are sorted by position inside each batch; a gap
 in positions stalls the series until the missing points arrive (points
-beyond the gap are buffered in state up to ``max_pending``).
+beyond the gap are buffered in state up to ``max_pending``).  On overflow
+the farthest-ahead pending point is evicted — the positions nearest the gap
+are kept, so the series can always unblock — and the loss is counted in the
+per-series state (``n_dropped``), never silent.
 """
 from __future__ import annotations
 
@@ -35,12 +38,15 @@ OUTPUT_SCHEMA = T.StructType([
     T.StructField('score', T.DoubleType(), False),
 ])
 
-# state: contiguous buffer tail, next expected position, pending out-of-order
+# state: contiguous buffer tail, next expected position, pending out-of-order,
+# count of points dropped on pending-buffer overflow (observability: loss is
+# recorded, never silent)
 STATE_SCHEMA = T.StructType([
     T.StructField('buffer', T.ArrayType(T.DoubleType()), True),
     T.StructField('next_pos', T.LongType(), True),
     T.StructField('pending_pos', T.ArrayType(T.LongType()), True),
     T.StructField('pending_val', T.ArrayType(T.DoubleType()), True),
+    T.StructField('n_dropped', T.LongType(), True),
 ])
 
 
@@ -55,19 +61,33 @@ def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
     def fn(key, pdfs, state: GroupState):
         doc_id = key[0]
         if state.exists:
-            buf, next_pos, pend_p, pend_v = state.get
+            buf, next_pos, pend_p, pend_v, n_dropped = state.get
             buf = list(buf)
             pending = dict(zip(pend_p, pend_v))
         else:
-            buf, next_pos, pending = [], 0, {}
+            buf, next_pos, pending, n_dropped = [], 0, {}, 0
         algo = build_algorithm(algorithm, params)
         out_pos, out_score = [], []
         for pdf in pdfs:
             pdf = pdf.sort_values('pos')
             for p, v in zip(pdf['pos'].astype('int64'), pdf['value'].astype('float64')):
                 if p != next_pos:
-                    if p > next_pos and len(pending) < max_pending:
-                        pending[int(p)] = float(v)   # out of order: park it
+                    if p > next_pos:
+                        if len(pending) < max_pending:
+                            pending[int(p)] = float(v)  # out of order: park it
+                        else:
+                            # pending full: keep the positions CLOSEST to
+                            # next_pos (they are what unblocks the series) by
+                            # evicting the farthest-ahead one; count the loss
+                            # so it is never silent.  The old behavior —
+                            # dropping the incoming point — could discard the
+                            # very position the stream is stalled on,
+                            # wedging the series forever.
+                            hi = max(pending)
+                            if p < hi:
+                                del pending[hi]
+                                pending[int(p)] = float(v)
+                            n_dropped += 1
                     continue                          # late duplicate: drop
                 pending[int(p)] = float(v)
                 while next_pos in pending:            # drain the contiguous run
@@ -79,7 +99,8 @@ def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
                         out_pos.append(next_pos - delay)
                         out_score.append(float(score[score_position]))
                     next_pos += 1
-        state.update((buf, next_pos, list(pending.keys()), list(pending.values())))
+        state.update((buf, next_pos, list(pending.keys()), list(pending.values()),
+                      n_dropped))
         if out_pos:
             yield pd.DataFrame({'doc_id': doc_id, 'pos': out_pos, 'score': out_score})
 

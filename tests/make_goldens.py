@@ -13,7 +13,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from changepoynt_spark.kernels import BOCPD, ESST, FLUSS, MESST, MSST, SST, MovingWindow
+from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, MESST, MSST, SST,
+                                       MovingWindow, RuLSIF)
 from changepoynt_spark.sources import signals
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'goldens')
@@ -56,6 +57,9 @@ CELLS = [
     ('sst_naive_updated_streaming_sine',
      lambda: SST(20, n_windows=20, lag=6, rank=3, method='naive updated', scale=False),
      lambda: signals.streaming_sine_signal(seed=7), None),
+    ('rulsif_w4_n8_step8_mean1234_seed13',
+     lambda: RuLSIF(window_length=4, n_windows=8, scoring_step=8),
+     lambda: signals.mean_shift_signal(seed=1234)[0], 13),
 ]
 
 

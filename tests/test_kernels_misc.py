@@ -192,3 +192,23 @@ def test_rulsif_estimation_lag_detects_steps(step):
 def test_dead_algorithms_raise(cls):
     with pytest.raises(NotImplementedError):
         cls(20)
+
+
+def test_rulsif_estimation_lag_rng_stream_alignment(step):
+    """Skipped-CV steps consume dummy permutation draws, so the global RNG
+    stream matches the estimation_lag=None path: scores at re-estimation
+    steps are bit-identical, and the lag path diverges only BETWEEN them."""
+    import numpy as np
+    np.random.seed(99)
+    full = RuLSIF(window_length=4, n_windows=8, scoring_step=4).transform(step)
+    np.random.seed(99)
+    lagged = RuLSIF(window_length=4, n_windows=8, scoring_step=4,
+                    estimation_lag=3).transform(step)
+    start = 4 + 8 + 8  # starting_point = w + n + lag(defaults to n)
+    # forward pass writes score at idx-n for idx = start, start+4, ...;
+    # re-estimation steps are i % 3 == 0
+    reest = [start - 8 + 4 * i for i in range(0, len(step), 3)
+             if start + 4 * i < len(step)]
+    agree = [p for p in reest if full[p] == lagged[p]]
+    assert len(agree) == len(reest), f'{len(agree)}/{len(reest)} re-estimation steps match'
+    assert not np.array_equal(full, lagged)  # cached params DO differ between

@@ -81,3 +81,70 @@ def test_tokenize_documents_matches_input_hint_schema(documents):
     assert isinstance(row['doc_id'], str)
     assert all(0 <= t < 50257 for t in row['tokens'][:20])
     assert row['n_tok'] == len(row['tokens'])
+
+
+def test_fingerprints_match_frozen_golden_sf001(spark):
+    """Vectorized M61 Rabin-Karp == the original per-byte reference kernel,
+    bit-for-bit (golden frozen from the original on the sf0.01 corpus)."""
+    import os
+    g = np.load(os.path.join(os.path.dirname(__file__), 'goldens',
+                             'fingerprints_sf001.npz'))
+    docs = spark.read.parquet('/root/testdata/sf0.01/documents.parquet')
+    got = text.fingerprint_documents(docs).toPandas() \
+              .sort_values('doc_id').reset_index(drop=True)
+    np.testing.assert_array_equal(got['doc_id'].to_numpy(np.int64), g['doc_id'])
+    np.testing.assert_array_equal(got['content_hash'].to_numpy(), g['content_hash'])
+    np.testing.assert_array_equal(got['min_shingle_hash'].to_numpy(),
+                                  g['min_shingle_hash'])
+
+
+@pytest.mark.parametrize('sf,max_hamming', [
+    ('/root/testdata/sf0.001', 6), ('/root/testdata/sf0.01', 6),
+    ('/root/testdata/sf0.001', 3),
+])
+def test_simhash_dup_pairs_recall_is_exactly_one(spark, sf, max_hamming):
+    """Pigeonhole banding (max_hamming+1 segments) must find EVERY pair
+    within the hamming radius — recall 1.0 against the exhaustive all-pairs
+    enumeration (and precision 1.0: the exact verify keeps no others)."""
+    from changepoynt_spark.operators import dedup
+    docs = spark.read.parquet(f'{sf}/documents.parquet')
+    sh = dedup.simhash(docs).toPandas()
+    ids = sh['doc_id'].to_numpy()
+    hs = sh['simhash'].to_numpy(np.int64)
+    xor = hs[:, None] ^ hs[None, :]
+    ham = np.zeros(xor.shape, dtype=np.int64)
+    for b in range(32):
+        ham += (xor >> b) & 1
+    ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
+    truth = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(ia, ib)}
+    got_pdf = dedup.simhash_dup_pairs(docs, max_hamming=max_hamming).toPandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(got_pdf['doc_a'], got_pdf['doc_b'])}
+    assert got == truth, (f'recall {len(got & truth)}/{len(truth)}, '
+                          f'{len(got - truth)} spurious')
+
+
+def test_embedding_cosine_dups_multi_table_recall(spark):
+    """Planted near-duplicates: multi-table LSH + exact verify must recover
+    >= 0.9 of the brute-force pair set (and never emit a wrong pair)."""
+    from changepoynt_spark.operators import similarity
+    rng = np.random.default_rng(5)
+    vecs = list(rng.standard_normal((120, 64)))
+    for i in range(30):   # strong dups, cos ~ 0.99
+        vecs.append(vecs[i] + 0.15 * rng.standard_normal(64))
+    for i in range(10):   # weaker dups, cos ~ 0.9
+        vecs.append(vecs[30 + i] + 0.5 * rng.standard_normal(64))
+    mat = np.stack(vecs)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = np.round(norm @ norm.T, 6)
+    ia, ib = np.where(np.triu(cos >= 0.6, k=1))
+    truth = set(zip(ia.tolist(), ib.tolist()))
+    assert len(truth) >= 35  # the plant worked
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))],
+        'vec_id long, embedding array<double>')
+    got_pdf = similarity.embedding_cosine_dups(df, threshold=0.6,
+                                               n_planes=8, n_tables=8).toPandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(got_pdf['vec_a'], got_pdf['vec_b'])}
+    assert got <= truth, f'spurious pairs {got - truth}'   # exact verify
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f'recall {recall}'

@@ -103,3 +103,46 @@ def test_explode_scores_long_format(spark, small_tokens):
     one = scored.select('doc_id', 'score').first()
     n = long.filter(long.doc_id == one['doc_id']).count()
     assert n == len(one['score'])
+
+
+def test_rulsif_spark_bitmatch_oracle(spark, small_tokens):
+    """RuLSIF on Spark == driver-side numpy oracle, bit-for-bit (closes the
+    round-1 seam: RuLSIF had kernel tests but no Spark-side equality)."""
+    params = {'window_length': 4, 'n_windows': 8, 'scoring_step': 8}
+    df = small_tokens.filter("n_tok <= 600")  # keep the O(steps * CV) cost down
+    scored = scoring.score_series(df, algorithm='rulsif', params=params)
+    rows = scored.select('doc_id', 'score').collect()
+    assert rows
+    oracle = _oracle_scores(df.toPandas(), 'rulsif', params)
+    assert set(r['doc_id'] for r in rows) == set(oracle)
+    for r in rows:
+        assert np.array_equal(np.asarray(r['score']), oracle[r['doc_id']]), r['doc_id']
+
+
+@pytest.mark.parametrize('algorithm,params', [
+    ('msst', {'window_length': 12, 'n_windows': 12, 'lag': 4, 'rank': 2,
+              'method': 'ika'}),
+    ('messt', {'window_length': 12, 'n_windows': 6, 'lag': 6, 'rank': 2,
+               'method': 'rsvd'}),
+])
+def test_multichannel_spark_bitmatch_oracle(spark, small_tokens, algorithm, params):
+    """score_multichannel_series (MSST/MESST entry) == numpy oracle on the
+    same two-channel construction the driver query uses."""
+    from pyspark.sql import functions as F
+    df = small_tokens.filter('n_tok >= 40').select(
+        'doc_id', 'source', 'n_tok',
+        F.array(F.transform('tokens', lambda t: t.cast('double')),
+                F.transform(F.reverse('tokens'), lambda t: t.cast('double'))
+                ).alias('channels'))
+    scored = scoring.score_multichannel_series(df, algorithm=algorithm, params=params)
+    rows = scored.select('doc_id', 'score').collect()
+    assert rows
+    pdf = small_tokens.filter('n_tok >= 40').toPandas()
+    for r in rows:
+        toks = np.asarray(
+            pdf.loc[pdf.doc_id == r['doc_id'], 'tokens'].iloc[0], dtype=np.float64)
+        mat = np.stack([toks, toks[::-1]], axis=1)
+        np.random.seed(scoring.series_seed(r['doc_id']))
+        algo = scoring.MULTIVARIATE_ALGORITHMS[algorithm](**params)
+        expected = algo.transform(mat)
+        assert np.array_equal(np.asarray(r['score']), expected), r['doc_id']

@@ -102,3 +102,40 @@ def test_hidden_partitioning_prunes_files(spark, tokens, tmp_path):
     df = job.table.read(spark)
     plan = df.filter("tier = '1d'")._jdf.queryExecution().executedPlan().toString()
     assert 'PartitionFilters: [isnotnull(tier' in plan, plan
+
+
+def test_pending_buckets_is_one_spark_job(spark, tokens, tmp_path):
+    """all_bucket_fingerprints replaces the per-bucket full-scan loop: the
+    whole pending-bucket diff must launch exactly one Spark job."""
+    job = RollupCheckpointJob(str(tmp_path / 'onejob'), n_buckets=8,
+                              algorithm='moving_window', params={'window_length': 8})
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    sc = spark.sparkContext
+    sc.setJobGroup('pending-probe', 'pending_buckets job count probe')
+    try:
+        pending = job.pending_buckets(tokens)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = tracker.getJobIdsForGroup('pending-probe')
+    # AQE materializes the aggregate's shuffle stage as its own job, so a
+    # single grouped aggregate = 2 jobs; the regression being guarded is the
+    # old one-full-scan-PER-BUCKET loop (>= n_buckets jobs)
+    assert len(jobs) <= 2, f'pending_buckets launched {len(jobs)} jobs'
+    assert len(pending) == 8  # empty table: everything pending
+
+
+def test_changed_settings_reprocess_all_buckets(spark, tokens, tmp_path):
+    """Matching fingerprints must NOT skip a bucket when the algorithm,
+    params, or kernel version recorded in the manifest differ (stale
+    old-algorithm snapshots would otherwise silently survive a rerun)."""
+    root = str(tmp_path / 'settings')
+    job = RollupCheckpointJob(root, n_buckets=4, algorithm='moving_window',
+                              params={'window_length': 8})
+    job.run(spark, tokens)
+    assert job.pending_buckets(tokens) == []  # same settings: all skipped
+    job2 = RollupCheckpointJob(root, n_buckets=4, algorithm='moving_window',
+                               params={'window_length': 16})
+    assert len(job2.pending_buckets(tokens)) == 4  # params changed: all redo
+    job3 = RollupCheckpointJob(root, n_buckets=4, algorithm='zero', params={})
+    assert len(job3.pending_buckets(tokens)) == 4  # algorithm changed
