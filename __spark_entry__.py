@@ -112,6 +112,67 @@ _ZERO_SQL = "SELECT event_id, CAST(0.0 AS DOUBLE) AS score FROM events"
 _SIMHASH_BITS = 32
 
 
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """Brute-force O(n^2) oracle for the banded simhash pair query — the
+    banding is a pruning strategy only, so the result sets must be equal."""
+    return f"""
+    WITH sim AS ({_simhash_sql()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev FROM embeddings),
+s AS (SELECT query_id, e.vec_id AS neighbor_id,
+             ROUND(list_inner_product(ev, qv)
+                   / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))),
+                   6) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM s)
+SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rank FROM r WHERE rnk <= 5
+"""
+
+
+def _lsh_topk_sql(n_planes: int = 6, seed: int = 7, k: int = 10, dim: int = 64) -> str:
+    """Oracle for the hyperplane-LSH top-k: the SAME seeded Gaussian planes,
+    embedded as double literals (repr round-trips exactly), bucket the
+    corpus in SQL; the exact cosine re-rank runs over the matching bucket.
+    Both engines evaluate the dot products sequentially over identical
+    doubles, so buckets — and hence the candidate set — agree exactly."""
+    import numpy as np
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+    def arr(p):
+        return '[' + ', '.join(repr(float(x)) for x in p) + ']'
+
+    def bucket(col):
+        return ' + '.join(
+            f"(CASE WHEN list_inner_product({col}, {arr(planes[i])}) >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)" for i in range(n_planes))
+
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings WHERE vec_id <> 0),
+    qb AS (SELECT {bucket('qv')} AS b FROM q),
+    cand AS (SELECT vec_id, ev FROM e WHERE ({bucket('ev')}) = (SELECT b FROM qb))
+    SELECT vec_id,
+           ROUND(list_inner_product(ev, qv)
+                 / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))),
+                 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def _simhash_sql() -> str:
     votes = ', '.join(
         f'SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}'
@@ -514,6 +575,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
         """,
         'doc_simhash': _simhash_sql(),
+        'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
+        'embedding_knn': _KNN_SQL,
+        'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
+        # the LSH band join is candidate PRUNING; on this corpus it must
+        # recover the complete brute-force Jaccard pair set at the query
+        # threshold (deterministic: fixed hash seeds), so the exact
+        # inverted-index SQL at threshold 0.4 is a sound oracle — any
+        # missed pair is a genuine recall failure
+        'minhash_lsh_dups': """
+            WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                                  generate_subscripts(string_split(text, ' '), 1) AS i
+                           FROM documents),
+            sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                   FROM words a
+                   JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+            cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pair AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+                     FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM pair
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.4
+        """,
         'chunked_moving_window': """
             WITH x AS (
               SELECT CAST(user_id AS VARCHAR) AS doc_id,

@@ -221,8 +221,46 @@ per-tier cascade); BLAS pinned to 1 thread per worker.
                       'local32_rolled_per_sec': round(results[32]['rolled_per_sec'], 1)}))
 
 
+def step_sweep():
+    """scoring_step tuning table (reference FAQ: runtime ∝ 1/step — the
+    score is written back over the whole step span, so larger steps trade
+    score granularity for throughput).  Writes BENCH/STEP_SWEEP.md."""
+    global SST_PARAMS
+    spark = make_session(CPUS)
+    rows = []
+    for step in (1, 2, 4, 8):
+        saved = dict(SST_PARAMS)
+        SST_PARAMS = dict(SST_PARAMS, scoring_step=step)
+        try:
+            rolled, raw, wall, _ = headline_pipeline(spark, n_docs=N_DOCS // 2)
+        finally:
+            SST_PARAMS = saved
+        rows.append((step, raw, rolled, wall, raw / wall))
+        print(f'step={step}: {raw / wall:.0f} raw tok/s ({wall:.1f}s)', file=sys.stderr)
+    spark.stop()
+    base = rows[0][4]
+    md = ['# BENCH/STEP_SWEEP — scoring_step throughput table (headline pipeline)',
+          '',
+          'Same fused tokens -> SST(ika) -> rollup -> Gorilla pipeline, '
+          f'{N_DOCS // 2} docs, local[{CPUS}].  The reference FAQ claims runtime '
+          '∝ 1/scoring_step; measured speedups below (sub-linear because the '
+          'per-series fixed costs — Hankel construction, rollup, compression — '
+          'do not scale with step).',
+          '',
+          '| scoring_step | raw tok/s | wall (s) | speedup vs step=1 | ideal |',
+          '|---|---|---|---|---|']
+    for step, raw, rolled, wall, tput in rows:
+        md.append(f'| {step} | {tput:.0f} | {wall:.2f} | {tput / base:.2f}x | {step}x |')
+    os.makedirs('BENCH', exist_ok=True)
+    with open('BENCH/STEP_SWEEP.md', 'w') as f:
+        f.write('\n'.join(md) + '\n')
+    print(json.dumps({'step_sweep': {str(r[0]): round(r[4], 1) for r in rows}}))
+
+
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         scaling()
+    elif '--step-sweep' in sys.argv:
+        step_sweep()
     else:
         main()

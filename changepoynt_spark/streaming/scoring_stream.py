@@ -17,10 +17,13 @@ randomized methods restart their RNG per buffer.
 
 Out-of-order handling: rows are sorted by position inside each batch; a gap
 in positions stalls the series until the missing points arrive (points
-beyond the gap are buffered in state up to ``max_pending``).  On overflow
-the farthest-ahead pending point is evicted — the positions nearest the gap
-are kept, so the series can always unblock — and the loss is counted in the
-per-series state (``n_dropped``), never silent.
+beyond the gap are buffered in state up to ``max_pending``).  If a gap
+outlasts that budget, the operator advances past it: the missing span is
+declared lost (counted in per-series state as ``n_dropped`` — never silent),
+and scoring restarts at the earliest buffered point with a fresh buffer so
+no score window ever spans missing data.  Dropping points instead (the
+previous behavior) could discard the exact position the stream was stalled
+on, wedging the series forever.
 """
 from __future__ import annotations
 
@@ -71,25 +74,21 @@ def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
         for pdf in pdfs:
             pdf = pdf.sort_values('pos')
             for p, v in zip(pdf['pos'].astype('int64'), pdf['value'].astype('float64')):
-                if p != next_pos:
-                    if p > next_pos:
-                        if len(pending) < max_pending:
-                            pending[int(p)] = float(v)  # out of order: park it
-                        else:
-                            # pending full: keep the positions CLOSEST to
-                            # next_pos (they are what unblocks the series) by
-                            # evicting the farthest-ahead one; count the loss
-                            # so it is never silent.  The old behavior —
-                            # dropping the incoming point — could discard the
-                            # very position the stream is stalled on,
-                            # wedging the series forever.
-                            hi = max(pending)
-                            if p < hi:
-                                del pending[hi]
-                                pending[int(p)] = float(v)
-                            n_dropped += 1
+                if p < next_pos:
                     continue                          # late duplicate: drop
-                pending[int(p)] = float(v)
+                pending[int(p)] = float(v)            # in-order or parked
+                if len(pending) > max_pending:
+                    # The gap at next_pos has outlasted the pending budget.
+                    # Dropping any parked point would wedge the series
+                    # forever (stream points are not resent), so instead
+                    # ADVANCE PAST THE GAP: declare [next_pos, min(pending))
+                    # lost, count the loss, and restart scoring at the
+                    # earliest parked point with an empty buffer (a score
+                    # window must never span missing data).
+                    lo = min(pending)
+                    n_dropped += lo - next_pos
+                    next_pos = lo
+                    buf = []
                 while next_pos in pending:            # drain the contiguous run
                     buf.append(pending.pop(next_pos))
                     if len(buf) > buffer_size:

@@ -61,3 +61,60 @@ def test_streaming_scores_match_batch_exactly(spark, point_stream_dir):
         np.testing.assert_allclose(sub['score'].to_numpy(),
                                    batch_score[first:last + 1],
                                    rtol=1e-10, atol=1e-10)
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the stateful fn."""
+    def __init__(self):
+        self._v, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v, self.exists = v, True
+
+
+def test_gap_overflow_advances_and_counts_loss():
+    """A gap that outlasts max_pending must NOT wedge the series: the
+    operator advances past it, counts the lost span in state, and keeps
+    scoring the post-gap region (with a fresh buffer — no window spans the
+    gap)."""
+    from changepoynt_spark.streaming.scoring_stream import _make_stateful_fn
+
+    params = dict(window_length=4, n_windows=4, lag=2, rank=1,
+                  method='naive updated', scale=False)
+    fn = _make_stateful_fn('sst', params, max_pending=5)
+    sig = streaming_sine_signal(seed=3)[:80]
+    state = _FakeState()
+
+    def feed(positions):
+        pdf = pd.DataFrame({'pos': positions,
+                            'value': [float(sig[p]) for p in positions]})
+        return list(fn(('doc_x',), iter([pdf]), state))
+
+    out1 = feed(range(0, 20))              # clean prefix: scores flow
+    assert out1 and len(out1[0]) > 0
+    # positions 20..24 never arrive; 25..35 overflow the pending budget (5)
+    out2 = feed(range(25, 36))
+    buf, next_pos, pend_p, pend_v, n_dropped = state.get
+    assert n_dropped == 5                  # exactly the lost span [20, 25)
+    assert next_pos == 36                  # advanced and drained past the gap
+    assert not pend_p                      # nothing left parked
+    out3 = feed(range(36, 80))
+    post = pd.concat(out2 + out3) if (out2 or out3) else pd.DataFrame(columns=['pos'])
+    assert len(post) > 0, 'series wedged after gap overflow'
+    # fresh-buffer restart == batch transform of the post-gap segment: no
+    # emitted window spans the gap
+    algo = SST(**params)
+    seg = np.asarray(sig[25:], dtype=np.float64)
+    batch = SST(**params).transform(seg)
+    first = algo.first_score_position
+    checked = 0
+    for pos, score in zip(post['pos'], post['score']):
+        assert pos >= 25, f'emitted position {pos} inside the lost span'
+        if pos >= 25 + first:
+            np.testing.assert_allclose(score, batch[pos - 25], rtol=1e-10)
+            checked += 1
+    assert checked > 10
