@@ -173,6 +173,34 @@ def _lsh_topk_sql(n_planes: int = 6, seed: int = 7, k: int = 10, dim: int = 64) 
     """
 
 
+def _langid_sql() -> str:
+    """SQL form of the trigram language-ID heuristic: non-overlapping
+    substring counts via the replace-length trick (equivalent to
+    pandas str.count for literal patterns), argmax with the kernel's
+    first-max tie order, conf as the same single IEEE division —
+    bit-exact vs the numpy kernel."""
+    from changepoynt_spark.operators.text import _LANG_TRIGRAMS
+    order = list(_LANG_TRIGRAMS)
+    cnt = {L: ' + '.join(f"(length(text) - length(replace(text, '{t}', ''))) / 3"
+                         for t in T)
+           for L, T in _LANG_TRIGRAMS.items()}
+    sel = ', '.join(f"CAST({e} AS DOUBLE) AS s_{L}" for L, e in cnt.items())
+    cases = []
+    for L in order:
+        conds = ' AND '.join(f's_{L} >= s_{M}' for M in order if M != L)
+        cases.append(f"WHEN {conds} THEN '{L}'")
+    pred = "CASE WHEN total = 0 THEN 'und' " + ' '.join(cases) + ' END'
+    tot = ' + '.join(f's_{L}' for L in order)
+    gmax = 'greatest(' + ', '.join(f's_{L}' for L in order) + ')'
+    return f"""
+    WITH s AS (SELECT doc_id, {sel} FROM documents),
+    t AS (SELECT *, {tot} AS total FROM s)
+    SELECT doc_id, {pred} AS lang_pred,
+           CASE WHEN total > 0 THEN {gmax} / total ELSE 0.0 END AS lang_conf
+    FROM t
+    """
+
+
 def _simhash_sql() -> str:
     votes = ', '.join(
         f'SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}'
@@ -578,6 +606,7 @@ def oracle_sql() -> dict[str, str]:
         'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
+        'doc_language_id': _langid_sql(),
         # the LSH band join is candidate PRUNING; on this corpus it must
         # recover the complete brute-force Jaccard pair set at the query
         # threshold (deterministic: fixed hash seeds), so the exact
