@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bocpd_scores': _kernel_query('bocpd', {'run_length': 30}),
         'rulsif_scores': _kernel_query('rulsif', {'window_length': 4, 'n_windows': 8,
                                                   'scoring_step': 2}),
+        'ulsif_scores': _kernel_query('ulsif', {'window_length': 4, 'n_windows': 8,
+                                                'scoring_step': 4}),
         'fluss_scores': _kernel_query('fluss', {'window_length': 8}),
         'msst_scores': _multichannel_query('msst', {'window_length': 12, 'n_windows': 12,
                                                     'lag': 4, 'rank': 2, 'method': 'ika'}),

@@ -27,10 +27,16 @@ def exact_dup_groups(df: DataFrame, text_col: str = 'text') -> DataFrame:
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = 'text') -> DataFrame:
-    """Adds ``shingle_set``: distinct word n-gram strings per doc (JVM-side)."""
+    """Adds ``shingle_set``: distinct word n-gram strings per doc (JVM-side).
+
+    Built from ``n`` BULK array slices zipped together (one struct access per
+    gram element) instead of a per-position ``slice`` inside the lambda —
+    higher-order functions are interpreted, not codegen'd, so allocating a
+    fresh n-element array per position cost ~3x more eval time."""
     words = F.split(F.col(text_col), ' ')
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(idx, lambda i: F.concat_ws(' ', F.slice(words, i + 1, n)))
+    m = F.size(words) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(words, k + 1, m) for k in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(' ', *[s[str(k)] for k in range(n)]))
     return df.withColumn('shingle_set', F.array_distinct(grams)).filter(F.size(words) >= n)
 
 
@@ -82,10 +88,14 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
 def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
                        id_col: str = 'doc_id') -> DataFrame:
     """(id, signature array<bigint>) — k min-hashes over distinct shingles,
-    all native expressions: min(xxhash64(shingle, seed_i))."""
+    all native expressions.  The (variable-length) shingle strings are
+    hashed to int64 ONCE; the k family members rehash that fixed-width
+    value with the hash index (min(xxhash64(xxhash64(s), i))) — k string
+    scans replaced by k int64 mixes."""
     sh = shingles(df, n)
+    hs = F.transform('shingle_set', lambda s: F.xxhash64(s))
     sig = F.array(*[
-        F.array_min(F.transform('shingle_set', lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(hs, lambda h: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)])
     return sh.select(F.col(id_col).alias('doc_id'), 'shingle_set',
                      sig.alias('signature'))
