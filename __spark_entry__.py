@@ -201,6 +201,56 @@ def _langid_sql() -> str:
     """
 
 
+def _ivf_centroids(n_lists: int = 16, dim: int = 64, seed: int = 11):
+    """Data-independent coarse quantizer for the CONTRACT query: seeded
+    unit-norm Gaussian directions (equal norms -> assignment reduces to
+    most-aligned direction, balanced on near-orthogonal corpora).  Being
+    data-independent lets oracle_sql() regenerate the identical literals
+    without a Spark session; the learned-kmeans path is pytest-anchored
+    (ivf full-probe == exact, tests/test_similarity_text.py)."""
+    import numpy as np
+    c = np.random.default_rng(seed).standard_normal((n_lists, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _ivf_topk_sql(n_lists: int = 16, nprobe: int = 4, k: int = 10, dim: int = 64,
+                  seed: int = 11) -> str:
+    """IVF oracle: centroid literals + the same score expression
+    (v.c_i - |c_i|^2/2), probe ranking, first-position argmax assignment,
+    exact cosine re-rank — mirrors similarity.ivf_topk exactly."""
+    cents = _ivf_centroids(n_lists, dim, seed)
+
+    def arr(c):
+        return '[' + ', '.join(repr(float(x)) for x in c) + ']'
+
+    def score(col, c):
+        half = repr(float(c @ c) / 2.0)
+        return f"(list_inner_product({col}, {arr(c)}) - {half})"
+
+    qsc = ' UNION ALL '.join(
+        f"SELECT {i} AS cid, {score('qv', c)} AS s FROM q" for i, c in enumerate(cents))
+    elist = '[' + ', '.join(score('ev', c) for c in cents) + ']'
+    return f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings WHERE vec_id <> 0),
+    qsc AS ({qsc}),
+    probes AS (SELECT cid FROM qsc ORDER BY s DESC, cid LIMIT {nprobe}),
+    assigned AS (SELECT vec_id, ev,
+                        list_position({elist}, list_max({elist})) - 1 AS lid
+                 FROM e),
+    cand AS (SELECT vec_id, ev FROM assigned WHERE lid IN (SELECT cid FROM probes))
+    SELECT vec_id,
+           ROUND(list_inner_product(ev, qv)
+                 / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))),
+                 6) AS cos_sim
+    FROM cand, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {k}
+    """
+
+
 def _simhash_sql() -> str:
     votes = ', '.join(
         f'SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}'
@@ -377,6 +427,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_dup_pairs(spark, sf_dir):
         return dedup.simhash_dup_pairs(_read_spread(spark, sf_dir, 'documents'), max_hamming=6)
 
+    def embedding_ivf_topk(spark, sf_dir):
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        qvec = emb.filter('vec_id = 0').select('embedding').first()[0]
+        cents = _ivf_centroids(n_lists=16, dim=len(qvec), seed=11)
+        return similarity.ivf_topk(emb.filter('vec_id <> 0'), qvec, cents,
+                                   k=10, nprobe=4)
+
     def embedding_lsh_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
         emb = emb.withColumn('embedding',
@@ -486,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'minhash_lsh_dups': minhash_lsh_dups,
         'simhash_dup_pairs': simhash_dup_pairs,
         'embedding_lsh_topk': embedding_lsh_topk,
+        'embedding_ivf_topk': embedding_ivf_topk,
         'embedding_knn': embedding_knn,
         'chunked_moving_window': chunked_moving_window,
         'retention_report': retention_report,
@@ -608,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
+        'embedding_ivf_topk': _ivf_topk_sql(n_lists=16, nprobe=4, k=10),
         'doc_language_id': _langid_sql(),
         # the LSH band join is candidate PRUNING; on this corpus it must
         # recover the complete brute-force Jaccard pair set at the query

@@ -96,6 +96,64 @@ def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, se
     return cosine_topk(candidates, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def kmeans_centroids(df: DataFrame, k: int = 16, iters: int = 10, seed: int = 7,
+                     sample: int = 10_000, id_col: str = 'vec_id',
+                     vec_col: str = 'embedding') -> np.ndarray:
+    """Coarse quantizer for the IVF index: Lloyd's k-means on a deterministic
+    sample (ordered by id — at cluster scale substitute a hash-sampled
+    fraction), run driver-side in numpy.  The centroid matrix is small
+    (k x dim) and becomes broadcast literals, exactly like the LSH planes."""
+    pdf = df.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+            else:  # empty cluster: reseed to the farthest point
+                cent[j] = x[d.min(axis=1).argmax()]
+    return cent
+
+
+def _ivf_scores(centroids: np.ndarray, vec_col: str):
+    """array<double> of assignment scores v.c_i - |c_i|^2/2 (argmax of this
+    == argmin squared L2), all native expressions over literal centroids."""
+    cols = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        cols.append(_dot(F.col(vec_col), lit) - F.lit(float(c @ c) / 2.0))
+    return F.array(*cols)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = 'embedding') -> DataFrame:
+    """Adds ``list_id``: nearest-centroid index (first index on exact ties,
+    matching DuckDB's list_position for the cross-engine oracle).  At scale
+    the table is written partitioned by ``list_id`` so probes prune files."""
+    scores = _ivf_scores(centroids, vec_col)
+    lid = F.array_position(scores, F.array_max(scores)) - 1
+    return df.withColumn('list_id', lid.cast('int'))
+
+
+def ivf_topk(df: DataFrame, query_vec, centroids: np.ndarray, k: int = 10,
+             nprobe: int = 4, id_col: str = 'vec_id',
+             vec_col: str = 'embedding') -> DataFrame:
+    """IVF ANN: scan only the ``nprobe`` inverted lists nearest the query,
+    exact cosine re-rank inside them.  With nprobe >= n_lists this IS the
+    exact search (asserted in tests) — recall is tuned by nprobe, candidate
+    share is ~nprobe/n_lists."""
+    q = np.asarray([float(x) for x in query_vec])
+    qscore = centroids @ q - (centroids * centroids).sum(axis=1) / 2.0
+    probes = [int(i) for i in np.argsort(-qscore)[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col('list_id').isin(probes)).drop('list_id')
+    return cosine_topk(cand, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int = 8,
                           seed: int = 7, n_tables: int = 8, id_col: str = 'vec_id',
                           vec_col: str = 'embedding') -> DataFrame:

@@ -148,3 +148,50 @@ def test_embedding_cosine_dups_multi_table_recall(spark):
     assert got <= truth, f'spurious pairs {got - truth}'   # exact verify
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f'recall {recall}'
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, embeddings):
+    """IVF with nprobe == n_lists scans everything — it must return exactly
+    the brute-force top-k (the correctness anchor for the pruned path)."""
+    from changepoynt_spark.operators import similarity
+    pdf = embeddings.toPandas()
+    q = np.stack(pdf[pdf.vec_id == 0]['embedding'].to_numpy())[0]
+    corpus = embeddings.filter('vec_id <> 0')
+    cents = similarity.kmeans_centroids(corpus, k=8, iters=5, seed=7)
+    exact = similarity.cosine_topk(corpus, q, k=10).toPandas()
+    full = similarity.ivf_topk(corpus, q, cents, k=10, nprobe=len(cents)).toPandas()
+    assert full['vec_id'].tolist() == exact['vec_id'].tolist()
+    np.testing.assert_array_equal(full['cos_sim'].to_numpy(),
+                                  exact['cos_sim'].to_numpy())
+
+
+def test_ivf_lists_partition_the_corpus(spark, embeddings):
+    """Every vector lands in exactly one list and no list hogs the corpus
+    (the partition-pruning contract of the IVF layout)."""
+    from changepoynt_spark.operators import similarity
+    corpus = embeddings.filter('vec_id <> 0')
+    cents = similarity.kmeans_centroids(corpus, k=8, iters=5, seed=7)
+    assigned = similarity.ivf_assign(corpus, cents)
+    sizes = assigned.groupBy('list_id').count().toPandas()
+    assert sizes['count'].sum() == corpus.count()
+    assert 0 <= sizes['list_id'].min() and sizes['list_id'].max() < len(cents)
+    assert sizes['count'].max() < corpus.count()  # quantizer actually splits
+
+
+def test_ivf_probe_shrinks_candidates_and_keeps_recall(spark, embeddings):
+    """nprobe < n_lists must scan a strict subset; recall of the exact top-10
+    stays useful (learned centroids, nearest-probe ordering)."""
+    from changepoynt_spark.operators import similarity
+    pdf = embeddings.toPandas()
+    q = np.stack(pdf[pdf.vec_id == 0]['embedding'].to_numpy())[0]
+    corpus = embeddings.filter('vec_id <> 0')
+    cents = similarity.kmeans_centroids(corpus, k=8, iters=5, seed=7)
+    assigned = similarity.ivf_assign(corpus, cents)
+    qscore = cents @ q - (cents * cents).sum(axis=1) / 2.0
+    probes = [int(i) for i in np.argsort(-qscore)[:2]]
+    n_cand = assigned.filter(assigned.list_id.isin(probes)).count()
+    assert n_cand < corpus.count() / 2
+    exact = set(similarity.cosine_topk(corpus, q, k=10).toPandas()['vec_id'])
+    got = set(similarity.ivf_topk(corpus, q, cents, k=10, nprobe=2)
+              .toPandas()['vec_id'])
+    assert len(got & exact) >= 3  # near-orthogonal corpus: partial by theory
