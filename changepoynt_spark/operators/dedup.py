@@ -140,23 +140,38 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: in
 
 def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             bits: int = 32) -> DataFrame:
-    """(doc_id, simhash) — bitwise majority vote over 32-bit md5-derived word
+    """(doc_id, simhash) — bitwise majority vote over md5-derived word
     hashes.  Pure SQL (explode + groupBy), reproducible in DuckDB since both
-    engines agree on md5(hex)."""
+    engines agree on md5(hex).
+
+    ``bits`` up to 64: word hashes are assembled from two 32-bit md5 halves
+    (a direct 64-bit decimal parse would overflow ANSI BIGINT), and the
+    reconstruction uses shifts, not 2^b literals, so bit 63 (the sign bit of
+    the long BIT PATTERN) is representable — the 64-bit form is what a
+    100 TB corpus needs for simhash banding (9-10 bit segments instead of
+    4-5)."""
+    assert 1 <= bits <= 64
     words = df.select(F.col(id_col).alias('doc_id'),
                       F.explode(F.split(text_col, ' ')).alias('w'))
-    # first 8 hex chars of md5 -> 32-bit unsigned int
-    h = F.conv(F.substring(F.md5('w'), 1, 8), 16, 10).cast('long')
+    # first 8 hex chars of md5 -> 32-bit unsigned int (low half); chars 9-16
+    # supply the high half when bits > 32
+    lo = F.conv(F.substring(F.md5('w'), 1, 8), 16, 10).cast('long')
+    if bits > 32:
+        hi = F.conv(F.substring(F.md5('w'), 9, 8), 16, 10).cast('long')
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h = lo
     words = words.withColumn('h', h)
-    votes = [F.sum(F.when(F.shiftright(F.col('h'), b).bitwiseAND(F.lit(1)) == 1,
+    votes = [F.sum(F.when(F.shiftrightunsigned(F.col('h'), b).bitwiseAND(F.lit(1)) == 1,
                           F.lit(1)).otherwise(F.lit(-1))).alias(f'b{b}')
              for b in range(bits)]
     agg = words.groupBy('doc_id').agg(*votes)
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f'b{b}') > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
-        sim = bit if sim is None else sim + bit
-    return agg.select('doc_id', sim.cast('long').alias('simhash'))
+        bit = F.when(F.col(f'b{b}') > 0,
+                     F.shiftleft(F.lit(1).cast('long'), b)).otherwise(F.lit(0).cast('long'))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return agg.select('doc_id', sim.alias('simhash'))
 
 
 def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:

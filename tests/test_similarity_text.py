@@ -98,26 +98,31 @@ def test_fingerprints_match_frozen_golden_sf001(spark):
                                   g['min_shingle_hash'])
 
 
-@pytest.mark.parametrize('sf,max_hamming', [
-    ('/root/testdata/sf0.001', 6), ('/root/testdata/sf0.01', 6),
-    ('/root/testdata/sf0.001', 3),
+@pytest.mark.parametrize('sf,max_hamming,bits', [
+    ('/root/testdata/sf0.001', 6, 32), ('/root/testdata/sf0.01', 6, 32),
+    ('/root/testdata/sf0.001', 3, 32), ('/root/testdata/sf0.001', 6, 64),
+    ('/root/testdata/sf0.01', 6, 64),
 ])
-def test_simhash_dup_pairs_recall_is_exactly_one(spark, sf, max_hamming):
+def test_simhash_dup_pairs_recall_is_exactly_one(spark, sf, max_hamming, bits):
     """Pigeonhole banding (max_hamming+1 segments) must find EVERY pair
     within the hamming radius — recall 1.0 against the exhaustive all-pairs
-    enumeration (and precision 1.0: the exact verify keeps no others)."""
+    enumeration (and precision 1.0: the exact verify keeps no others).
+    bits=64 is the 100 TB form (9-10 bit band segments)."""
     from changepoynt_spark.operators import dedup
     docs = spark.read.parquet(f'{sf}/documents.parquet')
-    sh = dedup.simhash(docs).toPandas()
+    sh = dedup.simhash(docs, bits=bits).toPandas()
     ids = sh['doc_id'].to_numpy()
     hs = sh['simhash'].to_numpy(np.int64)
-    xor = hs[:, None] ^ hs[None, :]
+    if bits == 64:  # the high half must actually carry entropy
+        assert (np.abs(hs) >= (1 << 32)).any()
+    xor = (hs[:, None] ^ hs[None, :]).view(np.uint64)
     ham = np.zeros(xor.shape, dtype=np.int64)
-    for b in range(32):
-        ham += (xor >> b) & 1
+    for b in range(bits):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
     ia, ib = np.where(np.triu(ham <= max_hamming, k=1))
     truth = {(min(ids[a], ids[b]), max(ids[a], ids[b])) for a, b in zip(ia, ib)}
-    got_pdf = dedup.simhash_dup_pairs(docs, max_hamming=max_hamming).toPandas()
+    got_pdf = dedup.simhash_dup_pairs(docs, max_hamming=max_hamming,
+                                      bits=bits).toPandas()
     got = {(min(a, b), max(a, b)) for a, b in zip(got_pdf['doc_a'], got_pdf['doc_b'])}
     assert got == truth, (f'recall {len(got & truth)}/{len(truth)}, '
                           f'{len(got - truth)} spurious')
