@@ -59,3 +59,41 @@ def test_streaming_append_emits_closed_buckets_once(spark, events_dir):
     have = set(zip(got['user_id'], got['bucket_start']))
     missing = [k for k in zip(closed['user_id'], closed['bucket_start']) if k not in have]
     assert not missing, missing[:5]
+
+
+def test_streaming_exact_dedup_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """Duplicate texts arriving in LATER micro-batches (within the watermark
+    horizon) are suppressed; the surviving set equals the batch-engine
+    distinct set."""
+    import os
+    import pandas as pd
+    from changepoynt_spark.streaming.dedup_stream import streaming_exact_dedup
+
+    base = pd.Timestamp('2026-01-01 00:00:00')
+    batches = [
+        pd.DataFrame({'doc_id': [0, 1, 2],
+                      'ts': [base, base, base + pd.Timedelta(minutes=1)],
+                      'text': ['alpha beta', 'gamma delta', 'alpha beta']}),
+        pd.DataFrame({'doc_id': [3, 4],
+                      'ts': [base + pd.Timedelta(minutes=2)] * 2,
+                      'text': ['alpha beta', 'epsilon zeta']}),
+        pd.DataFrame({'doc_id': [5],
+                      'ts': [base + pd.Timedelta(minutes=3)],
+                      'text': ['gamma delta']}),
+    ]
+    src = str(tmp_path / 'docs')
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f'{src}/batch={i}')
+    schema = spark.read.parquet(f'{src}/batch=0').schema
+    stream = (spark.readStream.schema(schema).option('maxFilesPerTrigger', 1)
+              .parquet(f'{src}/batch=*'))
+    deduped = streaming_exact_dedup(stream, ts_col='ts', text_col='text',
+                                    delay='30 minutes')
+    q = (deduped.writeStream.outputMode('append').format('memory')
+         .queryName('dedup_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql('SELECT * FROM dedup_stream').toPandas()
+    assert sorted(got['text'].tolist()) == ['alpha beta', 'epsilon zeta',
+                                            'gamma delta']
+    assert not got['text_hash'].duplicated().any()
