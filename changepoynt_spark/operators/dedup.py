@@ -34,7 +34,10 @@ def shingles(df: DataFrame, n: int = 3, text_col: str = 'text') -> DataFrame:
     higher-order functions are interpreted, not codegen'd, so allocating a
     fresh n-element array per position cost ~3x more eval time."""
     words = F.split(F.col(text_col), ' ')
-    m = F.size(words) - (n - 1)
+    # clamp: docs shorter than n words are filtered below, but the
+    # projection can be evaluated before the filter and slice() THROWS on a
+    # negative length (the old sequence() form yielded empty instead)
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(words, k + 1, m) for k in range(n)])
     grams = F.transform(zipped, lambda s: F.concat_ws(' ', *[s[str(k)] for k in range(n)]))
     return df.withColumn('shingle_set', F.array_distinct(grams)).filter(F.size(words) >= n)

@@ -200,3 +200,28 @@ def test_ivf_probe_shrinks_candidates_and_keeps_recall(spark, embeddings):
     got = set(similarity.ivf_topk(corpus, q, cents, k=10, nprobe=2)
               .toPandas()['vec_id'])
     assert len(got & exact) >= 3  # near-orthogonal corpus: partial by theory
+
+
+def test_dedup_text_ops_on_degenerate_docs(spark):
+    """Empty tables, empty strings and sub-n-gram docs must flow through
+    every dedup/text operator without error (a 100 TB corpus WILL contain
+    them; slice() on a negative length throws, regression-pinned here)."""
+    from changepoynt_spark.operators import dedup
+    schema = 'doc_id long, text string, lang string, source string'
+    empty = spark.createDataFrame([], schema)
+    weird = spark.createDataFrame(
+        [(1, '', 'en', 's'), (2, 'word', 'en', 's'), (3, 'a b', 'en', 's'),
+         (4, 'just three words', 'en', 's'), (5, 'just three words', 'en', 's')],
+        schema)
+    for df, label in ((empty, 'empty'), (weird, 'weird')):
+        dedup.exact_dup_groups(df).count()
+        dedup.ngram_jaccard_pairs(df, df_cap=50).count()
+        dedup.simhash_dup_pairs(df, 6).count()
+        dedup.minhash_lsh_pairs(df).count()
+        text.fingerprint_documents(df).count()
+        text.language_id(df).count()
+        text.token_counts(df).count()
+    # the one 3-word duplicate pair IS found (shingling still works at the
+    # exact minimum length)
+    pairs = dedup.ngram_jaccard_pairs(weird, df_cap=50).toPandas()
+    assert [(a, b) for a, b in zip(pairs['doc_a'], pairs['doc_b'])] == [(4, 5)]
