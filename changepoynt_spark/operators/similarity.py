@@ -27,6 +27,13 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _drop_zero_norm(df: DataFrame, vec_col: str) -> DataFrame:
+    """Cosine similarity is undefined for zero vectors (and under ANSI mode
+    the division THROWS rather than yielding NaN); a real corpus contains
+    them (empty docs embed to zeros), so they are excluded from scoring."""
+    return df.filter(_norm(F.col(vec_col)) > 0)
+
+
 def cosine_topk(df: DataFrame, query_vec, k: int = 10, id_col: str = 'vec_id',
                 vec_col: str = 'embedding') -> DataFrame:
     """Top-k rows by cosine similarity to ``query_vec`` (python list/ndarray).
@@ -34,6 +41,9 @@ def cosine_topk(df: DataFrame, query_vec, k: int = 10, id_col: str = 'vec_id',
     q = [float(x) for x in query_vec]
     qlit = F.array(*[F.lit(x) for x in q])
     qnorm = float(np.linalg.norm(q))
+    if qnorm == 0.0:
+        raise ValueError('query vector has zero norm — cosine is undefined')
+    df = _drop_zero_norm(df, vec_col)
     sim = _dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     return (df.select(F.col(id_col), F.round(sim, 6).alias('cos_sim'))
               .orderBy(F.col('cos_sim').desc(), F.col(id_col))
@@ -44,6 +54,7 @@ def embedding_knn_pairs(df: DataFrame, query_ids, k: int = 5, id_col: str = 'vec
                         vec_col: str = 'embedding') -> DataFrame:
     """Exact k-NN of a small query-id set against the whole corpus via a
     broadcast join (query side broadcast — corpus is never shuffled)."""
+    df = _drop_zero_norm(df, vec_col)
     queries = df.filter(F.col(id_col).isin(list(query_ids))) \
                 .select(F.col(id_col).alias('query_id'), F.col(vec_col).alias('_qv'))
     joined = df.join(F.broadcast(queries), F.col(id_col) != F.col('query_id'))
@@ -167,8 +178,13 @@ def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int 
     measured in tests/test_similarity_text.py).  Only (id, bucket) rows ride
     the bucket exchanges; vectors are re-attached to the candidate pairs for
     the verify stage."""
-    dim = len(df.select(vec_col).first()[0])
-    vecs = df.select(F.col(id_col).alias('_id'), F.col(vec_col).alias('_v'))
+    first = df.select(vec_col).first()
+    if first is None:  # empty corpus: empty result, stable schema
+        return df.sparkSession.createDataFrame(
+            [], 'vec_a long, vec_b long, cos_sim double')
+    dim = len(first[0])
+    vecs = _drop_zero_norm(df, vec_col) \
+        .select(F.col(id_col).alias('_id'), F.col(vec_col).alias('_v'))
     cands = None
     for t in range(n_tables):
         sigs = hyperplane_signatures(vecs, dim=dim, n_planes=n_planes,

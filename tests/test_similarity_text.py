@@ -225,3 +225,29 @@ def test_dedup_text_ops_on_degenerate_docs(spark):
     # exact minimum length)
     pairs = dedup.ngram_jaccard_pairs(weird, df_cap=50).toPandas()
     assert [(a, b) for a, b in zip(pairs['doc_a'], pairs['doc_b'])] == [(4, 5)]
+
+
+def test_similarity_ops_tolerate_zero_vectors_and_empty_corpus(spark):
+    """Zero-norm embeddings (empty docs embed to zeros) must be excluded,
+    not crash ANSI division; an empty corpus yields an empty result with a
+    stable schema."""
+    from changepoynt_spark.operators import similarity
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(6)]
+    rows.append((9, [0.0] * 8))
+    df = spark.createDataFrame(rows, 'vec_id long, embedding array<double>')
+    q = [1.0] * 8
+    topk = similarity.cosine_topk(df, q, k=10).toPandas()
+    assert 9 not in set(topk['vec_id'])          # zero vector excluded
+    assert len(topk) == 6
+    knn = similarity.embedding_knn_pairs(df, query_ids=[0], k=3).toPandas()
+    assert 9 not in set(knn['neighbor_id'])
+    dups = similarity.embedding_cosine_dups(df, threshold=0.5, n_planes=4,
+                                            n_tables=2)
+    assert 9 not in set(dups.toPandas().get('vec_a', []))
+    empty = spark.createDataFrame([], 'vec_id long, embedding array<double>')
+    out = similarity.embedding_cosine_dups(empty, 0.5)
+    assert out.count() == 0
+    assert out.columns == ['vec_a', 'vec_b', 'cos_sim']
+    with pytest.raises(ValueError):
+        similarity.cosine_topk(df, [0.0] * 8, k=3)
