@@ -71,33 +71,42 @@ def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
             buf, next_pos, pending, n_dropped = [], 0, {}, 0
         algo = build_algorithm(algorithm, params)
         out_pos, out_score = [], []
+
+        def drain():
+            nonlocal next_pos
+            while next_pos in pending:                # the contiguous run
+                buf.append(pending.pop(next_pos))
+                if len(buf) > buffer_size:
+                    buf.pop(0)
+                if len(buf) == buffer_size:
+                    score = algo.transform(np.asarray(buf, dtype=np.float64))
+                    out_pos.append(next_pos - delay)
+                    out_score.append(float(score[score_position]))
+                next_pos += 1
+
         for pdf in pdfs:
             pdf = pdf.sort_values('pos')
             for p, v in zip(pdf['pos'].astype('int64'), pdf['value'].astype('float64')):
                 if p < next_pos:
                     continue                          # late duplicate: drop
                 pending[int(p)] = float(v)            # in-order or parked
+                drain()
                 if len(pending) > max_pending:
-                    # The gap at next_pos has outlasted the pending budget.
+                    # A REAL gap at next_pos (drain() just ran, so nothing
+                    # parked is contiguous) has outlasted the pending budget.
                     # Dropping any parked point would wedge the series
                     # forever (stream points are not resent), so instead
                     # ADVANCE PAST THE GAP: declare [next_pos, min(pending))
                     # lost, count the loss, and restart scoring at the
                     # earliest parked point with an empty buffer (a score
-                    # window must never span missing data).
+                    # window must never span missing data).  Checking AFTER
+                    # the drain means an in-order point that merely unblocks
+                    # a full pending buffer never resets the buffer.
                     lo = min(pending)
                     n_dropped += lo - next_pos
                     next_pos = lo
-                    buf = []
-                while next_pos in pending:            # drain the contiguous run
-                    buf.append(pending.pop(next_pos))
-                    if len(buf) > buffer_size:
-                        buf.pop(0)
-                    if len(buf) == buffer_size:
-                        score = algo.transform(np.asarray(buf, dtype=np.float64))
-                        out_pos.append(next_pos - delay)
-                        out_score.append(float(score[score_position]))
-                    next_pos += 1
+                    buf.clear()
+                    drain()
         state.update((buf, next_pos, list(pending.keys()), list(pending.values()),
                       n_dropped))
         if out_pos:

@@ -118,3 +118,40 @@ def test_gap_overflow_advances_and_counts_loss():
             np.testing.assert_allclose(score, batch[pos - 25], rtol=1e-10)
             checked += 1
     assert checked > 10
+
+
+def test_unblocking_point_on_full_pending_keeps_continuity():
+    """When the pending buffer is AT capacity and the missing point finally
+    arrives, nothing was lost — the buffer must NOT reset and every score
+    must equal the batch transform of the full signal (regression: the
+    overflow check used to fire before the drain)."""
+    from changepoynt_spark.streaming.scoring_stream import _make_stateful_fn
+
+    params = dict(window_length=4, n_windows=4, lag=2, rank=1,
+                  method='naive updated', scale=False)
+    fn = _make_stateful_fn('sst', params, max_pending=5)
+    sig = streaming_sine_signal(seed=5)[:40]
+    state = _FakeState()
+
+    def feed(positions):
+        pdf = pd.DataFrame({'pos': positions,
+                            'value': [float(sig[p]) for p in positions]})
+        return list(fn(('doc_y',), iter([pdf]), state))
+
+    out = []
+    out += feed(range(0, 15))
+    out += feed([16, 17, 18, 19, 20])   # 15 missing; pending fills to cap (5)
+    out += feed([15])                   # the unblocking point: NOT an overflow
+    out += feed(range(21, 40))
+    buf, next_pos, pend_p, pend_v, n_dropped = state.get
+    assert n_dropped == 0
+    assert next_pos == 40
+    got = pd.concat(out).sort_values('pos')
+    batch = SST(**params).transform(np.asarray(sig, dtype=np.float64))
+    det = SST(**params)
+    first = det.first_score_position
+    buffer_size = det.covered_regions()[0] + 1
+    last = len(sig) - 1 - (buffer_size - 1 - first)
+    assert got['pos'].tolist() == list(range(first, last + 1))  # no holes
+    np.testing.assert_allclose(got['score'].to_numpy(),
+                               batch[first:last + 1], rtol=1e-10)
