@@ -53,12 +53,27 @@ STATE_SCHEMA = T.StructType([
 ])
 
 
+def _buffer_geometry(probe):
+    """(buffer_size, score_position) for the rolling-replay buffer.
+
+    Subspace algorithms publish covered_regions/first_score_position; the
+    MovingWindow baseline's score at position p depends exactly on values
+    [p-w, p+w), so a (2w+1)-buffer scores its center."""
+    if hasattr(probe, 'covered_regions'):
+        total_region = probe.covered_regions()[0]
+        return total_region + 1, probe.first_score_position
+    from changepoynt_spark.kernels.baseline import MovingWindow
+    if isinstance(probe, MovingWindow):
+        w = probe.window_length
+        return 2 * w + 1, w
+    raise ValueError(f'streaming scoring unsupported for {type(probe).__name__}: '
+                     'no replay-buffer geometry')
+
+
 def _make_stateful_fn(algorithm: str, params: dict, max_pending: int = 10_000):
     params = dict(params or {})
     probe = build_algorithm(algorithm, params)
-    total_region = probe.covered_regions()[0]
-    buffer_size = total_region + 1
-    score_position = probe.first_score_position
+    buffer_size, score_position = _buffer_geometry(probe)
     delay = buffer_size - 1 - score_position
 
     def fn(key, pdfs, state: GroupState):

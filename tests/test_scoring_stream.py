@@ -155,3 +155,26 @@ def test_unblocking_point_on_full_pending_keeps_continuity():
     assert got['pos'].tolist() == list(range(first, last + 1))  # no holes
     np.testing.assert_allclose(got['score'].to_numpy(),
                                batch[first:last + 1], rtol=1e-10)
+
+
+def test_streaming_moving_window_matches_batch():
+    """The MovingWindow baseline streams too: every emitted score equals the
+    batch transform at that position (its score depends only on the
+    [p-w, p+w) neighborhood, so a (2w+1)-buffer replay is exact)."""
+    from changepoynt_spark.streaming.scoring_stream import _make_stateful_fn
+    from changepoynt_spark.kernels.baseline import MovingWindow
+
+    params = {'window_length': 6, 'method': 'meanvar'}
+    fn = _make_stateful_fn('moving_window', params)
+    sig = streaming_sine_signal(seed=9)[:70]
+    state = _FakeState()
+    pdf = pd.DataFrame({'pos': range(len(sig)), 'value': sig.astype(float)})
+    out = pd.concat(list(fn(('doc_m',), iter([pdf]), state)))
+    batch = MovingWindow(**params).transform(np.asarray(sig, dtype=np.float64))
+    w = params['window_length']
+    assert out['pos'].min() == w                    # first scoreable position
+    # fixed-offset replay emits up to len-1-delay (same tail truncation as
+    # the reference's buffered-replay protocol)
+    assert out['pos'].max() == len(sig) - 1 - w
+    for pos, score in zip(out['pos'], out['score']):
+        np.testing.assert_allclose(score, batch[pos], rtol=1e-12)
