@@ -131,3 +131,25 @@ def test_salted_repartition_spreads_heavy_docs(spark):
     sizes = (out.withColumn('p', F.spark_partition_id())
                 .groupBy('p').agg(F.sum('n_tok').alias('c')).toPandas()['c'])
     assert sizes.max() < 4 * sizes.mean()
+
+
+def test_gap_fill_linear_native_bitmatches_np_interp(spark):
+    """The window-function linear fill (no Python, spillable at decade-long
+    series scale) must reproduce np.interp bit-for-bit, edges included."""
+    rng = np.random.default_rng(7)
+    n = 500
+    base = pd.Timestamp('2026-01-01')
+    pdf = pd.DataFrame({'k': 'x',
+                        'bucket_start': [base + pd.Timedelta(minutes=i)
+                                         for i in range(n)],
+                        'avg_value': rng.standard_normal(n).cumsum()})
+    pdf = pdf[rng.random(n) > 0.4]
+    df = spark.createDataFrame(pdf)
+    got = rollup.gap_fill(df, keys=['k'], interval_seconds=60, method='linear') \
+                .toPandas().sort_values('bucket_start').reset_index(drop=True)
+    idx = ((pdf['bucket_start'] - pdf['bucket_start'].min())
+           .dt.total_seconds() // 60).to_numpy()
+    x = np.arange(idx.max() + 1, dtype=np.float64)
+    expect = np.interp(x, idx.astype(np.float64), pdf['avg_value'].to_numpy())
+    assert len(got) == len(x)
+    np.testing.assert_array_equal(got['avg_value'].to_numpy(), expect)
