@@ -112,6 +112,32 @@ _ZERO_SQL = "SELECT event_id, CAST(0.0 AS DOUBLE) AS score FROM events"
 _SIMHASH_BITS = 32
 
 
+_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                      generate_subscripts(string_split(text, ' '), 1) AS i
+               FROM documents),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       FROM words a
+       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+dups AS (SELECT da, db
+         FROM pair JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5),
+edges AS (SELECT da AS src, db AS dst FROM dups
+          UNION SELECT db, da FROM dups),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 6) -> str:
     """Brute-force O(n^2) oracle for the banded simhash pair query — the
     banding is a pruning strategy only, so the result sets must be equal."""
@@ -388,6 +414,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
                                          n=3, threshold=0.5, df_cap=50)
 
+    def doc_dup_clusters(spark, sf_dir):
+        # connected components over the exact n-gram Jaccard pair graph:
+        # cluster_id = smallest reachable doc id (canonical representative)
+        pairs = dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
+                                          n=3, threshold=0.5, df_cap=50)
+        return dedup.dup_clusters(pairs)
+
     def doc_simhash(spark, sf_dir):
         return dedup.simhash(_read_spread(spark, sf_dir, 'documents'))
 
@@ -518,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_exact_dups': doc_exact_dups,
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
+        'doc_dup_clusters': doc_dup_clusters,
         'doc_simhash': doc_simhash,
         'embedding_topk_cosine': embedding_topk_cosine,
         'lineitem_pricing_summary': lineitem_pricing_summary,
@@ -665,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
         """,
         'doc_simhash': _simhash_sql(),
+        'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),

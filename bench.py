@@ -75,7 +75,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'doc_simhash', 'minhash_lsh_dups', 'embedding_topk_cosine',
              'embedding_knn', 'lineitem_pricing_summary', 'nation_revenue',
              'sst_ika_scores', 'bocpd_scores', 'fluss_scores',
-             'scored_rollup_compressed']
+             'scored_rollup_compressed', 'simhash_dup_pairs', 'embedding_ivf_topk',
+             'doc_dup_clusters']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -141,6 +141,46 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: in
                  .select('doc_a', 'doc_b', 'jaccard'))
 
 
+def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
+                 max_iterations: int = 50) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over a near-duplicate
+    pair graph; cluster_id = the smallest doc id reachable from the doc
+    (the canonical representative a dedup pipeline keeps).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; rounds needed = graph
+    diameter (near-dup clusters are shallow, so a handful).  Each round is
+    one join + one groupBy — the standard shuffle-bounded CC pattern at
+    corpus scale (GraphFrames' algorithm is the same shape).  Labels are
+    cached per round and the loop exits on a fixpoint (count of changed
+    labels = 0).
+    """
+    edges = pairs.select(F.col(id_a).alias('src'), F.col(id_b).alias('dst'))
+    edges = edges.unionByName(
+        edges.select(F.col('dst').alias('src'), F.col('src').alias('dst'))) \
+        .distinct().cache()
+    labels = edges.select(F.col('src').alias('node')).distinct() \
+                  .withColumn('label', F.col('node')).cache()
+    for _ in range(max_iterations):
+        prop = (edges.join(labels, edges.src == labels.node)
+                     .groupBy(F.col('dst').alias('node2'))
+                     .agg(F.min('label').alias('nlabel')))
+        new_labels = (labels.join(prop, labels.node == prop.node2, 'left')
+                            .select('node',
+                                    F.least('label', F.coalesce('nlabel', 'label'))
+                                     .alias('label'))).cache()
+        changed = (new_labels.alias('n')
+                   .join(labels.alias('o'), 'node')
+                   .filter(F.col('n.label') != F.col('o.label')).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col('node').alias('doc_id'),
+                         F.col('label').alias('cluster_id'))
+
+
 def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — bitwise majority vote over md5-derived word
