@@ -414,6 +414,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
                                          n=3, threshold=0.5, df_cap=50)
 
+    def doc_split_counts(spark, sf_dir):
+        from changepoynt_spark.operators import packing
+        split = packing.split_by_hash(_read(spark, sf_dir, 'documents'), val_pct=10)
+        return split.groupBy('split').agg(F.count('*').alias('n_docs'))
+
+    def doc_top_words(spark, sf_dir):
+        docs = _read(spark, sf_dir, 'documents')
+        words = docs.select(F.explode(F.split('text', ' ')).alias('w'))
+        return (words.groupBy('w').agg(F.count('*').alias('n'))
+                     .orderBy(F.col('n').desc(), 'w').limit(50))
+
+    def doc_pack_stats(spark, sf_dir):
+        # rows-only: pack composition depends on partitioning; invariants
+        # (exactly-once, budget) are pytest-asserted (tests/test_packing.py)
+        from changepoynt_spark.operators import packing, text
+        toks = text.tokenize_documents(_read(spark, sf_dir, 'documents'))
+        packs = packing.pack_sequences(toks, budget=2048)
+        return packs.select('pack_id', 'n_docs', 'total_tok', 'oversize')
+
     def doc_dup_clusters(spark, sf_dir):
         # connected components over the exact n-gram Jaccard pair graph:
         # cluster_id = smallest reachable doc id (canonical representative)
@@ -552,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
         'doc_dup_clusters': doc_dup_clusters,
+        'doc_split_counts': doc_split_counts,
+        'doc_top_words': doc_top_words,
+        'doc_pack_stats': doc_pack_stats,
         'doc_simhash': doc_simhash,
         'embedding_topk_cosine': embedding_topk_cosine,
         'lineitem_pricing_summary': lineitem_pricing_summary,
@@ -700,6 +722,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         'doc_simhash': _simhash_sql(),
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
+        'doc_split_counts': """
+            SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        'doc_top_words': """
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY n DESC, w LIMIT 50
+        """,
         'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),

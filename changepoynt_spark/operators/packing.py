@@ -1,0 +1,89 @@
+"""Training-batch assembly operators: sequence packing and hash splits.
+
+Sequence packing — concatenating short documents into fixed-budget training
+sequences — is the canonical last step of an LLM data pipeline (wasted pad
+tokens = wasted FLOPs).  Optimal bin packing is NP-hard and inherently
+sequential, so the scale design is: pack GREEDILY WITHIN EACH PARTITION
+(first-fit-decreasing over the partition's docs, vectorized bookkeeping),
+which needs no shuffle at all — at 10^12 docs each partition packs its own
+slice and pack quality converges to FFD's 11/9-OPT bound as partitions grow.
+Pack ids are (partition, seq) pairs, globally unique without coordination.
+
+Hash splits assign train/validation deterministically from a content-stable
+hash of the doc id — reproducible across engines, runs and cluster sizes
+(md5-based, so the DuckDB oracle computes the identical assignment).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PACK_SCHEMA = T.StructType([
+    T.StructField('pack_id', T.StringType(), False),
+    T.StructField('doc_ids', T.ArrayType(T.StringType()), False),
+    T.StructField('n_docs', T.IntegerType(), False),
+    T.StructField('total_tok', T.LongType(), False),
+    T.StructField('fill_ratio', T.DoubleType(), False),
+    T.StructField('oversize', T.BooleanType(), False),
+])
+
+
+def pack_sequences(df: DataFrame, budget: int = 2048, id_col: str = 'doc_id',
+                   len_col: str = 'n_tok') -> DataFrame:
+    """(pack_id, doc_ids, n_docs, total_tok, fill_ratio, oversize).
+
+    First-fit-decreasing within each partition: docs sorted by length
+    descending, each placed into the first open pack with room; docs longer
+    than ``budget`` become single-doc packs flagged ``oversize`` (the caller
+    chunks or truncates those downstream).  Every input doc lands in exactly
+    one pack (asserted in tests).
+    """
+
+    def kernel(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        ids, lens = [], []
+        for pdf in batches:
+            ids.extend(pdf[id_col].astype(str).tolist())
+            lens.extend(pdf[len_col].astype('int64').tolist())
+        if not ids:
+            return
+        order = np.argsort(-np.asarray(lens), kind='stable')  # FFD
+        pack_docs, pack_used = [], []
+        for i in order:
+            n = lens[i]
+            placed = False
+            if n <= budget:
+                for j in range(len(pack_used)):
+                    if pack_used[j] + n <= budget:
+                        pack_used[j] += n
+                        pack_docs[j].append(ids[i])
+                        placed = True
+                        break
+            if not placed:
+                pack_docs.append([ids[i]])
+                pack_used.append(n)
+        yield pd.DataFrame({
+            'pack_id': [f'{pid}-{j}' for j in range(len(pack_docs))],
+            'doc_ids': pack_docs,
+            'n_docs': np.array([len(d) for d in pack_docs], dtype=np.int32),
+            'total_tok': np.array(pack_used, dtype=np.int64),
+            'fill_ratio': np.array(pack_used, dtype=np.float64) / budget,
+            'oversize': np.array([u > budget for u in pack_used], dtype=bool),
+        })
+
+    return df.select(id_col, len_col).mapInPandas(kernel, schema=PACK_SCHEMA)
+
+
+def split_by_hash(df: DataFrame, val_pct: int = 10, id_col: str = 'doc_id') -> DataFrame:
+    """Adds ``split``: 'val' for docs whose md5(doc_id) bucket (mod 100)
+    falls below ``val_pct``, else 'train'.  Deterministic, engine-portable
+    (md5 agrees everywhere), stable under repartitioning and growth — the
+    properties a training/validation split must have at corpus scale."""
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col(id_col).cast('string')), 1, 8),
+                           16, 10).cast('long'), F.lit(100))
+    return df.withColumn('split',
+                         F.when(bucket < val_pct, F.lit('val')).otherwise(F.lit('train')))
