@@ -521,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = multimodal.synthetic_media_table(spark, n_items=24)
         return multimodal.frame_sample_plan(media, every_ms=5000)
 
+    def multimodal_resize_plan(spark, sf_dir):
+        media = multimodal.synthetic_media_table(spark, n_items=24)
+        return multimodal.resize_plan(media, max_side=256)
+
     def multimodal_features(spark, sf_dir):
         media = multimodal.synthetic_media_table(spark, n_items=24)
         feats = multimodal.extract_features(media)
@@ -610,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_tokenize': doc_tokenize,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
+        'multimodal_resize_plan': multimodal_resize_plan,
         'multimodal_features': multimodal_features,
         'gap_fill_linear_values': gap_fill_linear_values,
     }

@@ -80,6 +80,23 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                                            F.lit(every_ms))).alias('frame_ts_ms')))
 
 
+def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plan: target dimensions that fit ``max_side`` preserving
+    aspect ratio (never upscaled), plus the scale factor — pure native
+    metadata arithmetic; like frame_sample_plan, the binary payload column
+    is pruned from this scan entirely, so planning a 100 TB image corpus
+    reads only the (tiny) metadata columns."""
+    scale = F.least(F.lit(1.0),
+                    F.lit(float(max_side)) / F.greatest('width', 'height'))
+    return (df.filter(F.col('modality') == 'image')
+              .select('media_id', 'width', 'height',
+                      F.round(scale, 6).alias('scale'),
+                      F.greatest(F.lit(1), F.ceil(F.col('width') * scale))
+                       .cast('int').alias('out_width'),
+                      F.greatest(F.lit(1), F.ceil(F.col('height') * scale))
+                       .cast('int').alias('out_height')))
+
+
 def synthetic_media_table(spark, n_items: int = 24, seed: int = 13) -> DataFrame:
     """Deterministic fake media rows (payload = seeded random bytes) for
     tests and the driver's rows-only checks."""
