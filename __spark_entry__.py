@@ -372,14 +372,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_rollup_1h_global(spark, sf_dir):
         # cross-series tier: algebraic merge of the per-user 1m partials
-        # (count/sum/min/max merge; first/last via min_by/max_by on ts)
-        from changepoynt_spark.operators.rollup import rollup_from_rollup
-        tier_1m = _rollup_1m(spark, sf_dir)
+        # (count/sum/min/max merge; first/last via min_by/max_by on ts).
+        # DECIMAL sums through the merge: the partial-sum accumulation order
+        # then cannot flip the round-6 digit vs the oracle's direct sum
+        # (observed at sf0.1: 3 of 720 hourly averages landed on a rounding
+        # boundary with plain double sums)
+        from changepoynt_spark.operators.rollup import rollup_from_points, \
+            rollup_from_rollup
+        ev = _read(spark, sf_dir, 'events')
+        tier_1m = rollup_from_points(ev, ['user_id'], ts_col='ts',
+                                     value_col='value', interval='1 minute',
+                                     exact_sum=True)
         merged = rollup_from_rollup(tier_1m, keys=[], interval='1 hour')
+        sum_d = F.col('sum_value').cast('double')
         return merged.select('bucket_start', 'cnt_points',
-                             F.round('sum_value', 6).alias('sum_value'),
+                             F.round(sum_d, 6).alias('sum_value'),
                              'min_value', 'max_value',
-                             F.round('avg_value', 6).alias('avg_value'))
+                             F.round(sum_d / F.col('cnt_points'), 6).alias('avg_value'))
 
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
@@ -653,10 +662,11 @@ def oracle_sql() -> dict[str, str]:
         'events_rollup_1h_global': """
             SELECT date_trunc('hour', ts) AS bucket_start,
                    COUNT(value) AS cnt_points,
-                   ROUND(SUM(value), 6) AS sum_value,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
                    MIN(value) AS min_value,
                    MAX(value) AS max_value,
-                   ROUND(SUM(value) / COUNT(value), 6) AS avg_value
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(value), 6) AS avg_value
             FROM events GROUP BY 1
         """,
         'events_rollup_1m': rollup_tier('minute'),

@@ -15,8 +15,8 @@ Scale design notes:
   partitions.
 - Gap-fill generates the time spine per key natively (sequence + explode) and
   left-joins observed buckets on the same (key, bucket) partitioning, so the
-  join reuses the rollup's shuffle keys; interpolation is a vectorized
-  np.interp inside applyInPandas.
+  join reuses the rollup's shuffle keys; LOCF/linear fill is native running
+  window expressions (bit-matches np.interp; no Python grouped-map).
 """
 from __future__ import annotations
 
@@ -44,12 +44,19 @@ def attach_timestamps(long_df: DataFrame, pos_col: str = 'pos', ts_col: str = 't
 
 
 def rollup_from_points(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'value',
-                       interval: str = '1 minute') -> DataFrame:
-    """Base tier: raw points -> windowed aggregates."""
+                       interval: str = '1 minute', exact_sum: bool = False) -> DataFrame:
+    """Base tier: raw points -> windowed aggregates.
+
+    ``exact_sum=True`` accumulates ``sum_value`` in DECIMAL(18,6): the sum
+    is then EXACT (order-independent), so cascaded/merged tiers reproduce
+    bit-identical sums on any engine and any partitioning — the discipline
+    a cross-engine or cross-run comparison at scale needs.  Default keeps
+    the plain double sum (cheaper, fine within one engine)."""
     keys = list(keys)
+    val = F.col(value_col).cast('decimal(18,6)') if exact_sum else F.col(value_col)
     agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
              .agg(F.count(value_col).alias('cnt_points'),
-                  F.sum(value_col).alias('sum_value'),
+                  F.sum(val).alias('sum_value'),
                   F.min(value_col).alias('min_value'),
                   F.max(value_col).alias('max_value'),
                   F.min_by(value_col, ts_col).alias('first_value'),
