@@ -327,24 +327,29 @@ def _multichannel_query(algorithm, params, min_len=40):
     return run
 
 
-def _rollup_1m(spark, sf_dir):
+def _rollup_1m(spark, sf_dir, exact_sum=False):
     from changepoynt_spark.operators.rollup import rollup_from_points
     ev = _read(spark, sf_dir, 'events')
     return rollup_from_points(ev, ['user_id'], ts_col='ts', value_col='value',
-                              interval='1 minute')
+                              interval='1 minute', exact_sum=exact_sum)
 
 
 def _rollup_tiers(spark, sf_dir):
-    from changepoynt_spark.operators.rollup import rollup_cascade
-    ev = _read(spark, sf_dir, 'events')
-    return rollup_cascade(ev, ['user_id'], ts_col='ts', value_col='value')
+    # DECIMAL base sums: cascade merges stay exact, so round-6 digits can
+    # never flip vs the oracle's direct per-tier sums at any SF
+    from changepoynt_spark.operators.rollup import rollup_from_rollup
+    tier_1m = _rollup_1m(spark, sf_dir, exact_sum=True)
+    tier_1h = rollup_from_rollup(tier_1m, ['user_id'], interval='1 hour')
+    return {'1m': tier_1m, '1h': tier_1h,
+            '1d': rollup_from_rollup(tier_1h, ['user_id'], interval='1 day')}
 
 
 def _round_rollup(df):
+    sum_d = F.col('sum_value').cast('double')
     return df.select('user_id', 'bucket_start', 'cnt_points',
-                     F.round('sum_value', 6).alias('sum_value'),
+                     F.round(sum_d, 6).alias('sum_value'),
                      'min_value', 'max_value',
-                     F.round('avg_value', 6).alias('avg_value'),
+                     F.round(sum_d / F.col('cnt_points'), 6).alias('avg_value'),
                      'first_value', 'last_value')
 
 
@@ -362,7 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     def events_rollup_1m(spark, sf_dir):
-        return _round_rollup(_rollup_1m(spark, sf_dir))
+        return _round_rollup(_rollup_1m(spark, sf_dir, exact_sum=True))
 
     def events_rollup_1h_cascade(spark, sf_dir):
         return _round_rollup(_rollup_tiers(spark, sf_dir)['1h'])
@@ -642,10 +647,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id,
                date_trunc('minute', ts) AS bucket_start,
                COUNT(value) AS cnt_points,
-               ROUND(SUM(value), 6) AS sum_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value,
                MIN(value) AS min_value,
                MAX(value) AS max_value,
-               ROUND(SUM(value) / COUNT(value), 6) AS avg_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(value), 6) AS avg_value,
                arg_min(value, ts) AS first_value,
                arg_max(value, ts) AS last_value
         FROM events GROUP BY 1, 2
