@@ -12,7 +12,8 @@ deterministic seed.
 from changepoynt_spark.kernels.base import Algorithm, SingularSubspaceAlgorithm
 from changepoynt_spark.kernels.baseline import ZERO, MovingWindow
 from changepoynt_spark.kernels.bocpd import BOCPD
-from changepoynt_spark.kernels.dead import CLASP, FLOSS, KLIEP, SubspaceIdentification
+from changepoynt_spark.kernels.dead import (CLASP, FLOSS, KLIEP, TESST,
+                                            SubspaceIdentification)
 from changepoynt_spark.kernels.density_ratio import RuLSIF, ULSIF
 from changepoynt_spark.kernels.esst import ESST
 from changepoynt_spark.kernels.fluss import FLUSS
@@ -22,6 +23,6 @@ from changepoynt_spark.kernels.sst import SST
 
 __all__ = [
     'Algorithm', 'SingularSubspaceAlgorithm', 'ZERO', 'MovingWindow', 'BOCPD',
-    'CLASP', 'FLOSS', 'KLIEP', 'SubspaceIdentification', 'RuLSIF', 'ULSIF',
+    'CLASP', 'FLOSS', 'KLIEP', 'TESST', 'SubspaceIdentification', 'RuLSIF', 'ULSIF',
     'ESST', 'FLUSS', 'MESST', 'MSST', 'SST',
 ]

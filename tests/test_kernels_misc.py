@@ -212,3 +212,12 @@ def test_rulsif_estimation_lag_rng_stream_alignment(step):
     agree = [p for p in reest if full[p] == lagged[p]]
     assert len(agree) == len(reest), f'{len(agree)}/{len(reest)} re-estimation steps match'
     assert not np.array_equal(full, lagged)  # cached params DO differ between
+
+
+def test_tesst_requires_cuda_torch_like_reference():
+    """Reference parity: TESST's constructor asserts a CUDA torch install
+    (torch_esst.py:43); without one — as in this environment — construction
+    must fail at __init__ with the same requirement."""
+    from changepoynt_spark.kernels import TESST
+    with pytest.raises((ImportError, AssertionError, NotImplementedError)):
+        TESST(window_length=30)
