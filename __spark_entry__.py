@@ -408,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_quality_stats(spark, sf_dir):
         return text.quality_stats(_read(spark, sf_dir, 'documents'))
 
+    def doc_quality_flags(spark, sf_dir):
+        return text.quality_filter_flags(_read(spark, sf_dir, 'documents'))
+
     def doc_language_counts(spark, sf_dir):
         return text.language_counts(_read(spark, sf_dir, 'documents'))
 
@@ -584,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
+        'doc_quality_flags': doc_quality_flags,
         'doc_language_counts': doc_language_counts,
         'doc_exact_dups': doc_exact_dups,
         'doc_prefix_dups': doc_prefix_dups,
@@ -712,6 +716,29 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         'doc_language_counts': _LANG_COUNTS_SQL,
+        'doc_quality_flags': rf"""
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                       / len(string_split(text, ' ')) AS avg_wl,
+                     len(list_filter(string_split(text, ' '),
+                                     w -> list_contains([{stoplist}], lower(w)))) * 1.0
+                       / len(string_split(text, ' ')) AS stop_ratio,
+                     (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+                       / length(text) AS sym_ratio
+              FROM documents)
+            SELECT doc_id,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_n_words,
+                   (avg_wl >= 2.0 AND avg_wl <= 12.0) AS ok_word_len,
+                   (stop_ratio >= 0.01) AS ok_stopwords,
+                   (sym_ratio <= 0.3) AS ok_symbols,
+                   ((n_words >= 20 AND n_words <= 100000)
+                    AND (avg_wl >= 2.0 AND avg_wl <= 12.0)
+                    AND (stop_ratio >= 0.01)
+                    AND (sym_ratio <= 0.3)) AS keep
+            FROM m
+        """,
         'doc_exact_dups': """
             SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS min_doc_id
             FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1

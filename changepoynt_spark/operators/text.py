@@ -62,6 +62,42 @@ def quality_stats(df: DataFrame) -> DataFrame:
         F.round(n_punct / F.length('text'), 6).alias('punct_ratio'))
 
 
+def quality_filter_flags(df: DataFrame, min_words: int = 20, max_words: int = 100_000,
+                         min_avg_word_len: float = 2.0, max_avg_word_len: float = 12.0,
+                         min_stopword_ratio: float = 0.01,
+                         max_symbol_ratio: float = 0.3) -> DataFrame:
+    """Gopher/C4-style per-document quality gate flags (Rae et al. 2021 §A1
+    thresholds as defaults), all whole-stage-codegen expressions:
+
+    - word-count bounds, mean-word-length bounds,
+    - minimum stopword ratio (gibberish detector),
+    - maximum symbol ratio (markup/boilerplate detector),
+    - ``keep``: the conjunction — the pipeline's actual filter predicate.
+
+    Emitting flags rather than filtering lets the pipeline audit WHY a doc
+    was dropped (per-rule drop counts) before committing to the gate."""
+    words = F.split(F.col('text'), ' ')
+    n_words = F.size(words)
+    avg_wl = (F.length('text') - n_words + 1) / n_words
+    sw = F.lit(list(STOPWORDS))
+    stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))) / n_words
+    n_sym = F.length('text') - F.length(F.regexp_replace('text', r'[^A-Za-z0-9\s]', ''))
+    sym_ratio = n_sym / F.length('text')
+    flags = {
+        'ok_n_words': (n_words >= min_words) & (n_words <= max_words),
+        'ok_word_len': (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len),
+        'ok_stopwords': stop_ratio >= min_stopword_ratio,
+        'ok_symbols': sym_ratio <= max_symbol_ratio,
+    }
+    keep = None
+    cols = [F.col('doc_id')]
+    for name, expr in flags.items():
+        cols.append(expr.alias(name))
+        keep = expr if keep is None else (keep & expr)
+    cols.append(keep.alias('keep'))
+    return df.select(*cols)
+
+
 def language_counts(df: DataFrame) -> DataFrame:
     """Corpus language histogram (smoke-level relational check)."""
     return df.groupBy('lang').agg(F.count('*').alias('n_docs')).orderBy('lang')
