@@ -159,8 +159,13 @@ def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
     edges = edges.unionByName(
         edges.select(F.col('dst').alias('src'), F.col('src').alias('dst'))) \
         .distinct().cache()
+    # localCheckpoint per round: iterative joins otherwise UNROLL into the
+    # result's lineage (round-N plan contains all N rounds of joins — plan
+    # depth and re-optimization cost grow linearly; the classic iterative-
+    # algorithm pitfall).  Checkpointing truncates lineage so every round's
+    # plan is exactly one join + one groupBy.
     labels = edges.select(F.col('src').alias('node')).distinct() \
-                  .withColumn('label', F.col('node')).cache()
+                  .withColumn('label', F.col('node')).localCheckpoint(eager=True)
     for _ in range(max_iterations):
         prop = (edges.join(labels, edges.src == labels.node)
                      .groupBy(F.col('dst').alias('node2'))
@@ -168,11 +173,10 @@ def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
         new_labels = (labels.join(prop, labels.node == prop.node2, 'left')
                             .select('node',
                                     F.least('label', F.coalesce('nlabel', 'label'))
-                                     .alias('label'))).cache()
+                                     .alias('label'))).localCheckpoint(eager=True)
         changed = (new_labels.alias('n')
                    .join(labels.alias('o'), 'node')
                    .filter(F.col('n.label') != F.col('o.label')).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
