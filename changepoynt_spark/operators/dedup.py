@@ -185,6 +185,25 @@ def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
                          F.col('label').alias('cluster_id'))
 
 
+def dedupe_corpus(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                  num_hashes: int = 32, bands: int = 8,
+                  id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """End-to-end corpus dedup: exact (md5, keep smallest id per text) then
+    near-dup (MinHash+LSH candidates, exact-Jaccard verify at ``threshold``,
+    connected-component clustering, keep each cluster's representative).
+    Returns the surviving rows with the input schema — the composition the
+    spark-submit job (jobs/dedup_job.py) runs."""
+    keep_exact = (df.groupBy(F.md5(text_col).alias('_h'))
+                    .agg(F.min(id_col).alias(id_col)))
+    exact_survivors = df.join(keep_exact.select(id_col), id_col, 'left_semi')
+    pairs = minhash_lsh_pairs(exact_survivors, num_hashes=num_hashes, bands=bands,
+                              n=n, threshold=threshold, id_col=id_col)
+    clusters = dup_clusters(pairs)
+    drop_near = clusters.filter(F.col('doc_id') != F.col('cluster_id')) \
+                        .select(F.col('doc_id').alias(id_col))
+    return exact_survivors.join(drop_near, id_col, 'left_anti')
+
+
 def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
             bits: int = 32) -> DataFrame:
     """(doc_id, simhash) — bitwise majority vote over md5-derived word

@@ -275,3 +275,24 @@ def test_minhash_band_exchange_carries_no_arrays(spark, documents):
         input_line = next(l for l in blk.split('\n') if l.startswith('Input'))
         assert 'shingle' not in input_line and '_sa' not in input_line \
             and '_sb' not in input_line, input_line
+
+
+def test_dedupe_corpus_end_to_end(spark):
+    """Planted exact + near duplicates: dedupe_corpus keeps exactly one
+    representative per duplicate group and every unique doc."""
+    from changepoynt_spark.operators import dedup
+    base = ('the quick brown fox jumps over the lazy dog and runs far away '
+            'into the deep green forest tonight')
+    near = base.replace('tonight', 'today')          # high-Jaccard neighbor
+    uniq = ('completely different words describing an unrelated topic with '
+            'no overlap in any shingle at all here')
+    rows = [(1, base), (2, base),                     # exact dups
+            (3, near),                                # near dup of 1/2
+            (4, uniq),
+            (5, 'short text under the shingle width')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    out = dedup.dedupe_corpus(df, threshold=0.5).toPandas()
+    kept = sorted(out['doc_id'])
+    assert 2 not in kept                              # exact dup dropped
+    assert 3 not in kept                              # near dup dropped
+    assert kept == [1, 4, 5]
