@@ -143,9 +143,24 @@ def gap_fill(df: DataFrame, keys, value_cols=('avg_value',), bucket_col: str = '
         return joined
 
     from pyspark.sql import Window
+
+    # The exploded spine is CPU-heavy but byte-light, so AQE happily coalesces
+    # the upstream bounds shuffle to one partition and every key's fill lands
+    # on one core.  Force an explicit key-hash exchange (explicit N disables
+    # AQE coalescing) so per-key fills parallelize across the cluster.
+    n_part = int(joined.sparkSession.conf.get('spark.sql.shuffle.partitions', '200'))
+    joined = joined.repartition(n_part, *keys)
+
     order = Window.partitionBy(*keys).orderBy(bucket_col)
+    order_desc = Window.partitionBy(*keys).orderBy(F.col(bucket_col).desc())
     w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
-    w_next = order.rowsBetween(0, Window.unboundedFollowing)
+    # "next observed at-or-after this row" as a RUNNING frame over the
+    # DESCENDING sort.  first(...).over(rowsBetween(0, unboundedFollowing))
+    # computes the same value but Spark's UnboundedFollowingWindowFunctionFrame
+    # re-aggregates the remaining rows for EVERY row — O(n^2) per key
+    # (measured 24/79/314 s at 20/40/80 k buckets).  The running frame is the
+    # incremental O(n) evaluator; same keys-only partitioning, one extra sort.
+    w_next = order_desc.rowsBetween(Window.unboundedPreceding, 0)
     # dense spine -> row position is the interpolation abscissa
     joined = joined.withColumn('_pos', F.row_number().over(order).cast('double'))
     for col in value_cols:
@@ -156,8 +171,8 @@ def gap_fill(df: DataFrame, keys, value_cols=('avg_value',), bucket_col: str = '
         else:  # linear, np.interp edge semantics (clamp to nearest observed)
             obs_pos = F.when(v.isNotNull(), F.col('_pos'))
             prev_x = F.last(obs_pos, ignorenulls=True).over(w_prev)
-            next_v = F.first(v, ignorenulls=True).over(w_next)
-            next_x = F.first(obs_pos, ignorenulls=True).over(w_next)
+            next_v = F.last(v, ignorenulls=True).over(w_next)
+            next_x = F.last(obs_pos, ignorenulls=True).over(w_next)
             lerp = prev_v + (next_v - prev_v) / (next_x - prev_x) \
                 * (F.col('_pos') - prev_x)
             filled = (F.when(v.isNotNull(), v)
