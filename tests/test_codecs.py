@@ -86,6 +86,20 @@ def test_timestamps_roundtrip_property(xs):
     _roundtrip_ts(np.array(xs, dtype=np.int64))
 
 
+def test_frozen_blob_goldens():
+    """Byte-identity with the round-2 (loop-based) encoder output, frozen in
+    tests/goldens/codec_blobs_frozen.npz BEFORE the vectorized rewrite: the
+    stream format is pinned, so stored blocks stay readable across engine
+    versions."""
+    import pathlib
+    g = np.load(pathlib.Path(__file__).parent / 'goldens' / 'codec_blobs_frozen.npz')
+    assert encode_values(g['vals']).hex() == g['gorilla_blob'].tobytes().hex()
+    assert encode_timestamps(g['ts']).hex() == g['delta_blob'].tobytes().hex()
+    assert np.array_equal(decode_values(g['gorilla_blob'].tobytes()).view(np.uint64),
+                          g['vals'].view(np.uint64))
+    np.testing.assert_array_equal(decode_timestamps(g['delta_blob'].tobytes()), g['ts'])
+
+
 def test_frozen_example_blocks_stable():
     """Cross-session stability: fixed inputs must encode to fixed bytes."""
     arr = np.array([1.0, 2.0, 2.0, 3.5, -1.25])
