@@ -1,0 +1,131 @@
+"""Self-serve generator of the driver-format correctness artifact.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` against its
+``oracle_sql()`` DuckDB twin on the same parquet tables and writes the exact
+per-query schema the driver records in ``CORRECTNESS_r{N}.json``::
+
+    {"<query>": {"rows_match": bool|None, "schema_match": bool|None,
+                 "hash_match": bool|None, "spark_rows": int|None,
+                 "oracle_rows": int|None, "err": str|None}, ...}
+
+Rows-only queries (no oracle entry) get ``err: "no_oracle"`` with their
+spark_rows, mirroring the driver's weaker check.  The value compare is
+order-insensitive: columns sorted by name, every column stringified
+(timestamps normalized to microseconds), rows sorted, then md5-hashed —
+``hash_match`` is equality of those digests.
+
+Usage:
+    python scripts/correctness_report.py [--sf-dir /root/testdata/sf0.01]
+                                         [--out CORRECTNESS_SELF.json]
+
+The repo should never depend on the driver to know its own green/red state
+(round 2's driver artifact came back empty); run this each round and commit
+the output.
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if np.issubdtype(pdf[c].dtype, np.datetime64):
+            pdf[c] = pdf[c].astype('datetime64[us]').astype(str)
+        else:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def _value_hash(pdf: pd.DataFrame) -> str:
+    h = hashlib.md5()
+    h.update(('|'.join(pdf.columns)).encode())
+    h.update(pdf.to_csv(index=False).encode())
+    return h.hexdigest()
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        p = f'{sf_dir}/{t}.parquet'
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def run_report(spark, sf_dir: str) -> dict:
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    report = {}
+    for name, q in queries.items():
+        entry = {'rows_match': None, 'schema_match': None, 'hash_match': None,
+                 'spark_rows': None, 'oracle_rows': None, 'err': None}
+        t0 = time.time()
+        try:
+            spdf = q(spark, sf_dir).toPandas()
+            entry['spark_rows'] = int(len(spdf))
+            sql = oracles.get(name)
+            if sql is None:
+                entry['err'] = 'no_oracle'
+            else:
+                con = _duck(sf_dir)
+                try:
+                    opdf = con.execute(sql).df()
+                finally:
+                    con.close()
+                entry['oracle_rows'] = int(len(opdf))
+                entry['rows_match'] = len(spdf) == len(opdf)
+                ns, no = _normalize(spdf), _normalize(opdf)
+                entry['schema_match'] = list(ns.columns) == list(no.columns)
+                entry['hash_match'] = (entry['rows_match'] and entry['schema_match']
+                                       and _value_hash(ns) == _value_hash(no))
+        except Exception as e:  # record, keep going — the report must be total
+            entry['err'] = f'{type(e).__name__}: {e}'[:500]
+        print(f"{name}: rows={entry['spark_rows']} hash_match={entry['hash_match']} "
+              f"err={entry['err']} ({time.time() - t0:.1f}s)", flush=True)
+        report[name] = entry
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--sf-dir', default=os.environ.get('SPARK_GRAFT_TEST_SF_DIR',
+                                                       '/root/testdata/sf0.01'))
+    ap.add_argument('--out', default='CORRECTNESS_SELF.json')
+    args = ap.parse_args()
+
+    from changepoynt_spark.session import get_spark
+    spark = get_spark()
+    report = run_report(spark, args.sf_dir)
+    with open(args.out, 'w') as f:
+        json.dump(report, f, indent=2)
+        f.write('\n')
+
+    oracled = [k for k, v in report.items() if v['err'] != 'no_oracle']
+    green = [k for k in oracled if report[k]['hash_match']]
+    rows_only_ok = [k for k, v in report.items()
+                    if v['err'] == 'no_oracle' and v['spark_rows'] is not None]
+    failed = [k for k, v in report.items()
+              if v['err'] not in (None, 'no_oracle') or
+              (v['err'] is None and not v['hash_match'])]
+    print(f"\noracled green: {len(green)}/{len(oracled)}; "
+          f"rows-only ran: {len(rows_only_ok)}; failures: {failed or 'none'}")
+    spark.stop()
+    return 1 if failed or len(green) != len(oracled) else 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
