@@ -283,6 +283,75 @@ def _ivf_topk_sql(n_lists: int = 16, nprobe: int = 4, k: int = 10, dim: int = 64
     """
 
 
+_TOKENIZE_SQL = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         list_transform(string_split(text, ' '),
+                        w -> CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 50257)
+           AS tokens
+  FROM documents)
+SELECT doc_id, len(tokens) AS n_tok,
+       CAST(list_sum(tokens) AS BIGINT) AS tok_sum,
+       tokens[1] AS tok_first, tokens[-1] AS tok_last, source
+FROM toks
+"""
+
+
+def _fingerprints_sql(window: int = 8, base: int = 257,
+                      mod: int = (1 << 61) - 1) -> str:
+    """DuckDB mirror of text.fingerprint_documents: the Rabin-Karp M61 math
+    runs in HUGEINT (128-bit) — byte*257^k products and their sums stay far
+    below 2^127, so a single %mod per hash reproduces the kernel's folded
+    modular arithmetic exactly (verified bit-identical at sf0.001/sf0.01).
+    Bytes come from hex(encode(text)) (utf-8, same as the kernel's
+    np.frombuffer of text.encode()); docs shorter than ``window`` are
+    zero-padded to it, like the kernel."""
+    pow_lits = [pow(base, window - 1 - j, mod) for j in range(window)]
+    terms = ' + '.join(
+        (f"CAST(byte AS HUGEINT) * CAST('{pow_lits[j]}' AS HUGEINT)" if j == 0 else
+         f"CAST(lead(byte, {j}) OVER w AS HUGEINT) * CAST('{pow_lits[j]}' AS HUGEINT)")
+        for j in range(window))
+    off = 1 << 60
+    return f"""
+    WITH RECURSIVE b AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n,
+             GREATEST(octet_length(encode(text)), {window}) AS ne
+      FROM documents
+    ),
+    idx AS (SELECT doc_id, hx, n, ne, unnest(generate_series(0, ne - 1)) AS i FROM b),
+    bytes AS (
+      SELECT doc_id, ne, i,
+             CASE WHEN i < n THEN CAST('0x' || substring(hx, 2*i + 1, 2) AS BIGINT)
+                  ELSE 0 END AS byte
+      FROM idx
+    ),
+    pows(k, v) AS (
+      SELECT 0, CAST(1 AS HUGEINT)
+      UNION ALL
+      SELECT k + 1, (v * {base}) % CAST('{mod}' AS HUGEINT) FROM pows
+      WHERE k + 1 < (SELECT MAX(ne) FROM b)
+    ),
+    content AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(byte AS HUGEINT) * p.v) % CAST('{mod}' AS HUGEINT) AS BIGINT)
+             - {off} AS content_hash
+      FROM bytes JOIN pows p ON p.k = bytes.ne - 1 - bytes.i
+      GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, i, ne, ({terms}) % CAST('{mod}' AS HUGEINT) AS h
+      FROM bytes
+      WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    minsh AS (
+      SELECT doc_id, CAST(MIN(h) AS BIGINT) - {off} AS min_shingle_hash
+      FROM sh WHERE i <= ne - {window} GROUP BY doc_id
+    )
+    SELECT content.doc_id, content_hash, min_shingle_hash
+    FROM content JOIN minsh ON content.doc_id = minsh.doc_id
+    """
+
+
 def _simhash_sql() -> str:
     """DuckDB mirror of dedup.simhash at _SIMHASH_BITS.  64-bit notes:
     DuckDB's << is overflow-CHECKED even on UBIGINT, so the two md5 halves
@@ -554,8 +623,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.fingerprint_documents(_read_spread(spark, sf_dir, 'documents'))
 
     def doc_tokenize(spark, sf_dir):
-        return text.tokenize_documents(_read(spark, sf_dir, 'documents')) \
-                   .select('doc_id', 'n_tok', F.hash('tokens').alias('tokens_hash'), 'source')
+        # md5 hash variant: the token stream itself is engine-portable, so
+        # the ORACLE checks real token content (sum/first/last pin the
+        # stream), not just counts.  The production tokenizer default stays
+        # xxhash64 (faster; Spark-specific, so not cross-engine checkable —
+        # covered by Spark-side determinism tests instead).
+        t = text.tokenize_documents(_read(spark, sf_dir, 'documents'), hash_fn='md5')
+        return t.select(
+            'doc_id', 'n_tok',
+            F.aggregate('tokens', F.lit(0).cast('long'),
+                        lambda a, x: a + x).alias('tok_sum'),
+            F.element_at('tokens', 1).alias('tok_first'),
+            F.element_at('tokens', -1).alias('tok_last'),
+            'source')
 
     def embedding_cosine_dups(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
@@ -798,6 +878,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(inter * 1.0 / (ca.n + cb.n - inter), 6) >= 0.5
         """,
         'doc_simhash': _simhash_sql(),
+        'doc_fingerprints': _fingerprints_sql(),
+        'doc_tokenize': _TOKENIZE_SQL,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -21,14 +21,27 @@ from changepoynt_spark.sources.datagen import VOCAB
 STOPWORDS = ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with')
 
 
-def tokenize_documents(df: DataFrame) -> DataFrame:
+def tokenize_documents(df: DataFrame, hash_fn: str = 'xxhash64') -> DataFrame:
     """documents -> input-hint tokens table: whitespace split, stable
-    word -> int32 id via xxhash64 mod vocab (all JVM-side)."""
+    word -> int32 id via a hash mod vocab (all JVM-side).
+
+    ``hash_fn='xxhash64'`` (default) is the production path — fastest
+    JVM-side hash.  ``hash_fn='md5'`` derives the id from the first 8 hex
+    chars of md5 instead: ~2x the hash cost, but md5 is engine-portable, so
+    the token STREAM itself is reproducible in DuckDB/any engine — the
+    cross-engine verification variant (used by the doc_tokenize contract
+    query; same distribution, same schema)."""
     words = F.split(F.col('text'), ' ')
-    toks = F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(VOCAB)).cast('int'))
+    if hash_fn == 'xxhash64':
+        tok = lambda w: F.pmod(F.xxhash64(w), F.lit(VOCAB)).cast('int')  # noqa: E731
+    elif hash_fn == 'md5':
+        tok = lambda w: F.pmod(F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast('long'),  # noqa: E731
+                               F.lit(VOCAB)).cast('int')
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return df.select(
         F.col('doc_id').cast('string').alias('doc_id'),
-        toks.alias('tokens'),
+        F.transform(words, tok).alias('tokens'),
         F.size(words).cast('int').alias('n_tok'),
         'source')
 
