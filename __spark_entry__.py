@@ -841,11 +841,11 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 20 AND n_words <= 100000) AS ok_n_words,
                    (avg_wl >= 2.0 AND avg_wl <= 12.0) AS ok_word_len,
                    (stop_ratio >= 0.01) AS ok_stopwords,
-                   (sym_ratio <= 0.3) AS ok_symbols,
+                   (length(text) > 0 AND sym_ratio <= 0.3) AS ok_symbols,
                    ((n_words >= 20 AND n_words <= 100000)
                     AND (avg_wl >= 2.0 AND avg_wl <= 12.0)
                     AND (stop_ratio >= 0.01)
-                    AND (sym_ratio <= 0.3)) AS keep
+                    AND (length(text) > 0 AND sym_ratio <= 0.3)) AS keep
             FROM m
         """,
         'doc_exact_dups': """

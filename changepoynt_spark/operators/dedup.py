@@ -180,6 +180,15 @@ def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Returning non-fixpoint labels would hand downstream dedup WRONG
+        # cluster ids with no signal (a chain with diameter > max_iterations
+        # would keep the wrong representatives) — fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f'dup_clusters did not converge within {max_iterations} rounds '
+            f'({changed} labels still changing); raise max_iterations — rounds '
+            'needed equal the duplicate-graph diameter')
     edges.unpersist()
     return labels.select(F.col('node').alias('doc_id'),
                          F.col('label').alias('cluster_id'))

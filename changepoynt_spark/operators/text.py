@@ -96,11 +96,17 @@ def quality_filter_flags(df: DataFrame, min_words: int = 20, max_words: int = 10
     stop_ratio = F.size(F.filter(words, lambda w: F.array_contains(sw, F.lower(w)))) / n_words
     n_sym = F.length('text') - F.length(F.regexp_replace('text', r'[^A-Za-z0-9\s]', ''))
     sym_ratio = n_sym / F.length('text')
+    # empty doc: length 0 divides by zero (an ERROR under ANSI mode, a null
+    # flag otherwise — either way 'keep' stops being a total boolean); guard
+    # to False — word-based ratios are safe because split() always yields at
+    # least one element, and an empty doc fails ok_n_words regardless
+    ok_symbols = F.when(F.length('text') > 0,
+                        sym_ratio <= max_symbol_ratio).otherwise(F.lit(False))
     flags = {
         'ok_n_words': (n_words >= min_words) & (n_words <= max_words),
         'ok_word_len': (avg_wl >= min_avg_word_len) & (avg_wl <= max_avg_word_len),
         'ok_stopwords': stop_ratio >= min_stopword_ratio,
-        'ok_symbols': sym_ratio <= max_symbol_ratio,
+        'ok_symbols': ok_symbols,
     }
     keep = None
     cols = [F.col('doc_id')]

@@ -26,7 +26,20 @@ import json
 import sys
 
 
-def main(argv=None):
+def _write_text(spark, path: str, content: str) -> None:
+    """Write a small text file via the Hadoop FileSystem of ``path``'s URI
+    scheme (works for hdfs://, s3a://, file:/ and bare local paths alike)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode('utf-8')))
+    finally:
+        out.close()
+
+
+def main(argv=None, spark=None):
     p = argparse.ArgumentParser()
     p.add_argument('--input', required=True,
                    help='documents parquet (doc_id, text, ...)')
@@ -44,7 +57,10 @@ def main(argv=None):
     from changepoynt_spark.operators import dedup
     from changepoynt_spark.session import get_spark
 
-    spark = get_spark(app_name='changepoynt-dedup-job')
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name='changepoynt-dedup-job')
+    docs = exact_survivors = None
     try:
         docs = spark.read.parquet(args.input)
         par = spark.sparkContext.defaultParallelism
@@ -80,11 +96,19 @@ def main(argv=None):
             'surviving_docs': n_out,
             'threshold': args.threshold,
         }
-        with open(f'{args.output}_report.json', 'w') as f:
-            json.dump(report, f, indent=1)
+        # write through the Hadoop FileSystem API so the report lands next to
+        # the parquet under ANY --output scheme (hdfs://, s3a://, file:/...),
+        # not on the driver's local disk
+        _write_text(spark, f'{args.output}_report.json',
+                    json.dumps(report, indent=1))
         print(json.dumps(report))
+        return report
     finally:
-        spark.stop()
+        for cached in (docs, exact_survivors):
+            if cached is not None:
+                cached.unpersist()
+        if own_session:
+            spark.stop()
 
 
 if __name__ == '__main__':

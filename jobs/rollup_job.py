@@ -22,7 +22,9 @@ import json
 import sys
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
+    """``spark=None`` (spark-submit) creates and owns a session; an injected
+    session (pytest) is left running for the caller."""
     p = argparse.ArgumentParser()
     p.add_argument('--input', help='tokens parquet path (doc_id, tokens, n_tok, source)')
     p.add_argument('--synth-docs', type=int, default=0,
@@ -39,7 +41,10 @@ def main(argv=None):
     from changepoynt_spark.plans.checkpoint import RollupCheckpointJob
     from changepoynt_spark.session import get_spark
 
-    spark = get_spark(app_name='changepoynt-rollup-job')
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name='changepoynt-rollup-job')
+    tokens = None
     try:
         if args.synth_docs:
             from changepoynt_spark.sources.datagen import tokens_table_distributed
@@ -69,7 +74,10 @@ def main(argv=None):
         print(json.dumps(summary))
         return 0
     finally:
-        spark.stop()
+        if tokens is not None:
+            tokens.unpersist()
+        if own_session:
+            spark.stop()
 
 
 if __name__ == '__main__':

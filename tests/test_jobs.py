@@ -1,0 +1,111 @@
+"""End-to-end tests for the spark-submit job entry points (jobs/), run via
+main() with the shared pytest session injected: idempotence (second run =
+identical survivors) and staged drop-report counts vs a DuckDB brute-force +
+recursive-CTE oracle on the same parquet."""
+import json
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                                'jobs'))
+
+import dedup_job  # noqa: E402
+import rollup_job  # noqa: E402
+
+THRESHOLD = 0.5
+
+# Oracle for the whole dedup job on `documents`: exact dedup keeps the
+# smallest doc_id per text; near-dup pairs are brute-force DISTINCT-3-shingle
+# Jaccard >= threshold among exact survivors; connected components via
+# WITH RECURSIVE; each cluster keeps its smallest member.
+_SURVIVORS_SQL = f"""
+WITH RECURSIVE ex AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+docs AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS i
+          FROM docs),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       FROM words a
+       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS inter
+         FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         GROUP BY 1, 2),
+dups AS (SELECT da, db
+         FROM pair JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+         WHERE inter * 1.0 / (ca.n + cb.n - inter) >= {THRESHOLD}),
+edges AS (SELECT da AS src, db AS dst FROM dups UNION SELECT db, da FROM dups),
+reach(node, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT doc_id FROM docs
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY doc_id
+"""
+
+
+@pytest.fixture(scope='module')
+def docs_parquet(sf_dir):
+    return f'{sf_dir}/documents.parquet'
+
+
+def _run_dedup(spark, docs_parquet, out):
+    return dedup_job.main(
+        ['--input', docs_parquet, '--output', out, '--threshold', str(THRESHOLD)],
+        spark=spark)
+
+
+def test_dedup_job_end_to_end_vs_oracle(spark, docs_parquet, tmp_path):
+    out = str(tmp_path / 'deduped')
+    report = _run_dedup(spark, docs_parquet, out)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{docs_parquet}'")
+    oracle_ids = [r[0] for r in con.execute(_SURVIVORS_SQL).fetchall()]
+    n_input = con.execute('SELECT COUNT(*) FROM documents').fetchone()[0]
+    n_exact = con.execute('SELECT COUNT(DISTINCT md5(text)) FROM documents').fetchone()[0]
+
+    got_ids = sorted(r['doc_id'] for r in
+                     spark.read.parquet(out).select('doc_id').collect())
+    assert got_ids == oracle_ids
+    # staged report counts vs the oracle's stage counts
+    assert report['input_docs'] == n_input
+    assert report['exact_dups_dropped'] == n_input - n_exact
+    assert report['surviving_docs'] == len(oracle_ids)
+    assert report['near_dups_dropped'] == n_exact - len(oracle_ids)
+    # the report file landed next to the output (Hadoop FS write)
+    with open(f'{out}_report.json') as f:
+        assert json.load(f) == report
+
+
+def test_dedup_job_idempotent(spark, docs_parquet, tmp_path):
+    out1, out2 = str(tmp_path / 'd1'), str(tmp_path / 'd2')
+    r1 = _run_dedup(spark, docs_parquet, out1)
+    r2 = _run_dedup(spark, docs_parquet, out2)
+    assert r1 == r2
+    ids1 = sorted(r['doc_id'] for r in spark.read.parquet(out1).select('doc_id').collect())
+    ids2 = sorted(r['doc_id'] for r in spark.read.parquet(out2).select('doc_id').collect())
+    assert ids1 == ids2
+
+
+def test_rollup_job_runs_and_resumes(spark, tmp_path, capsys):
+    out = str(tmp_path / 'rollup_table')
+    argv = ['--synth-docs', '40', '--synth-max-len', '2000', '--output', out,
+            '--buckets', '4', '--algorithm', 'moving_window',
+            '--params', '{"window_length": 8}']
+    assert rollup_job.main(argv, spark=spark) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(first['processed']) == 4 and len(first['remaining']) == 0
+    # second run: everything fingerprint-skipped
+    assert rollup_job.main(argv, spark=spark) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(second['processed']) == 0 and len(second['skipped']) == 4
