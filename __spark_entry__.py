@@ -828,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         'doc_quality_flags': rf"""
             WITH m AS (
               SELECT doc_id,
+                     length(text) AS n_chars_m,
                      len(string_split(text, ' ')) AS n_words,
                      (length(text) - len(string_split(text, ' ')) + 1) * 1.0
                        / len(string_split(text, ' ')) AS avg_wl,
@@ -841,11 +842,11 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 20 AND n_words <= 100000) AS ok_n_words,
                    (avg_wl >= 2.0 AND avg_wl <= 12.0) AS ok_word_len,
                    (stop_ratio >= 0.01) AS ok_stopwords,
-                   (length(text) > 0 AND sym_ratio <= 0.3) AS ok_symbols,
+                   (n_chars_m > 0 AND sym_ratio <= 0.3) AS ok_symbols,
                    ((n_words >= 20 AND n_words <= 100000)
                     AND (avg_wl >= 2.0 AND avg_wl <= 12.0)
                     AND (stop_ratio >= 0.01)
-                    AND (length(text) > 0 AND sym_ratio <= 0.3)) AS keep
+                    AND (n_chars_m > 0 AND sym_ratio <= 0.3)) AS keep
             FROM m
         """,
         'doc_exact_dups': """
