@@ -27,9 +27,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from changepoynt_spark.codecs.bits import BitReader, pack_tokens
+from changepoynt_spark.codecs.bits import BitReader, BitWriter, pack_tokens
 
 _U64 = (1 << 64) - 1
+_VECTOR_MIN = 64  # same crossover rationale as codecs/gorilla.py
 
 
 def _zigzag_scalar(v: int) -> int:
@@ -50,11 +51,49 @@ def _sub_carry(a: np.ndarray, b: np.ndarray):
     return w, carry
 
 
+def _encode_timestamps_small(ts: np.ndarray) -> bytes:
+    """Per-point loop encoder (python-int exact deltas) — byte-identical
+    stream, faster for tiny blocks."""
+    n = ts.shape[0]
+    w = BitWriter()
+    w.write(n, 32)
+    if n == 0:
+        return w.getvalue()
+    w.write(_zigzag_scalar(int(ts[0])), 64)
+    if n == 1:
+        return w.getvalue()
+    w.write(_zigzag_scalar(int(ts[1])), 64)
+    prev_delta = int(ts[1]) - int(ts[0])
+    for i in range(2, n):
+        delta = int(ts[i]) - int(ts[i - 1])
+        d = delta - prev_delta
+        prev_delta = delta
+        if d == 0:
+            w.write(0, 1)
+        elif -63 <= d <= 64:
+            w.write(0b10, 2)
+            w.write(d + 63, 7)
+        elif -255 <= d <= 256:
+            w.write(0b110, 3)
+            w.write(d + 255, 9)
+        elif -2047 <= d <= 2048:
+            w.write(0b1110, 4)
+            w.write(d + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(_zigzag_scalar(int(ts[i])), 64)
+    return w.getvalue()
+
+
 def encode_timestamps(timestamps: np.ndarray) -> bytes:
     ts = np.ascontiguousarray(np.asarray(timestamps, dtype=np.int64))
+    if ts.shape[0] < _VECTOR_MIN:
+        return _encode_timestamps_small(ts)
+    return _encode_timestamps_vector(ts)
+
+
+def _encode_timestamps_vector(ts: np.ndarray) -> bytes:
     n = ts.shape[0]
-    if n == 0:
-        return pack_tokens(np.array([0], dtype=np.uint64), np.array([32]))
     zz = ((ts << 1) ^ (ts >> 63)).view(np.uint64)   # vectorized zig-zag
     if n == 1:
         return pack_tokens(np.array([n, zz[0]], dtype=np.uint64),

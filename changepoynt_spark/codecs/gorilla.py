@@ -24,7 +24,53 @@ from __future__ import annotations
 
 import numpy as np
 
-from changepoynt_spark.codecs.bits import BitReader, clz64, ctz64, pack_tokens
+from changepoynt_spark.codecs.bits import BitReader, BitWriter, clz64, ctz64, pack_tokens
+
+# Below this the per-call overhead of the whole-array passes exceeds the
+# loop's per-point cost (measured crossover ~48 points on this host; the
+# loop is ~4x faster at n=8, the vectorized path ~6x faster at n=512+).
+# Rolled-tier blocks are often tiny (a doc-day of 1h/1d buckets is 1-24
+# points), so the small path matters in the fused pipeline.
+_VECTOR_MIN = 64
+
+
+def _clz64_int(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz64_int(x: int) -> int:
+    return (x & -x).bit_length() - 1 if x else 64
+
+
+def _encode_values_small(bits: np.ndarray) -> bytes:
+    """Per-point loop encoder — byte-identical stream, faster for tiny
+    blocks (no whole-array pass overhead)."""
+    n = bits.shape[0]
+    w = BitWriter()
+    w.write(n, 32)
+    prev = int(bits[0])
+    w.write(prev, 64)
+    prev_lead, prev_mean = -1, -1
+    for i in range(1, n):
+        cur = int(bits[i])
+        x = cur ^ prev
+        prev = cur
+        if x == 0:
+            w.write(0, 1)
+            continue
+        lead = min(_clz64_int(x), 31)
+        trail = _ctz64_int(x)
+        mean = 64 - lead - trail
+        if prev_lead >= 0 and lead >= prev_lead and trail >= 64 - prev_lead - prev_mean:
+            w.write(0b10, 2)
+            w.write(x >> (64 - prev_lead - prev_mean), prev_mean)
+        else:
+            w.write(0b11, 2)
+            w.write(lead, 5)
+            w.write(mean - 1, 6)
+            w.write(x >> trail, mean)
+            prev_lead, prev_mean = lead, mean
+    return w.getvalue()
 
 
 def encode_values(values: np.ndarray) -> bytes:
@@ -32,6 +78,13 @@ def encode_values(values: np.ndarray) -> bytes:
     n = bits.shape[0]
     if n == 0:
         return pack_tokens(np.array([0], dtype=np.uint64), np.array([32]))
+    if n < _VECTOR_MIN:
+        return _encode_values_small(bits)
+    return _encode_values_vector(bits)
+
+
+def _encode_values_vector(bits: np.ndarray) -> bytes:
+    n = bits.shape[0]
     x = bits[1:] ^ bits[:-1]
     nz = np.flatnonzero(x)
     x_nz = x[nz]

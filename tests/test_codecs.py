@@ -86,6 +86,22 @@ def test_timestamps_roundtrip_property(xs):
     _roundtrip_ts(np.array(xs, dtype=np.int64))
 
 
+def test_small_and_vectorized_paths_byte_identical():
+    """The adaptive dispatch (loop under _VECTOR_MIN, whole-array numpy
+    above) must be invisible in the stream: both paths produce identical
+    bytes for the same input."""
+    from changepoynt_spark.codecs import delta as d
+    from changepoynt_spark.codecs import gorilla as g
+    rng = np.random.default_rng(5)
+    for n in (1, 2, 7, g._VECTOR_MIN - 1, g._VECTOR_MIN, g._VECTOR_MIN + 1, 300):
+        vals = np.cumsum(rng.normal(0, 1, n))
+        vals[rng.integers(0, n, n // 4)] = vals[0]  # some zero-deltas
+        bits = vals.view(np.uint64)
+        assert g._encode_values_small(bits) == g._encode_values_vector(bits)
+        ts = np.cumsum(rng.integers(-3, 4000, n)).astype(np.int64)
+        assert d._encode_timestamps_small(ts) == d._encode_timestamps_vector(ts)
+
+
 def test_frozen_blob_goldens():
     """Byte-identity with the round-2 (loop-based) encoder output, frozen in
     tests/goldens/codec_blobs_frozen.npz BEFORE the vectorized rewrite: the
