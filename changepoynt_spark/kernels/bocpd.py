@@ -93,6 +93,61 @@ class BOCPD(Algorithm):
         change_score[t_len - 1] = 0.0
         return change_score
 
+    # -- true online API (the streaming engine's incremental form) ----------
+    #
+    # BOCPD is inherently online: transform()'s recursion consumes one point
+    # per step, so unlike the subspace kernels there is no replay buffer —
+    # the posterior state itself streams.  stream_step(state, x) reproduces
+    # one loop iteration of transform() exactly (same op order), so emitted
+    # scores are BIT-IDENTICAL to the batch run for every position except
+    # the batch's artificial trailing zero (the final posterior row the
+    # reference never fills).  Priors must be explicit: a stream cannot fit
+    # them from the whole series.
+
+    def stream_state(self, max_run_length: int = None):
+        """Initial online state: (mean_params, prec_params, log_message, t).
+        ``max_run_length`` bounds the run-length support (and therefore the
+        state size) — None keeps exact unbounded state; a bound makes state
+        O(max_run_length) for billion-point streams at the cost of ignoring
+        runs longer than the bound (scores equal the exact recursion until
+        t exceeds the bound)."""
+        assert self.prior_mean is not None and self.prior_var is not None \
+            and self.signal_var is not None, \
+            'streaming BOCPD needs explicit priors (prior_mean/prior_var/signal_var)'
+        self._max_run_length = max_run_length
+        return (np.array([self.prior_mean], dtype=np.float64),
+                np.array([1.0 / self.prior_var], dtype=np.float64),
+                np.array([0.0]), 1)
+
+    def stream_step(self, state, x: float):
+        """Consume one point; returns (score_for_this_point, new_state)."""
+        mean_params, prec_params, log_message, t = state
+        n_rl = len(mean_params)  # run-length support carried so far
+        model = _GaussianUnknownMean(self.prior_mean, self.prior_var, self.signal_var)
+        model.mean_params = mean_params
+        model.prec_params = prec_params
+        log_hazard = np.log(1 / self.run_length)
+        log_one_minus_hazard = np.log(1 - 1 / self.run_length)
+        threshold = (self.change_length_threshold
+                     if self.change_length_threshold is not None
+                     else int(self.run_length * 0.1))
+
+        log_pis = model.log_pred_prob(n_rl, x)
+        log_growth_probs = log_pis + log_message + log_one_minus_hazard
+        log_cp_prob = _logsumexp(log_pis + log_message + log_hazard)
+        new_log_joint = np.append(log_cp_prob, log_growth_probs)
+        norm = _logsumexp(new_log_joint)
+        score = float(np.sum(np.exp(new_log_joint[:threshold + 1] - norm)))
+        model.update_params(n_rl, x)
+        mean_params, prec_params, log_message = \
+            model.mean_params, model.prec_params, new_log_joint
+        cap = getattr(self, '_max_run_length', None)
+        if cap is not None and len(log_message) > cap:
+            mean_params = mean_params[:cap]
+            prec_params = prec_params[:cap]
+            log_message = log_message[:cap]
+        return score, (mean_params, prec_params, log_message, t + 1)
+
 
 class _GaussianUnknownMean:
     """Conjugate Gaussian with unknown mean (Murphy 2007 eqs. 19/24/40;

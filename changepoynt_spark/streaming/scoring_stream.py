@@ -142,3 +142,95 @@ def streaming_scores(stream_df: DataFrame, algorithm: str = 'sst', params: dict 
             .applyInPandasWithState(fn, OUTPUT_SCHEMA, STATE_SCHEMA,
                                     outputMode='append',
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# truly-online kernels (posterior state streams, no replay buffer)
+# ---------------------------------------------------------------------------
+
+# state: the kernel's online posterior (three float arrays + step counter)
+# plus the same in-order machinery as the buffered path
+ONLINE_STATE_SCHEMA = T.StructType([
+    T.StructField('mean_params', T.ArrayType(T.DoubleType()), True),
+    T.StructField('prec_params', T.ArrayType(T.DoubleType()), True),
+    T.StructField('log_message', T.ArrayType(T.DoubleType()), True),
+    T.StructField('t', T.LongType(), True),
+    T.StructField('next_pos', T.LongType(), True),
+    T.StructField('pending_pos', T.ArrayType(T.LongType()), True),
+    T.StructField('pending_val', T.ArrayType(T.DoubleType()), True),
+    T.StructField('n_dropped', T.LongType(), True),
+])
+
+
+def _make_online_fn(algorithm: str, params: dict, max_pending: int = 10_000,
+                    max_run_length: int = None):
+    params = dict(params or {})
+    probe = build_algorithm(algorithm, params)
+    if not hasattr(probe, 'stream_step'):
+        raise ValueError(f'{algorithm} has no online (stream_step) form')
+
+    def fn(key, pdfs, state: GroupState):
+        doc_id = key[0]
+        algo = build_algorithm(algorithm, params)
+        if state.exists:
+            mp, pp, lm, t, next_pos, pend_p, pend_v, n_dropped = state.get
+            algo.stream_state(max_run_length)  # sets cap; state arrays below
+            kstate = (np.asarray(mp), np.asarray(pp), np.asarray(lm), t)
+            pending = dict(zip(pend_p, pend_v))
+        else:
+            kstate = algo.stream_state(max_run_length)
+            next_pos, pending, n_dropped = 0, {}, 0
+        out_pos, out_score = [], []
+
+        def drain():
+            nonlocal next_pos, kstate
+            while next_pos in pending:
+                score, kstate = algo.stream_step(kstate, pending.pop(next_pos))
+                out_pos.append(next_pos)      # online: score determined NOW
+                out_score.append(score)
+                next_pos += 1
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values('pos')
+            for p, v in zip(pdf['pos'].astype('int64'), pdf['value'].astype('float64')):
+                if p < next_pos:
+                    continue
+                pending[int(p)] = float(v)
+                drain()
+                if len(pending) > max_pending:
+                    # same gap-advance semantics as the buffered path: count
+                    # the loss and RESTART the posterior at the earliest
+                    # parked point (an online posterior must never span
+                    # missing data)
+                    lo = min(pending)
+                    n_dropped += lo - next_pos
+                    next_pos = lo
+                    kstate = algo.stream_state(max_run_length)
+                    drain()
+        mp, pp, lm, t = kstate
+        state.update((list(map(float, mp)), list(map(float, pp)),
+                      list(map(float, lm)), int(t), next_pos,
+                      list(pending.keys()), list(pending.values()), n_dropped))
+        if out_pos:
+            yield pd.DataFrame({'doc_id': doc_id, 'pos': out_pos, 'score': out_score})
+
+    return fn
+
+
+def streaming_online_scores(stream_df: DataFrame, algorithm: str = 'bocpd',
+                            params: dict = None, max_pending: int = 10_000,
+                            max_run_length: int = None) -> DataFrame:
+    """(doc_id, pos, value) point stream -> (doc_id, pos, score) for kernels
+    with a TRUE online recursion (BOCPD): the posterior state itself is the
+    Spark state, every point's score is emitted the moment it is consumed,
+    and emissions are BIT-IDENTICAL to the batch transform (no replay-buffer
+    truncation — asserted in tests/test_scoring_stream.py).
+
+    Exact state grows O(t) per series (the full run-length posterior);
+    ``max_run_length`` caps it for unbounded streams — the score error is
+    bounded by the truncated tail mass (1 - hazard)^cap."""
+    fn = _make_online_fn(algorithm, params, max_pending, max_run_length)
+    return (stream_df.groupBy('doc_id')
+            .applyInPandasWithState(fn, OUTPUT_SCHEMA, ONLINE_STATE_SCHEMA,
+                                    outputMode='append',
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

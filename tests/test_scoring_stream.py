@@ -178,3 +178,82 @@ def test_streaming_moving_window_matches_batch():
     assert out['pos'].max() == len(sig) - 1 - w
     for pos, score in zip(out['pos'], out['score']):
         np.testing.assert_allclose(score, batch[pos], rtol=1e-12)
+
+
+def test_streaming_bocpd_online_matches_batch_exactly(spark, tmp_path):
+    """BOCPD's true online form through real micro-batches: the posterior
+    state streams (no replay buffer) and every emitted score is
+    BIT-IDENTICAL to the batch transform — the reference's buffered-replay
+    exactness contract, extended to the one kernel that is inherently
+    online."""
+    from changepoynt_spark.kernels.bocpd import BOCPD
+    from changepoynt_spark.streaming.scoring_stream import streaming_online_scores
+
+    priors = dict(prior_mean=2.0, prior_var=1.5, signal_var=0.8)
+    params = dict(run_length=30, **priors)
+    sig_a = streaming_sine_signal(seed=7)[:150] + 2.0
+    sig_b = np.hstack([streaming_sine_signal(seed=11)[:60],
+                       5.0 + streaming_sine_signal(seed=13)[:90]])
+    rows = []
+    for doc, sig in (('doc_a', sig_a), ('doc_b', sig_b)):
+        for p, v in enumerate(sig):
+            rows.append((doc, p, float(v)))
+    pdf = pd.DataFrame(rows, columns=['doc_id', 'pos', 'value'])
+    out = str(tmp_path / 'points')
+    os.makedirs(out)
+    for i, chunk in enumerate(np.array_split(np.arange(len(sig_a)), 4)):
+        part = pdf[pdf['pos'].isin(chunk)]
+        spark.createDataFrame(part).coalesce(1).write.parquet(f'{out}/batch={i}')
+
+    schema = spark.read.parquet(f'{out}/batch=0').schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 1).parquet(f'{out}/batch=*'))
+    scored = streaming_online_scores(stream, algorithm='bocpd', params=params)
+    q = (scored.writeStream.outputMode('append').format('memory')
+         .queryName('bocpd_stream').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql('SELECT * FROM bocpd_stream').toPandas()
+    assert not got.duplicated(['doc_id', 'pos']).any()
+
+    for doc, sig in (('doc_a', sig_a), ('doc_b', sig_b)):
+        batch = BOCPD(**params).transform(np.asarray(sig, dtype=np.float64))
+        sub = got[got.doc_id == doc].sort_values('pos')
+        # every position emitted exactly once, as soon as consumed
+        assert sub['pos'].tolist() == list(range(len(sig)))
+        # bit-identical except the batch's artificial trailing zero (the
+        # reference never fills the final posterior row)
+        assert np.array_equal(sub['score'].to_numpy()[:-1], batch[:-1])
+
+
+def test_bocpd_online_pruning_error_bounded_by_tail_mass():
+    """max_run_length caps the state for unbounded streams; the score error
+    is bounded by the truncated run-length tail mass (1 - hazard)^cap."""
+    from changepoynt_spark.kernels.bocpd import BOCPD
+
+    np.random.seed(3455)
+    n = 200
+    sig = np.hstack([1 + np.random.rand(n), 3 + 2 * np.random.rand(n)])
+    priors = dict(prior_mean=2.0, prior_var=1.5, signal_var=0.8)
+
+    def run(cap):
+        det = BOCPD(run_length=50, **priors)
+        st = det.stream_state(max_run_length=cap)
+        out = []
+        for x in sig:
+            s, st = det.stream_step(st, float(x))
+            out.append(s)
+        return np.asarray(out)
+
+    exact = run(None)
+    batch = BOCPD(run_length=50, **priors).transform(sig)
+    assert np.array_equal(exact[:-1], batch[:-1])
+    for cap in (120, 250):
+        err = np.max(np.abs(run(cap) - exact))
+        bound = 2 * (1 - 1 / 50) ** cap
+        assert err < bound, (cap, err, bound)
+        # and the cap really bounds the state
+        det = BOCPD(run_length=50, **priors)
+        st = det.stream_state(max_run_length=cap)
+        for x in sig:
+            _, st = det.stream_step(st, float(x))
+        assert len(st[0]) <= cap

@@ -97,3 +97,37 @@ def test_streaming_exact_dedup_suppresses_cross_batch_duplicates(spark, tmp_path
     assert sorted(got['text'].tolist()) == ['alpha beta', 'epsilon zeta',
                                             'gamma delta']
     assert not got['text_hash'].duplicated().any()
+
+
+def test_streaming_tier_cascades_to_1h_1d_exactly(spark, events_dir):
+    """The streaming 1m tier is a valid cascade base: feeding its output
+    through the batch cascade step (rollup_from_rollup) reproduces the
+    1h and 1d tiers computed directly from raw points — bucket-for-bucket,
+    aggregate-for-aggregate."""
+    from changepoynt_spark.operators.rollup import rollup_from_rollup
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    tier_1m = streaming_rollup(stream, keys=['user_id'], ts_col='ts', value_col='value',
+                               interval='1 minute', watermark_delay='30 minutes')
+    q = (tier_1m.writeStream.outputMode('complete').format('memory')
+         .queryName('tier_1m_cascade').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_1m = spark.sql('SELECT * FROM tier_1m_cascade')
+
+    raw = spark.read.parquet(events_dir)
+    for interval in ('1 hour', '1 day'):
+        got = (rollup_from_rollup(stream_1m, ['user_id'], interval=interval)
+               .toPandas().sort_values(['user_id', 'bucket_start'])
+               .reset_index(drop=True))
+        exp = (rollup_from_points(raw, ['user_id'], ts_col='ts', value_col='value',
+                                  interval=interval)
+               .toPandas().sort_values(['user_id', 'bucket_start'])
+               .reset_index(drop=True))
+        assert len(got) == len(exp) > 0, interval
+        assert (got['bucket_start'] == exp['bucket_start']).all()
+        for col in AGG_COLS:
+            np.testing.assert_allclose(got[col].to_numpy(dtype=float),
+                                       exp[col].to_numpy(dtype=float),
+                                       rtol=1e-9, err_msg=f'{interval}.{col}')
