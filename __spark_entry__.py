@@ -297,6 +297,64 @@ FROM toks
 """
 
 
+def _pii_scrub_sql() -> str:
+    """Identical regexes (Java-regex ∩ RE2 common subset) and identical
+    sequential replacement order as text.pii_scrub; DuckDB regexp_replace
+    needs the explicit 'g' flag (Spark's is global by default)."""
+    from changepoynt_spark.operators.text import PII_PATTERNS
+    pats = dict(PII_PATTERNS)
+    scrub = 't'
+    for name, pat in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ',\n           '.join(
+        f"len(regexp_extract_all(t, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS)
+    return f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 or +1 555 0100 ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           {counts},
+           md5({scrub}) AS scrubbed_hash
+    FROM planted
+    """
+
+
+_CONTAMINATION_SQL = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                      generate_subscripts(string_split(text, ' '), 1) AS i
+               FROM documents
+               WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       FROM words a
+       JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       JOIN words c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (0, 1, 2, 3, 4)),
+agg AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+               COUNT(bench.s) AS n_hit
+        FROM sh LEFT JOIN bench ON sh.s = bench.s
+        WHERE sh.doc_id NOT IN (0, 1, 2, 3, 4)
+        GROUP BY sh.doc_id)
+SELECT doc_id, n_grams, n_hit,
+       ROUND(n_hit * 1.0 / n_grams, 6) AS hit_ratio
+FROM agg
+"""
+
+
+_MIXTURE_SAMPLE_SQL = """
+SELECT doc_id, source
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) AS BIGINT)
+      % 1000000
+      < CASE source WHEN 'src0' THEN 1000000
+                    WHEN 'src1' THEN 250000
+                    ELSE 500000 END
+"""
+
+
 def _fingerprints_sql(window: int = 8, base: int = 257,
                       mod: int = (1 << 61) - 1) -> str:
     """DuckDB mirror of text.fingerprint_documents: the Rabin-Karp M61 math
@@ -637,6 +695,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at('tokens', -1).alias('tok_last'),
             'source')
 
+    def doc_pii_scrub(spark, sf_dir):
+        # plant deterministic PII derived from doc_id (the fixture corpus
+        # has none), so the oracle checks real redactions — counts AND the
+        # md5 of the fully scrubbed bytes
+        docs = _read(spark, sf_dir, 'documents')
+        planted = docs.withColumn('text', F.concat(
+            'text', F.lit(' contact user'), F.col('doc_id').cast('string'),
+            F.lit('@example.com at 10.0.'),
+            F.pmod(F.col('doc_id'), F.lit(256)).cast('string'),
+            F.lit('.7 or +1 555 0100 '), F.col('doc_id').cast('string')))
+        return text.pii_scrub(planted)
+
+    def doc_contamination(spark, sf_dir):
+        return text.contamination_check(_read_spread(spark, sf_dir, 'documents'),
+                                        benchmark_ids=[0, 1, 2, 3, 4], n=3)
+
+    def corpus_mixture_sample(spark, sf_dir):
+        from changepoynt_spark.operators.packing import mixture_sample
+        out = mixture_sample(_read(spark, sf_dir, 'documents'),
+                             rates={'src0': 1.0, 'src1': 0.25}, default_rate=0.5)
+        return out.select('doc_id', 'source')
+
     def embedding_cosine_dups(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
         emb = emb.withColumn('embedding',
@@ -739,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_language_id': doc_language_id,
         'doc_fingerprints': doc_fingerprints,
         'doc_tokenize': doc_tokenize,
+        'doc_pii_scrub': doc_pii_scrub,
+        'doc_contamination': doc_contamination,
+        'corpus_mixture_sample': corpus_mixture_sample,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -881,6 +964,9 @@ def oracle_sql() -> dict[str, str]:
         'doc_simhash': _simhash_sql(),
         'doc_fingerprints': _fingerprints_sql(),
         'doc_tokenize': _TOKENIZE_SQL,
+        'doc_pii_scrub': _pii_scrub_sql(),
+        'doc_contamination': _CONTAMINATION_SQL,
+        'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

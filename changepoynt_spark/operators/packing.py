@@ -96,3 +96,30 @@ def split_by_hash(df: DataFrame, val_pct: int = 10, id_col: str = 'doc_id') -> D
                            16, 10).cast('long'), F.lit(100))
     return df.withColumn('split',
                          F.when(bucket < val_pct, F.lit('val')).otherwise(F.lit('train')))
+
+
+def mixture_sample(df: DataFrame, rates: dict, default_rate: float = 1.0,
+                   id_col: str = 'doc_id', source_col: str = 'source') -> DataFrame:
+    """Deterministic per-source downsampling to target mixture weights —
+    the domain-mixture step of a training-data pipeline (e.g. keep 100% of
+    wiki, 30% of web).
+
+    Keep decision: md5(doc_id || ':mix') bucket (mod 10^6) < rate * 10^6.
+    Same discipline as split_by_hash — engine-portable, stable under
+    repartitioning and corpus growth (a doc's fate never changes when more
+    data arrives), and salted differently from the train/val split so the
+    two decisions are independent.  Map-only filter: no shuffle at any
+    scale."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast('string'),
+                                          F.lit(':mix'))), 1, 8), 16, 10).cast('long'),
+        F.lit(1_000_000))
+    rate_col = None
+    for src, rate in sorted(rates.items()):
+        thr = F.lit(int(round(rate * 1_000_000)))
+        rate_col = F.when(F.col(source_col) == src, thr) if rate_col is None \
+            else rate_col.when(F.col(source_col) == src, thr)
+    rate_col = (rate_col.otherwise(F.lit(int(round(default_rate * 1_000_000))))
+                if rate_col is not None
+                else F.lit(int(round(default_rate * 1_000_000))))
+    return df.filter(bucket < rate_col)

@@ -284,3 +284,71 @@ def fingerprint_documents(df: DataFrame, window: int = 8, base: int = 257,
                                 'min_shingle_hash': minsh})
 
     return df.select('doc_id', 'text').mapInPandas(kernel, schema=_FP_SCHEMA)
+
+
+# --- PII scrubbing -----------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset, so the DuckDB
+# oracle runs the IDENTICAL expressions (no lookbehind, no backrefs).
+PII_PATTERNS = (
+    ('email', r'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+    ('ipv4', r'\b(\d{1,3}\.){3}\d{1,3}\b'),
+    # leading \+? sits OUTSIDE the \b: there is no word boundary between a
+    # space and '+', so '\b\+?' would silently leave the '+' unredacted
+    ('phone', r'\+?\b\d[\d\- ]{7,}\d\b'),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, scrubbed_hash) — regex redaction
+    of emails / IPv4s / phone-like digit runs, the hygiene pass every
+    training corpus needs before release.
+
+    Counts are measured on the ORIGINAL text (order-independent, auditable);
+    redaction applies the patterns sequentially (email first, so its digits
+    can't retrigger the phone rule), replacing each hit with an <EMAIL> /
+    <IPV4> / <PHONE> token.  The scrubbed text is emitted as an md5 hash —
+    engine-portable, so the DuckDB oracle verifies the full scrubbed BYTES,
+    not just counts.  All whole-stage-codegen expressions; at corpus scale
+    this is a map-only pass with no shuffle."""
+    cols = [F.col('doc_id')]
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).cast('long')
+                     .alias(f'n_{name}'))
+        scrubbed = F.regexp_replace(scrubbed, pat, f'<{name.upper()}>')
+    cols.append(F.md5(scrubbed).alias('scrubbed_hash'))
+    return df.select(*cols)
+
+
+# --- benchmark contamination -------------------------------------------------
+
+def contamination_check(df: DataFrame, benchmark_ids, n: int = 3,
+                        id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(doc_id, n_grams, n_hit, hit_ratio) — per-document fraction of
+    distinct word n-grams that appear in ANY benchmark document (train/test
+    overlap detection; the n-gram contamination methodology of the GPT-3
+    appendix / Lee et al. 2022).
+
+    The benchmark shingle set is small by construction (eval sets are tiny
+    next to a training corpus), so it is collected onto the driver and
+    BROADCAST into an array_intersect — corpus text is scanned exactly once,
+    map-only, no shuffle of the big side.  At a larger benchmark, swap the
+    literal for a broadcast semi-join on exploded shingles (same result,
+    still corpus-shuffle-free)."""
+    from changepoynt_spark.operators.dedup import shingles
+    bench = (shingles(df.filter(F.col(id_col).isin(list(benchmark_ids))), n=n,
+                      text_col=text_col)
+             .select(F.explode('shingle_set').alias('s'))
+             .distinct())
+    bench_grams = sorted(r['s'] for r in bench.collect())
+    blit = F.array(*[F.lit(s) for s in bench_grams])
+    sh = shingles(df.filter(~F.col(id_col).isin(list(benchmark_ids))), n=n,
+                  text_col=text_col)
+    n_grams = F.size('shingle_set')
+    n_hit = F.size(F.array_intersect('shingle_set', blit))
+    return sh.select(
+        F.col(id_col),
+        n_grams.cast('long').alias('n_grams'),
+        n_hit.cast('long').alias('n_hit'),
+        F.round(n_hit / n_grams, 6).alias('hit_ratio'))

@@ -153,3 +153,28 @@ def test_gap_fill_linear_native_bitmatches_np_interp(spark):
     expect = np.interp(x, idx.astype(np.float64), pdf['avg_value'].to_numpy())
     assert len(got) == len(x)
     np.testing.assert_array_equal(got['avg_value'].to_numpy(), expect)
+
+
+def test_gap_fill_linear_plan_uses_running_frames_only(spark):
+    """Regression guard for the round-2 O(n^2) plan: 'next observed value'
+    must come from a DESCENDING running frame, never from a
+    (CURRENT ROW, UNBOUNDED FOLLOWING) frame — Spark re-aggregates the
+    remaining rows per row in that frame shape (measured 4x cost per input
+    doubling).  Also: the exploded spine must be explicitly repartitioned by
+    keys so AQE's byte-based coalesce cannot serialize all keys onto one
+    task."""
+    import pandas as pd
+    from changepoynt_spark.operators.rollup import gap_fill
+
+    pdf = pd.DataFrame({
+        'k': ['a'] * 5,
+        'bucket_start': pd.date_range('2026-01-01', periods=5, freq='1min'),
+        'avg_value': [1.0, None, None, 4.0, None],
+    })
+    df = spark.createDataFrame(pdf)
+    filled = gap_fill(df, ['k'], interval_seconds=60, method='linear')
+    plan = filled._jdf.queryExecution().executedPlan().toString()
+    assert 'unboundedfollowing' not in plan.lower(), 'O(n^2) frame is back'
+    opt = filled._jdf.queryExecution().optimizedPlan().toString()
+    assert 'repartitionbyexpression' in opt.lower().replace(' ', ''), \
+        'spine no longer key-repartitioned'

@@ -296,3 +296,59 @@ def test_dedupe_corpus_end_to_end(spark):
     assert 2 not in kept                              # exact dup dropped
     assert 3 not in kept                              # near dup dropped
     assert kept == [1, 4, 5]
+
+
+def test_pii_scrub_counts_and_sequential_redaction(spark):
+    from changepoynt_spark.operators.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, 'mail a@b.co and c.d+x@e.org, ip 10.0.0.1, tel +1 555 0100 200'),
+         (2, ''),                              # empty doc: zero counts, valid hash
+         (3, 'no pii here at all')],
+        'doc_id long, text string')
+    rows = {r['doc_id']: r.asDict() for r in pii_scrub(df).collect()}
+    assert rows[1]['n_email'] == 2 and rows[1]['n_ipv4'] == 1 and rows[1]['n_phone'] == 1
+    assert rows[2]['n_email'] == rows[2]['n_ipv4'] == rows[2]['n_phone'] == 0
+    assert rows[3]['scrubbed_hash'] is not None
+    # email digits must not retrigger the phone rule after redaction:
+    # scrubbed text of doc 1 equals the hand-redacted form
+    import hashlib
+    expect = 'mail <EMAIL> and <EMAIL>, ip <IPV4>, tel <PHONE>'
+    assert rows[1]['scrubbed_hash'] == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_contamination_check_bounds_and_short_docs(spark):
+    from changepoynt_spark.operators.text import contamination_check
+    df = spark.createDataFrame(
+        [(0, 'alpha beta gamma delta'),        # benchmark
+         (1, 'alpha beta gamma epsilon'),      # shares 'alpha beta gamma'
+         (2, 'zeta eta theta iota'),           # disjoint
+         (3, 'too short')],                    # < n words: excluded
+        'doc_id long, text string')
+    out = {r['doc_id']: r.asDict()
+           for r in contamination_check(df, benchmark_ids=[0], n=3).collect()}
+    assert set(out) == {1, 2}                  # benchmark + short doc excluded
+    assert out[1]['n_hit'] == 1 and out[1]['n_grams'] == 2
+    assert out[2]['n_hit'] == 0
+    assert 0.0 <= out[1]['hit_ratio'] <= 1.0
+
+
+def test_mixture_sample_deterministic_and_rate_bounds(spark):
+    from changepoynt_spark.operators.packing import mixture_sample
+    docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+    rates = {'src0': 1.0, 'src1': 0.0}
+    a = sorted(r['doc_id'] for r in mixture_sample(docs, rates, 0.5).collect())
+    b = sorted(r['doc_id'] for r in
+               mixture_sample(docs.repartition(7), rates, 0.5).collect())
+    assert a == b                              # stable under repartitioning
+    per_src = {r['source']: r['n'] for r in
+               mixture_sample(docs, rates, 0.5)
+               .groupBy('source').agg(F.count('*').alias('n')).collect()}
+    total = {r['source']: r['n'] for r in
+             docs.groupBy('source').agg(F.count('*').alias('n')).collect()}
+    assert per_src['src0'] == total['src0']    # rate 1.0 keeps everything
+    assert 'src1' not in per_src               # rate 0.0 keeps nothing
+    # sampling decision is independent of the train/val split buckets
+    from changepoynt_spark.operators.packing import split_by_hash
+    kept = mixture_sample(split_by_hash(docs), {'src2': 0.5}, 1.0)
+    splits = {r['split'] for r in kept.select('split').distinct().collect()}
+    assert splits == {'train', 'val'}
