@@ -352,3 +352,36 @@ def test_mixture_sample_deterministic_and_rate_bounds(spark):
     kept = mixture_sample(split_by_hash(docs), {'src2': 0.5}, 1.0)
     splits = {r['split'] for r in kept.select('split').distinct().collect()}
     assert splits == {'train', 'val'}
+
+
+def test_ivf_lists_prune_partitions_on_disk(spark, tmp_path):
+    """The IVF scale story is file pruning: embeddings written partitioned
+    by list_id mean a probe of nprobe lists READS only nprobe partitions.
+    Assert it on disk: the probe query's input files all live under the
+    probed list_id directories."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from changepoynt_spark.operators.similarity import ivf_assign
+    import __spark_entry__ as E
+
+    emb = (spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+           .withColumn('embedding', F.transform('embedding', lambda x: x.cast('double'))))
+    cents = E._ivf_centroids(n_lists=8, dim=64, seed=11)
+    out = str(tmp_path / 'ivf_table')
+    ivf_assign(emb, cents).write.partitionBy('list_id').parquet(out)
+
+    probes = [0, 3]
+    probe_df = spark.read.parquet(out).filter(F.col('list_id').isin(probes))
+    # inputFiles() is pre-pruning; input_file_name() reflects what the
+    # pruned scan actually reads at runtime
+    files = [r[0] for r in
+             probe_df.select(F.input_file_name()).distinct().collect()]
+    assert files, 'probe read no files'
+    assert all(any(f'list_id={p}' in f for p in probes) for f in files), \
+        [f for f in files if not any(f'list_id={p}' in f for p in probes)][:3]
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert 'PartitionFilters: [' in plan and 'list_id' in plan.split(
+        'PartitionFilters: [', 1)[1][:120]
+    # and the probe result equals the unpruned filter (pruning is lossless)
+    full = spark.read.parquet(out)
+    assert probe_df.count() == full.filter(F.col('list_id').isin(probes)).count() > 0
