@@ -631,6 +631,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.sql(_NATION_REVENUE_SQL)
 
     # ---- rows-only (non-SQL-expressible; bit-golden-checked in tests/) ----
+    #
+    # Per-query infeasibility rationale (why no DuckDB oracle):
+    # - *_scores (sst/esst/msst/messt/rulsif/ulsif/fluss/bocpd): iterative
+    #   numerical kernels (Lanczos/SVD/density-ratio CV/matrix profile /
+    #   O(T^2) posterior recursion) — not expressible in SQL; each is
+    #   bit-matched against the frozen numpy-oracle goldens AND Spark==oracle
+    #   bitmatch tests (tests/test_spark_scoring.py, tests/test_goldens.py).
+    # - scored_rollup_compressed: output columns are Gorilla/delta-of-delta
+    #   BLOBS — SQL cannot produce the bitstreams; codec byte-identity is
+    #   frozen in tests/goldens/codec_blobs_frozen.npz and the fused values
+    #   equal the (oracled) generic cascade per tests/test_fused.py.
+    # - doc_pack_stats: bin-packing composition legitimately depends on the
+    #   partitioning (per-partition FFD); the exactly-once + budget
+    #   invariants are asserted in tests/test_packing.py instead.
+    # - retention_report: thin count-by-policy over the fused scored rollup
+    #   (same blob-bearing path as scored_rollup_compressed).
+    # - embedding_cosine_dups: multi-table LSH candidates depend on plane
+    #   RNG draws; recall >= 0.9 vs brute force is asserted in
+    #   tests/test_similarity_text.py (the single-table LSH top-k and IVF
+    #   variants ARE oracled with literal planes/centroids).
+    # - multimodal_*: binary payload plans with honestly-stubbed decode —
+    #   shapes/partitioning asserted in tests/test_multimodal.py.
+    # - gap_fill_linear_values: np.interp bit-equality is pytest-asserted
+    #   (tests/test_rollup.py); a DuckDB twin was tried in round 2 and is
+    #   UNSOUND cross-engine at 6.3M rows (raw double sums hit round-6
+    #   boundary flips), so the rows-only check is deliberate.
 
     def scored_rollup_compressed(spark, sf_dir):
         # fused zero-shuffle path: scores + tiers + gorilla blocks in one
