@@ -76,7 +76,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'embedding_knn', 'lineitem_pricing_summary', 'nation_revenue',
              'sst_ika_scores', 'bocpd_scores', 'fluss_scores',
              'scored_rollup_compressed', 'simhash_dup_pairs', 'embedding_ivf_topk',
-             'doc_dup_clusters', 'gap_fill_linear_values']
+             'doc_dup_clusters', 'gap_fill_linear_values',
+             'doc_pii_scrub', 'doc_contamination', 'corpus_mixture_sample']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -123,3 +123,19 @@ def test_frozen_example_blocks_stable():
     ts = np.array([0, 60, 120, 240], dtype=np.int64)
     b1 = encode_timestamps(ts)
     assert decode_timestamps(b1).tolist() == [0, 60, 120, 240]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2 ** 64 - 1),
+                          st.integers(min_value=0, max_value=64)), max_size=60))
+def test_pack_tokens_matches_bitwriter_property(tokens):
+    """pack_tokens (vectorized two-word scatter) == BitWriter (sequential)
+    for arbitrary field widths 0..64 including zero-width and trailing
+    tokens."""
+    from changepoynt_spark.codecs.bits import BitWriter, pack_tokens
+    w = BitWriter()
+    for val, nb in tokens:
+        w.write(val, nb)
+    vals = np.array([t[0] for t in tokens], dtype=np.uint64)
+    nbits = np.array([t[1] for t in tokens], dtype=np.int64)
+    assert pack_tokens(vals, nbits) == w.getvalue()

@@ -257,3 +257,34 @@ def test_bocpd_online_pruning_error_bounded_by_tail_mass():
         for x in sig:
             _, st = det.stream_step(st, float(x))
         assert len(st[0]) <= cap
+
+
+def test_bocpd_online_gap_advance_resets_posterior():
+    """The online path shares the gap-advance contract: a gap outlasting
+    max_pending is counted, the posterior RESTARTS at the earliest parked
+    point (a posterior must never span missing data), and post-gap scores
+    equal a fresh batch transform of the post-gap segment."""
+    from changepoynt_spark.kernels.bocpd import BOCPD
+    from changepoynt_spark.streaming.scoring_stream import _make_online_fn
+
+    priors = dict(prior_mean=2.0, prior_var=1.5, signal_var=0.8)
+    params = dict(run_length=20, **priors)
+    fn = _make_online_fn('bocpd', params, max_pending=5)
+    sig = streaming_sine_signal(seed=9)[:80] + 2.0
+    state = _FakeState()
+
+    def feed(positions):
+        pdf = pd.DataFrame({'pos': positions,
+                            'value': [float(sig[p]) for p in positions]})
+        return list(fn(('doc_z',), iter([pdf]), state))
+
+    feed(range(0, 20))
+    out2 = feed(range(25, 36))            # 20..24 never arrive -> overflow
+    st = state.get
+    n_dropped, next_pos, pend = st[7], st[4], st[5]
+    assert n_dropped == 5 and next_pos == 36 and not pend
+    out3 = feed(range(36, 80))
+    post = pd.concat(out2 + out3).sort_values('pos')
+    assert post['pos'].tolist() == list(range(25, 80))
+    batch = BOCPD(**params).transform(np.asarray(sig[25:], dtype=np.float64))
+    np.testing.assert_array_equal(post['score'].to_numpy()[:-1], batch[:-1])
