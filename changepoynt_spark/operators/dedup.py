@@ -73,7 +73,12 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
         hot = (inv.groupBy('_sh').agg(F.count('*').alias('_df'))
                   .filter(F.col('_df') > df_cap).select('_sh'))
         inv = inv.join(F.broadcast(hot), '_sh', 'left_anti')
-    counts = sh.select('_id', F.size('shingle_set').alias('_n'))
+    # tiny (id, n) table used THREE times (two broadcast sides); materialize
+    # so the shingle projection is not recomputed per use — the inverted
+    # index self-join itself is left to ReuseExchange (both sides are the
+    # identical exchange)
+    counts = sh.select('_id', F.size('shingle_set').alias('_n')) \
+               .localCheckpoint(eager=True)
     inter = (inv.alias('a').join(inv.alias('b'),
                                  (F.col('a._sh') == F.col('b._sh')) &
                                  (F.col('a._id') < F.col('b._id')))
@@ -105,9 +110,13 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 32, n: int = 3,
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: int = 3,
-                      threshold: float = 0.5, id_col: str = 'doc_id') -> DataFrame:
+                      threshold: float = 0.5, id_col: str = 'doc_id',
+                      materialize: bool = True) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs via banded MinHash LSH with
-    exact Jaccard verification of candidates."""
+    exact Jaccard verification of candidates.
+
+    ``materialize=False`` skips the eager localCheckpoints (used by plan-
+    inspection tests; production callers keep the default)."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, id_col)
@@ -120,15 +129,29 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = 32, bands: int = 8, n: in
     # the band join moves ONLY (doc_id, band, bh): the shingle arrays would
     # otherwise ride the exchange `bands` times each.  They are re-attached
     # to the (far smaller) candidate pair set for the exact-Jaccard verify.
-    buckets = sigs.select('doc_id', band_hash.alias('bb')) \
-                  .select('doc_id', 'bb.band', 'bb.bh')
+    # materialized before the self-join so the shingle+minhash subtree is
+    # computed ONCE regardless of ReuseExchange hits (same reasoning as
+    # simhash_dup_pairs above); rows are (id, band, int64) only
+    buckets = (sigs.select('doc_id', band_hash.alias('bb'))
+                   .select('doc_id', 'bb.band', 'bb.bh'))
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
     cands = (buckets.alias('a').join(
                 buckets.alias('b'),
                 (F.col('a.band') == F.col('b.band')) & (F.col('a.bh') == F.col('b.bh')) &
                 (F.col('a.doc_id') < F.col('b.doc_id')))
              .select(F.col('a.doc_id').alias('doc_a'), F.col('b.doc_id').alias('doc_b'))
              .dropDuplicates(['doc_a', 'doc_b']))
-    sets = shingles(df, n).select(F.col(id_col).alias('doc_id'), 'shingle_set')
+    if materialize:
+        cands = cands.localCheckpoint(eager=True)
+    # verify stage re-shingles ONLY the candidate docs: a broadcast semi-join
+    # on the (small, threshold-pruned) candidate id set pushes the filter
+    # below the shingle projection, so the corpus is not re-shingled
+    cand_ids = (cands.select(F.col('doc_a').alias(id_col))
+                     .unionByName(cands.select(F.col('doc_b').alias(id_col)))
+                     .distinct())
+    sets = shingles(df.join(F.broadcast(cand_ids), id_col, 'left_semi'), n) \
+        .select(F.col(id_col).alias('doc_id'), 'shingle_set')
     cands = (cands
              .join(sets.select(F.col('doc_id').alias('doc_a'),
                                F.col('shingle_set').alias('_sa')), 'doc_a')
@@ -170,14 +193,16 @@ def dup_clusters(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
         prop = (edges.join(labels, edges.src == labels.node)
                      .groupBy(F.col('dst').alias('node2'))
                      .agg(F.min('label').alias('nlabel')))
+        # the changed-flag rides the propagation join, so the fixpoint check
+        # is a cheap scan of the already-materialized checkpoint — not an
+        # extra labels-vs-labels join per round
+        nlabel = F.least('label', F.coalesce('nlabel', 'label'))
         new_labels = (labels.join(prop, labels.node == prop.node2, 'left')
-                            .select('node',
-                                    F.least('label', F.coalesce('nlabel', 'label'))
-                                     .alias('label'))).localCheckpoint(eager=True)
-        changed = (new_labels.alias('n')
-                   .join(labels.alias('o'), 'node')
-                   .filter(F.col('n.label') != F.col('o.label')).count())
-        labels = new_labels
+                            .select('node', nlabel.alias('label'),
+                                    (nlabel != F.col('label')).alias('_changed'))
+                      ).localCheckpoint(eager=True)
+        changed = new_labels.filter('_changed').count()
+        labels = new_labels.drop('_changed')
         if changed == 0:
             break
     else:
@@ -249,7 +274,8 @@ def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
     return agg.select('doc_id', sim.alias('simhash'))
 
 
-def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
+                      materialize: bool = True) -> DataFrame:
     """(doc_a, doc_b, hamming) — SimHash near-dup pairs with GUARANTEED recall.
 
     Candidate pruning by the multi-index pigeonhole scheme (Manku et al.,
@@ -266,7 +292,16 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32) -> Da
     use a 64-bit simhash (9-bit segments, 512 buckets/band) or two-stage
     blocks; the banding below is width-generic.
     """
+    # Materialize the signature table before the self-join: both join sides
+    # embed the explode+64-column vote aggregation subtree — ReuseExchange
+    # usually dedups the identical sides within one query, but the guarantee
+    # is plan-shape-fragile, and ANY consumer composing this operator into a
+    # larger query (dedupe_corpus runs it next to the LSH pass) pays the
+    # recompute on a reuse miss.  The checkpointed table is (id, int64)
+    # only, ~16 bytes/row at any scale.
     sh = simhash(df, bits=bits)
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     base_w, extra = divmod(bits, n_bands)
     # first `extra` bands get one extra bit; offsets tile [0, bits)

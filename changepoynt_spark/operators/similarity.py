@@ -202,13 +202,19 @@ def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int 
         return df.sparkSession.createDataFrame(
             [], 'vec_a long, vec_b long, cos_sim double')
     dim = len(first[0])
+    # materialize the filtered vector table once: it feeds n_tables signature
+    # computations plus the two verify-stage re-attach joins — 10 parquet
+    # rescans otherwise
     vecs = _drop_zero_norm(df, vec_col) \
-        .select(F.col(id_col).alias('_id'), F.col(vec_col).alias('_v'))
+        .select(F.col(id_col).alias('_id'), F.col(vec_col).alias('_v')) \
+        .localCheckpoint(eager=True)
     cands = None
     for t in range(n_tables):
+        # (id, bucket) materialized so the bucket self-join does not embed
+        # the n_planes-dot-product tree on both sides
         sigs = hyperplane_signatures(vecs, dim=dim, n_planes=n_planes,
                                      seed=seed + 104729 * t, vec_col='_v') \
-            .select('_id', 'bucket')
+            .select('_id', 'bucket').localCheckpoint(eager=True)
         p = (sigs.alias('a').join(sigs.alias('b'),
                                   (F.col('a.bucket') == F.col('b.bucket')) &
                                   (F.col('a._id') < F.col('b._id')))

@@ -262,7 +262,8 @@ def test_minhash_band_exchange_carries_no_arrays(spark, documents):
     import io
     import re
     from changepoynt_spark.operators import dedup
-    out = dedup.minhash_lsh_pairs(documents, num_hashes=32, bands=8, threshold=0.4)
+    out = dedup.minhash_lsh_pairs(documents, num_hashes=32, bands=8, threshold=0.4,
+                                  materialize=False)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain(mode='formatted')
