@@ -344,6 +344,18 @@ FROM agg
 """
 
 
+_ASOF_JOIN_SQL = """
+WITH readings AS (SELECT user_id, ts, event_id, ROUND(value, 6) AS value
+                  FROM events WHERE event_id % 2 = 0),
+markers AS (SELECT user_id, ts, arg_max(value, event_id) AS marker_value
+            FROM events WHERE event_id % 2 = 1 GROUP BY user_id, ts)
+SELECT r.user_id, r.ts, r.event_id, r.value,
+       m.ts AS marker_ts, ROUND(m.marker_value, 6) AS marker_value
+FROM readings r
+ASOF LEFT JOIN markers m ON r.user_id = m.user_id AND r.ts >= m.ts
+"""
+
+
 _MIXTURE_SAMPLE_SQL = """
 SELECT doc_id, source
 FROM documents
@@ -721,6 +733,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at('tokens', -1).alias('tok_last'),
             'source')
 
+    def events_asof_join(spark, sf_dir):
+        # readings (even event ids) aligned to the most recent marker (odd
+        # event ids) per user — the canonical time-series as-of join.  The
+        # marker side is deduped to one row per (user, ts) first (as-of is
+        # ambiguous under ts ties; both engines dedupe identically).
+        from changepoynt_spark.operators.asof import asof_join
+        ev = _read(spark, sf_dir, 'events')
+        readings = ev.filter(F.pmod('event_id', F.lit(2)) == 0) \
+                     .select('user_id', 'ts', 'event_id', 'value')
+        markers = (ev.filter(F.pmod('event_id', F.lit(2)) == 1)
+                     .groupBy('user_id', 'ts')
+                     .agg(F.max_by('value', 'event_id').alias('marker_value')))
+        out = asof_join(readings, markers, on=['user_id'], ts_col='ts',
+                        right_cols=['marker_value'])
+        return out.select('user_id', 'ts', 'event_id',
+                          F.round('value', 6).alias('value'),
+                          F.col('ts_r').alias('marker_ts'),
+                          F.round('marker_value_r', 6).alias('marker_value'))
+
     def doc_pii_scrub(spark, sf_dir):
         # plant deterministic PII derived from doc_id (the fixture corpus
         # has none), so the oracle checks real redactions — counts AND the
@@ -848,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_pii_scrub': doc_pii_scrub,
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
+        'events_asof_join': events_asof_join,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -993,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         'doc_pii_scrub': _pii_scrub_sql(),
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
+        'events_asof_join': _ASOF_JOIN_SQL,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -1,0 +1,94 @@
+"""As-of join — align each left row with the most recent right row at or
+before it (per key), the workhorse join of every time-series store (quotes
+to trades, sensor state to events, config snapshots to points).
+
+Spark-first design: NOT a range join (a theta join on ts <= ts explodes to
+O(|L| x |R|) per key before limiting), but the union + running-window trick:
+
+  1. tag right rows 0 and left rows 1, union them (schema-aligned),
+  2. one window partitioned by the join keys, ordered by (ts, tag),
+     running frame [unboundedPreceding, current]:
+     last(<right value>, ignorenulls) at a left row IS the as-of match —
+     right rows sort before left rows at equal timestamps, so ties take the
+     right row at exactly the left timestamp (standard backward semantics,
+     same as DuckDB ASOF JOIN and pandas merge_asof),
+  3. keep the left rows.
+
+Cost: ONE hash exchange on the join keys + a per-partition sort — the same
+shuffle a plain equi-join would pay, with no candidate blow-up; the running
+frame is the O(n) incremental evaluator (same discipline as gap_fill).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
+              right_cols=None, direction: str = 'backward',
+              tolerance_seconds: float = None, suffix: str = '_r') -> DataFrame:
+    """Left as-of join: every ``left`` row gains, for each of ``right_cols``,
+    the value from the nearest ``right`` row at-or-before it (``backward``)
+    or at-or-after it (``forward``) with the same ``on`` keys, plus
+    ``{ts_col}{suffix}`` = the matched right timestamp.
+
+    ``tolerance_seconds`` nulls matches farther than the tolerance (the
+    matched timestamp included), mirroring pandas merge_asof semantics.
+    Rows with no match keep null columns (left join).
+    """
+    if direction not in ('backward', 'forward'):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    on = list(on)
+    right_cols = list(right_cols if right_cols is not None
+                      else [c for c in right.columns if c not in on + [ts_col]])
+    matched_ts = f'{ts_col}{suffix}'
+
+    r = right.select(*on, F.col(ts_col),
+                     F.col(ts_col).alias(matched_ts),
+                     *[F.col(c).alias(f'_rv_{c}') for c in right_cols],
+                     F.lit(0).alias('_tag'),
+                     *[F.lit(None).cast(left.schema[c].dataType).alias(f'_lv_{c}')
+                       for c in left.columns if c not in on + [ts_col]])
+    l = left.select(*on, F.col(ts_col),
+                    F.lit(None).cast(right.schema[ts_col].dataType).alias(matched_ts),
+                    *[F.lit(None).cast(right.schema[c].dataType).alias(f'_rv_{c}')
+                      for c in right_cols],
+                    F.lit(1).alias('_tag'),
+                    *[F.col(c).alias(f'_lv_{c}')
+                      for c in left.columns if c not in on + [ts_col]])
+    u = r.unionByName(l)
+
+    if direction == 'backward':
+        # right rows (tag 0) sort before left rows at equal ts -> ties match
+        order = Window.partitionBy(*on).orderBy(F.col(ts_col).asc(), F.col('_tag').asc())
+    else:
+        # descending scan; right rows must still come first at equal ts
+        order = Window.partitionBy(*on).orderBy(F.col(ts_col).desc(), F.col('_tag').asc())
+    w = order.rowsBetween(Window.unboundedPreceding, 0)
+
+    picked = [F.last(f'_rv_{c}', ignorenulls=True).over(w).alias(f'_m_{c}')
+              for c in right_cols]
+    picked_ts = F.last(matched_ts, ignorenulls=True).over(w).alias('_m_ts')
+    out = (u.select(*on, ts_col, '_tag',
+                    *[c for c in u.columns if c.startswith('_lv_')],
+                    picked_ts, *picked)
+            .filter(F.col('_tag') == 1))
+
+    m_ts = F.col('_m_ts')
+    if tolerance_seconds is not None:
+        gap = F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(m_ts)) / 1e6
+        ok = m_ts.isNotNull() & (gap <= tolerance_seconds)
+        out = out.select(*on, ts_col,
+                         *[F.col(f'_lv_{c}').alias(c)
+                           for c in left.columns if c not in on + [ts_col]],
+                         F.when(ok, m_ts).alias(matched_ts),
+                         *[F.when(ok, F.col(f'_m_{c}')).alias(f'{c}{suffix}')
+                           for c in right_cols])
+    else:
+        out = out.select(*on, ts_col,
+                         *[F.col(f'_lv_{c}').alias(c)
+                           for c in left.columns if c not in on + [ts_col]],
+                         m_ts.alias(matched_ts),
+                         *[F.col(f'_m_{c}').alias(f'{c}{suffix}')
+                           for c in right_cols])
+    return out
