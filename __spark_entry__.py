@@ -344,6 +344,27 @@ FROM agg
 """
 
 
+_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS duration_sec
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
 _ASOF_JOIN_SQL = """
 WITH readings AS (SELECT user_id, ts, event_id, ROUND(value, 6) AS value
                   FROM events WHERE event_id % 2 = 0),
@@ -733,6 +754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at('tokens', -1).alias('tok_last'),
             'source')
 
+    def events_sessions(spark, sf_dir):
+        from changepoynt_spark.operators.window_ops import session_stats
+        return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
+                             gap_seconds=600)
+
     def events_asof_join(spark, sf_dir):
         # readings (even event ids) aligned to the most recent marker (odd
         # event ids) per user — the canonical time-series as-of join.  The
@@ -880,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
         'events_asof_join': events_asof_join,
+        'events_sessions': events_sessions,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -1026,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'events_asof_join': _ASOF_JOIN_SQL,
+        'events_sessions': _SESSIONS_SQL,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

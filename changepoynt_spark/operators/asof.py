@@ -76,7 +76,10 @@ def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
 
     m_ts = F.col('_m_ts')
     if tolerance_seconds is not None:
-        gap = F.abs(F.unix_micros(F.col(ts_col)) - F.unix_micros(m_ts)) / 1e6
+        # cast: fixtures carry TIMESTAMP_NTZ, unix_micros needs TIMESTAMP
+        # (session timezone pinned to UTC -> deterministic)
+        gap = F.abs(F.unix_micros(F.col(ts_col).cast('timestamp'))
+                    - F.unix_micros(m_ts.cast('timestamp'))) / 1e6
         ok = m_ts.isNotNull() & (gap <= tolerance_seconds)
         out = out.select(*on, ts_col,
                          *[F.col(f'_lv_{c}').alias(c)

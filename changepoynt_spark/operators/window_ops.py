@@ -90,3 +90,40 @@ def moving_window_oracle_sql(key_col: str = 'user_id', ts_col: str = 'ts',
                           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
         ) t
     """
+
+
+def sessionize(df: DataFrame, keys, ts_col: str = 'ts',
+               gap_seconds: int = 1800) -> DataFrame:
+    """Adds ``session_seq``: gap-based session index per key (0-based) — a
+    new session starts when the gap to the previous event exceeds
+    ``gap_seconds``.  Running-window only (lag + running sum over the
+    per-key sort): one key-hash exchange, O(n) per key, SQL-portable."""
+    keys = list(keys)
+    order = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(ts_col).over(order)
+    # parquet fixtures carry TIMESTAMP_NTZ; unix_micros needs TIMESTAMP and
+    # the session timezone is pinned to UTC, so the cast is deterministic
+    us = lambda c: F.unix_micros(c.cast('timestamp'))  # noqa: E731
+    new_sess = F.when(
+        prev.isNull() | ((us(F.col(ts_col)) - us(prev)) > gap_seconds * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    running = Window.partitionBy(*keys).orderBy(ts_col) \
+                    .rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn('session_seq',
+                         (F.sum(new_sess).over(running) - 1).cast('long'))
+
+
+def session_stats(df: DataFrame, keys, ts_col: str = 'ts',
+                  gap_seconds: int = 1800) -> DataFrame:
+    """(keys, session_seq, n_events, session_start, session_end,
+    duration_sec) — the per-session rollup of :func:`sessionize`."""
+    keys = list(keys)
+    s = sessionize(df, keys, ts_col, gap_seconds)
+    return (s.groupBy(*keys, 'session_seq')
+             .agg(F.count('*').alias('n_events'),
+                  F.min(ts_col).alias('session_start'),
+                  F.max(ts_col).alias('session_end'))
+             .withColumn('duration_sec',
+                         ((F.unix_micros(F.col('session_end').cast('timestamp'))
+                           - F.unix_micros(F.col('session_start').cast('timestamp')))
+                          / 1e6)))
