@@ -355,8 +355,9 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) - 1 AS session_seq
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_seq
   FROM flagged)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
