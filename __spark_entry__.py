@@ -605,6 +605,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_exact_dups(spark, sf_dir):
         return dedup.exact_dup_groups(_read(spark, sf_dir, 'documents'))
 
+    def doc_repeated_passages(spark, sf_dir):
+        # Lee-et-al-style exact substring dedup, 10-word-window variant:
+        # passages shared by >=2 distinct docs.  Postings are (int64, int64)
+        # only — the window strings are hashed before the explode's shuffle.
+        return dedup.repeated_passages(_read_spread(spark, sf_dir, 'documents'), n=10)
+
     def doc_prefix_dups(spark, sf_dir):
         docs = _read(spark, sf_dir, 'documents')
         prefix = F.concat_ws(' ', F.slice(F.split('text', ' '), 1, 8))
@@ -863,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_quality_flags': doc_quality_flags,
         'doc_language_counts': doc_language_counts,
         'doc_exact_dups': doc_exact_dups,
+        'doc_repeated_passages': doc_repeated_passages,
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
         'doc_dup_clusters': doc_dup_clusters,
@@ -1021,6 +1028,18 @@ def oracle_sql() -> dict[str, str]:
         'doc_exact_dups': """
             SELECT md5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS min_doc_id
             FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        'doc_repeated_passages': """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            p AS (SELECT doc_id, array_to_string(ws[i:i+9], ' ') AS passage
+                  FROM w, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            h AS (SELECT doc_id,
+                         CAST('0x' || substring(md5(passage), 1, 15) AS BIGINT) AS passage_hash
+                  FROM p)
+            SELECT passage_hash, COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS n_occurrences, MIN(doc_id) AS min_doc_id
+            FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
         """,
         'doc_prefix_dups': """
             SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash,

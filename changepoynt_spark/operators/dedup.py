@@ -324,3 +324,55 @@ def simhash_dup_pairs(df: DataFrame, max_hamming: int = 3, bits: int = 32,
     return (cands.withColumn('hamming', hamming)
                  .filter(F.col('hamming') <= max_hamming)
                  .select('doc_a', 'doc_b', 'hamming'))
+
+
+def passage_hashes(df: DataFrame, n: int = 10, stride: int = 1,
+                   id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(id, passage_hash) — one row per n-word sliding window (every
+    ``stride``-th start position), hashed to a 60-bit int BEFORE any shuffle.
+
+    The window strings are built with the same bulk zipped-slices trick as
+    :func:`shingles` (n array slices zipped, one concat per position — no
+    per-position ``slice`` call inside an interpreted lambda), then reduced
+    to ``conv(substring(md5, 1, 15), 16, 10)`` so only (int64, int64) rows
+    ever ride the exchange — at 10^12-doc scale the exploded postings table
+    is ~corpus-token-sized and must not carry the passage strings.
+
+    ``stride`` trades exactness for postings volume: stride=s cuts postings
+    s× but only guarantees detection of repeats aligned within s-1 words
+    (two docs sharing an n-word passage still collide when n >= 2*s - 1 at
+    some window, since both sample every s-th start).
+    """
+    if n < 1 or stride < 1:
+        raise ValueError('n and stride must be >= 1')
+    words = F.split(F.col(text_col), ' ')
+    # slice() throws on negative length — clamp like shingles() does
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, k + 1, m) for k in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(' ', *[s[str(k)] for k in range(n)]))
+    if stride > 1:
+        grams = F.filter(grams, lambda _, i: i % stride == 0)
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast('long'))
+    return (df.filter(F.size(words) >= n)
+              .select(F.col(id_col).alias(id_col), F.explode(hashes).alias('passage_hash')))
+
+
+def repeated_passages(df: DataFrame, n: int = 10, stride: int = 1, min_docs: int = 2,
+                      id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Cross-document repeated n-word passages (exact substring dedup a la
+    the 'Deduplicating Training Data Makes Language Models Better' recipe,
+    word-window variant).
+
+    Returns (passage_hash, n_docs, n_occurrences, min_doc_id) for every
+    passage appearing in >= min_docs DISTINCT documents.  One explode + one
+    groupBy: count-distinct is Spark's standard two-phase partial aggregate
+    and the postings are (int64, int64) pairs, so the single shuffle is
+    bounded by total corpus tokens / stride — no pairwise join anywhere.
+    """
+    return (passage_hashes(df, n=n, stride=stride, id_col=id_col, text_col=text_col)
+            .groupBy('passage_hash')
+            .agg(F.countDistinct(id_col).alias('n_docs'),
+                 F.count('*').alias('n_occurrences'),
+                 F.min(id_col).alias('min_doc_id'))
+            .filter(F.col('n_docs') >= min_docs))

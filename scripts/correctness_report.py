@@ -66,11 +66,13 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def run_report(spark, sf_dir: str) -> dict:
+def run_report(spark, sf_dir: str, only=None) -> dict:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     report = {}
     for name, q in queries.items():
+        if only and name not in only:
+            continue
         entry = {'rows_match': None, 'schema_match': None, 'hash_match': None,
                  'spark_rows': None, 'oracle_rows': None, 'err': None}
         t0 = time.time()
@@ -105,11 +107,15 @@ def main() -> int:
     ap.add_argument('--sf-dir', default=os.environ.get('SPARK_GRAFT_TEST_SF_DIR',
                                                        '/root/testdata/sf0.01'))
     ap.add_argument('--out', default='CORRECTNESS_SELF.json')
+    ap.add_argument('--only', default=None,
+                    help='comma-separated query names (iteration aid; '
+                         'partial reports should not be committed)')
     args = ap.parse_args()
+    only = set(args.only.split(',')) if args.only else None
 
     from changepoynt_spark.session import get_spark
     spark = get_spark()
-    report = run_report(spark, args.sf_dir)
+    report = run_report(spark, args.sf_dir, only=only)
     with open(args.out, 'w') as f:
         json.dump(report, f, indent=2)
         f.write('\n')

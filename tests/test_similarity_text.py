@@ -386,3 +386,40 @@ def test_ivf_lists_prune_partitions_on_disk(spark, tmp_path):
     # and the probe result equals the unpruned filter (pruning is lossless)
     full = spark.read.parquet(out)
     assert probe_df.count() == full.filter(F.col('list_id').isin(probes)).count() > 0
+
+
+def test_repeated_passages_finds_planted_repeats_and_tolerates_degenerates(spark):
+    from changepoynt_spark.operators import dedup
+    schema = 'doc_id long, text string, lang string, source string'
+    shared = ' '.join(f'w{i}' for i in range(10))          # one 10-word passage
+    rows = [
+        (1, 'lead in words ' + shared + ' tail a', 'en', 's'),
+        (2, shared + ' completely different ending here', 'en', 's'),
+        (3, 'unrelated text with ten distinct words here now ok fine', 'en', 's'),
+        (4, '', 'en', 's'),                                 # empty doc
+        (5, 'short doc', 'en', 's'),                        # sub-window doc
+    ]
+    df = spark.createDataFrame(rows, schema)
+    rep = dedup.repeated_passages(df, n=10).toPandas()
+    # exactly the planted passage repeats across docs 1 and 2
+    assert len(rep) == 1
+    assert int(rep['n_docs'][0]) == 2
+    assert int(rep['n_occurrences'][0]) == 2
+    assert int(rep['min_doc_id'][0]) == 1
+    # empty table flows through
+    assert dedup.repeated_passages(spark.createDataFrame([], schema)).count() == 0
+
+
+def test_passage_stride_subsamples_but_detects_aligned_repeats(spark):
+    from changepoynt_spark.operators import dedup
+    schema = 'doc_id long, text string'
+    text = ' '.join(f'w{i}' for i in range(20))
+    df = spark.createDataFrame([(1, text)], schema)
+    full = dedup.passage_hashes(df, n=5, stride=1).count()
+    strided = dedup.passage_hashes(df, n=5, stride=2).count()
+    assert full == 16            # 20 - 5 + 1 start positions
+    assert strided == 8          # every 2nd start position (0-indexed even)
+    # identical docs still collide at stride > 1 (windows sampled identically)
+    df2 = spark.createDataFrame([(1, text), (2, text)], schema)
+    rep = dedup.repeated_passages(df2, n=5, stride=2, id_col='doc_id', text_col='text')
+    assert rep.count() == 8
