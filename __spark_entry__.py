@@ -766,6 +766,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
                              gap_seconds=600)
 
+    def events_counter_rate(spark, sf_dir):
+        # reset-adjusted counter increase/rate per (user, hour).  The events
+        # fixture has no counter column, so one is derived deterministically:
+        # running sum of integer cents per user, wrapped mod 100000 to plant
+        # genuine resets (floor(v*100+0.5) is IEEE-identical cross-engine;
+        # a double->bigint CAST is NOT — DuckDB rounds, Spark truncates).
+        from pyspark.sql import Window
+        ev = _read(spark, sf_dir, 'events')
+        cents = F.floor(F.col('value') * 100 + F.lit(0.5)).cast('long')
+        run = (Window.partitionBy('user_id').orderBy('ts', 'event_id')
+                     .rowsBetween(Window.unboundedPreceding, 0))
+        ev2 = ev.withColumn('counter', F.sum(cents).over(run) % 100000)
+        return rollup.counter_rate(ev2, ['user_id'], interval='1 hour',
+                                   order_cols=('event_id',))
+
     def events_asof_join(spark, sf_dir):
         # readings (even event ids) aligned to the most recent marker (odd
         # event ids) per user — the canonical time-series as-of join.  The
@@ -915,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'corpus_mixture_sample': corpus_mixture_sample,
         'events_asof_join': events_asof_join,
         'events_sessions': events_sessions,
+        'events_counter_rate': events_counter_rate,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -1074,6 +1090,32 @@ def oracle_sql() -> dict[str, str]:
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'events_asof_join': _ASOF_JOIN_SQL,
         'events_sessions': _SESSIONS_SQL,
+        'events_counter_rate': """
+            WITH c AS (
+              SELECT user_id, ts, event_id,
+                     SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       % 100000 AS counter
+              FROM events),
+            d AS (SELECT user_id, ts, counter,
+                         LAG(counter) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+                  FROM c),
+            e AS (SELECT user_id, ts,
+                         CASE WHEN prev IS NULL THEN NULL
+                              WHEN counter >= prev THEN counter - prev
+                              ELSE counter END AS delta,
+                         CASE WHEN prev IS NOT NULL AND counter < prev
+                              THEN 1 ELSE 0 END AS is_reset
+                  FROM d)
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   CAST(SUM(delta) AS BIGINT) AS increase,
+                   CAST(SUM(is_reset) AS BIGINT) AS n_resets,
+                   COUNT(delta) AS n_samples,
+                   CAST(SUM(delta) AS DOUBLE) / 3600 AS rate_per_sec
+            FROM e GROUP BY 1, 2 HAVING COUNT(delta) > 0
+        """,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -250,3 +250,58 @@ def decompress_blocks(df: DataFrame, keys, ts_col: str = 'bucket_start',
             yield pd.DataFrame(out)
 
     return df.mapInPandas(codec, schema=out_schema)
+
+
+def counter_deltas(df: DataFrame, keys, ts_col: str = 'ts',
+                   counter_col: str = 'counter', order_cols=()) -> DataFrame:
+    """Adds ``counter_delta`` / ``is_reset``: per-sample increase of a
+    monotonic counter with reset detection (the PromQL ``increase``
+    convention — on a reset, i.e. current < previous, the counter is assumed
+    to have restarted from zero so the whole current value is the delta).
+
+    The first sample per key has no previous observation: its delta is NULL
+    (unknowable, excluded from sums downstream), not zero.  Running lag
+    window only — one key-hash exchange, O(n) per key.  ``order_cols``
+    breaks timestamp ties deterministically (cross-engine compares need a
+    total order).
+    """
+    from pyspark.sql import Window
+    keys = list(keys)
+    order = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    prev = F.lag(counter_col).over(order)
+    cur = F.col(counter_col)
+    delta = (F.when(prev.isNull(), F.lit(None).cast('long'))
+              .when(cur >= prev, cur - prev)
+              .otherwise(cur))
+    is_reset = F.when(prev.isNotNull() & (cur < prev), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn('counter_delta', delta).withColumn('is_reset', is_reset)
+
+
+def counter_rate(df: DataFrame, keys, ts_col: str = 'ts',
+                 counter_col: str = 'counter', interval: str = '1 hour',
+                 order_cols=()) -> DataFrame:
+    """(keys, bucket_start, increase, n_resets, n_samples, rate_per_sec) —
+    reset-adjusted counter increase and per-second rate per time bucket.
+
+    Deltas are computed sample-to-sample FIRST (so an increase spanning a
+    bucket boundary lands in the later bucket, like PromQL), then bucketed
+    with a plain groupBy: integer-exact sums, one lag exchange + one
+    aggregate shuffle, both on the same keys — Catalyst reuses the
+    partitioning so only the window's exchange materializes.  Buckets whose
+    only sample is a key's first observation (no usable delta) are dropped
+    rather than emitted as NULL-increase rows.
+    """
+    keys = list(keys)
+    d = counter_deltas(df, keys, ts_col=ts_col, counter_col=counter_col,
+                       order_cols=order_cols)
+    agg = (d.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+             .agg(F.sum('counter_delta').alias('increase'),
+                  F.sum('is_reset').alias('n_resets'),
+                  F.count('counter_delta').alias('n_samples')))
+    secs = ((F.unix_micros(F.col('w.end').cast('timestamp'))
+             - F.unix_micros(F.col('w.start').cast('timestamp'))) / 1e6)
+    return (agg.filter(F.col('n_samples') > 0)
+               .withColumn('bucket_start', F.col('w.start'))
+               .withColumn('rate_per_sec', F.col('increase').cast('double') / secs)
+               .select(*keys, 'bucket_start', 'increase', 'n_resets',
+                       'n_samples', 'rate_per_sec'))

@@ -178,3 +178,35 @@ def test_gap_fill_linear_plan_uses_running_frames_only(spark):
     opt = filled._jdf.queryExecution().optimizedPlan().toString()
     assert 'repartitionbyexpression' in opt.lower().replace(' ', ''), \
         'spine no longer key-repartitioned'
+
+
+def test_counter_rate_resets_and_first_sample_semantics(spark):
+    """PromQL-convention counter semantics: reset -> whole current value is
+    the delta; a key's first sample contributes nothing (unknowable); an
+    increase spanning a bucket boundary lands in the LATER bucket."""
+    import datetime as dt
+    from changepoynt_spark.operators.rollup import counter_rate
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # key 'a': 10 -> 25 -> 5 (reset) -> 8, hourly buckets
+        ('a', t0 + dt.timedelta(minutes=1), 10),
+        ('a', t0 + dt.timedelta(minutes=2), 25),
+        ('a', t0 + dt.timedelta(minutes=3), 5),
+        ('a', t0 + dt.timedelta(minutes=61), 8),   # spans into hour 2
+        # key 'b': single sample — no usable delta, bucket dropped
+        ('b', t0 + dt.timedelta(minutes=5), 100),
+    ]
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, counter long')
+    out = {(r['k'], r['bucket_start'].hour): r
+           for r in counter_rate(df, ['k'], interval='1 hour').collect()}
+    assert set(out) == {('a', 0), ('a', 1)}        # 'b' dropped entirely
+    h0, h1 = out[('a', 0)], out[('a', 1)]
+    assert h0['increase'] == 15 + 5                # 25-10, then reset: +5
+    assert h0['n_resets'] == 1 and h0['n_samples'] == 2
+    assert h1['increase'] == 3                     # 8-5 lands in hour 1
+    assert h1['n_resets'] == 0 and h1['n_samples'] == 1
+    assert abs(h1['rate_per_sec'] - 3 / 3600) < 1e-15
+    # empty input flows through
+    empty = spark.createDataFrame([], 'k string, ts timestamp, counter long')
+    assert counter_rate(empty, ['k']).count() == 0
