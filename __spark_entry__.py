@@ -766,6 +766,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
                              gap_seconds=600)
 
+    def events_percentile_1h(spark, sf_dir):
+        # exact nearest-rank percentiles (actual data values — continuous
+        # interpolation differs in the last ulp across engines, so only the
+        # discrete form is cross-engine comparable)
+        return rollup.percentile_rollup(_read(spark, sf_dir, 'events'),
+                                        ['user_id'], interval='1 hour')
+
     def events_counter_rate(spark, sf_dir):
         # reset-adjusted counter increase/rate per (user, hour).  The events
         # fixture has no counter column, so one is derived deterministically:
@@ -931,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_asof_join': events_asof_join,
         'events_sessions': events_sessions,
         'events_counter_rate': events_counter_rate,
+        'events_percentile_1h': events_percentile_1h,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -1090,6 +1098,17 @@ def oracle_sql() -> dict[str, str]:
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'events_asof_join': _ASOF_JOIN_SQL,
         'events_sessions': _SESSIONS_SQL,
+        'events_percentile_1h': """
+            SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                   COUNT(value) AS n_points,
+                   list_sort(list(value))[GREATEST(1,
+                       CAST(CEIL(0.5 * COUNT(value)) AS BIGINT))] AS p50,
+                   list_sort(list(value))[GREATEST(1,
+                       CAST(CEIL(0.95 * COUNT(value)) AS BIGINT))] AS p95,
+                   list_sort(list(value))[GREATEST(1,
+                       CAST(CEIL(0.99 * COUNT(value)) AS BIGINT))] AS p99
+            FROM events GROUP BY 1, 2
+        """,
         'events_counter_rate': """
             WITH c AS (
               SELECT user_id, ts, event_id,

@@ -305,3 +305,37 @@ def counter_rate(df: DataFrame, keys, ts_col: str = 'ts',
                .withColumn('rate_per_sec', F.col('increase').cast('double') / secs)
                .select(*keys, 'bucket_start', 'increase', 'n_resets',
                        'n_samples', 'rate_per_sec'))
+
+
+def percentile_rollup(df: DataFrame, keys, ts_col: str = 'ts',
+                      value_col: str = 'value', interval: str = '1 minute',
+                      ps=(0.5, 0.95, 0.99)) -> DataFrame:
+    """(keys, bucket_start, n_points, p50, p95, ...) — EXACT nearest-rank
+    percentiles per time bucket (rank = ceil(p*n), 1-based — always an
+    actual data value, never an interpolated one).
+
+    Discrete ranks are deliberate: continuous percentiles interpolate with
+    engine-specific FP expression shapes ((1-d)*lo + d*hi vs lo + d*(hi-lo))
+    that differ in the last ulp, so a cross-engine/cross-version bit
+    comparison of a continuous percentile is unsound.  Nearest-rank picks an
+    element, so it is exactly reproducible anywhere.
+
+    One shuffle (the groupBy); the per-bucket sorted array is materialized
+    ONCE and all ranks index into it.  Group size is bounded by the points
+    that fall into one (key, time-bucket) cell — bounded by the bucket span
+    at any corpus scale — which is what makes collect_list safe here; for
+    unbounded groups use approx_percentile sketches instead.
+    """
+    keys = list(keys)
+    g = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+           .agg(F.sort_array(F.collect_list(value_col)).alias('_vals')))
+    n = F.size('_vals')
+    out = (g.withColumn('bucket_start', F.col('w.start'))
+             .withColumn('n_points', n.cast('long')))
+    names = []
+    for p in ps:
+        name = f'p{round(p * 1000)}' if round(p * 100) != p * 100 else f'p{round(p * 100)}'
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(float(p)) * n)).cast('int')
+        out = out.withColumn(name, F.element_at('_vals', idx))
+        names.append(name)
+    return out.select(*keys, 'bucket_start', 'n_points', *names)

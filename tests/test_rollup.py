@@ -210,3 +210,23 @@ def test_counter_rate_resets_and_first_sample_semantics(spark):
     # empty input flows through
     empty = spark.createDataFrame([], 'k string, ts timestamp, counter long')
     assert counter_rate(empty, ['k']).count() == 0
+
+
+def test_percentile_rollup_nearest_rank_semantics(spark):
+    """rank = ceil(p*n) (1-based): p50 of [1..4] is the 2nd value, p99 is
+    the max; a single-point bucket returns that point for every p."""
+    import datetime as dt
+    from changepoynt_spark.operators.rollup import percentile_rollup
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [('a', t0 + dt.timedelta(seconds=i), float(v))
+            for i, v in enumerate([4.0, 1.0, 3.0, 2.0])]      # unsorted input
+    rows.append(('b', t0, 7.0))
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    out = {r['k']: r for r in
+           percentile_rollup(df, ['k'], interval='1 minute').collect()}
+    a, b = out['a'], out['b']
+    assert (a['n_points'], a['p50'], a['p95'], a['p99']) == (4, 2.0, 4.0, 4.0)
+    assert (b['n_points'], b['p50'], b['p95'], b['p99']) == (1, 7.0, 7.0, 7.0)
+    empty = spark.createDataFrame([], 'k string, ts timestamp, value double')
+    assert percentile_rollup(empty, ['k']).count() == 0
