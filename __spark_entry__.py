@@ -766,6 +766,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
                              gap_seconds=600)
 
+    def events_ewma(spark, sf_dir):
+        # per-user EWMA smoothing channel; alpha=0.25 is binary-exact so the
+        # (1-a)*prev + a*x recursion reproduces bit-for-bit cross-engine
+        from changepoynt_spark.operators.window_ops import ewma_smooth
+        ev = _read(spark, sf_dir, 'events').select('user_id', 'ts', 'event_id', 'value')
+        out = ewma_smooth(ev, ['user_id'], alpha=0.25, order_cols=('event_id',))
+        return out.select('user_id', 'event_id', 'ewma')
+
     def events_percentile_1h(spark, sf_dir):
         # exact nearest-rank percentiles (actual data values — continuous
         # interpolation differs in the last ulp across engines, so only the
@@ -939,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sessions': events_sessions,
         'events_counter_rate': events_counter_rate,
         'events_percentile_1h': events_percentile_1h,
+        'events_ewma': events_ewma,
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
@@ -1098,6 +1107,19 @@ def oracle_sql() -> dict[str, str]:
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'events_asof_join': _ASOF_JOIN_SQL,
         'events_sessions': _SESSIONS_SQL,
+        'events_ewma': """
+            WITH RECURSIVE s AS (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            r AS (
+              SELECT user_id, rn, event_id, value AS ewma FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.user_id, s.rn, s.event_id, 0.75 * r.ewma + 0.25 * s.value
+              FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+            SELECT user_id, event_id, ewma FROM r
+        """,
         'events_percentile_1h': """
             SELECT user_id, date_trunc('hour', ts) AS bucket_start,
                    COUNT(value) AS n_points,

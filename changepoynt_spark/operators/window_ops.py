@@ -127,3 +127,44 @@ def session_stats(df: DataFrame, keys, ts_col: str = 'ts',
                          ((F.unix_micros(F.col('session_end').cast('timestamp'))
                            - F.unix_micros(F.col('session_start').cast('timestamp')))
                           / 1e6)))
+
+
+def ewma_smooth(df: DataFrame, keys, ts_col: str = 'ts',
+                value_col: str = 'value', alpha: float = 0.25,
+                order_cols=()) -> DataFrame:
+    """Adds ``ewma``: per-key exponentially-weighted moving average,
+    y[0] = x[0], y[t] = (1-alpha)*y[t-1] + alpha*x[t] (the adjust=False
+    recursion — the smoothing channel a retention tier keeps alongside raw
+    aggregates).
+
+    The recursion is inherently sequential per key, so it runs as an Arrow
+    grouped-map (one shuffle on the keys, O(n) per key, never per-row
+    Python at the DataFrame layer).  The update is evaluated literally as
+    ``(1-alpha)*prev + alpha*x`` — two products and one add — so any engine
+    computing that same expression shape reproduces it bit-for-bit; with
+    alpha a power-of-two-exact fraction (0.25, 0.5) the weights carry no
+    representation error either.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = list(keys)
+    out_schema = T.StructType(list(df.schema.fields) +
+                              [T.StructField('ewma', T.DoubleType())])
+    a, b = float(alpha), 1.0 - float(alpha)
+    sort_cols = [ts_col, *order_cols]
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        y = np.empty_like(x)
+        if len(x):
+            y[0] = x[0]
+            for i in range(1, len(x)):
+                y[i] = b * y[i - 1] + a * x[i]
+        pdf = pdf.copy()
+        pdf['ewma'] = y
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(smooth, schema=out_schema)

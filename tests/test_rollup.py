@@ -230,3 +230,27 @@ def test_percentile_rollup_nearest_rank_semantics(spark):
     assert (b['n_points'], b['p50'], b['p95'], b['p99']) == (1, 7.0, 7.0, 7.0)
     empty = spark.createDataFrame([], 'k string, ts timestamp, value double')
     assert percentile_rollup(empty, ['k']).count() == 0
+
+
+def test_ewma_smooth_matches_pandas_recursion(spark):
+    import datetime as dt
+    import numpy as np
+    import pandas as pd
+    from changepoynt_spark.operators.window_ops import ewma_smooth
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(k, t0 + dt.timedelta(seconds=i), float(v))
+            for k in ('a', 'b')
+            for i, v in enumerate(rng.normal(size=50))]
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    out = (ewma_smooth(df, ['k'], alpha=0.25).toPandas()
+           .sort_values(['k', 'ts']).reset_index(drop=True))
+    for k in ('a', 'b'):
+        got = out[out['k'] == k]['ewma'].to_numpy()
+        ref = (pd.Series([v for kk, _, v in rows if kk == k])
+               .ewm(alpha=0.25, adjust=False).mean().to_numpy())
+        # same recursion; pandas may differ in the last ulp, so allow 1e-12
+        np.testing.assert_allclose(got, ref, rtol=1e-12, atol=0)
+    empty = spark.createDataFrame([], 'k string, ts timestamp, value double')
+    assert ewma_smooth(empty, ['k']).count() == 0
