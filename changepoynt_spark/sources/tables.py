@@ -163,3 +163,48 @@ class IcebergishTable:
                 shutil.rmtree(d)
                 removed.append(sid)
         return removed
+
+    def compact(self, spark: SparkSession, target_file_bytes: int = 128 * 1024 * 1024,
+                partition_by=None) -> dict:
+        """Rewrite every live data file into one new snapshot with ~target-
+        sized files (Iceberg's ``rewrite_data_files`` small-file compaction).
+
+        A rollup pipeline appends a snapshot per micro-batch/bucket, so the
+        live file count grows linearly with commits while file sizes stay
+        tiny — the classic small-files problem: at 10^12-sequence scale the
+        scan's task count (and the driver's split planning) is dominated by
+        file count, not bytes.  Compaction reads the live lineage once,
+        repartitions to ceil(live_bytes / target_file_bytes) output files,
+        and commits the rewrite as a snapshot that ``invalidates`` every
+        prior live snapshot — readers atomically switch to the packed
+        files, time travel to the old snapshots still works until
+        :meth:`vacuum` reclaims them.
+        """
+        import math
+        cur = self.current_snapshot_id()
+        assert cur >= 0, f'table {self.root} has no snapshots to compact'
+        dead, chain = set(), []
+        sid = cur
+        while sid >= 0:
+            snap = self.snapshot(sid)
+            chain.append(sid)
+            dead.update(snap.get('invalidates', []))
+            sid = snap.get('parent', -1)
+        live = [c for c in chain if c not in dead]
+        live_bytes = 0
+        n_files = 0
+        for c in live:
+            entries = self.snapshot(c)['manifest']['entries']
+            live_bytes += sum(e['bytes'] for e in entries)
+            n_files += len(entries)
+        spec = partition_by if partition_by is not None \
+            else self.snapshot(cur).get('partition_spec', [])
+        df = self.read(spark).repartition(
+            max(1, math.ceil(live_bytes / target_file_bytes)))
+        return self.append(
+            df, partition_by=spec, invalidates=live,
+            properties={'operation': 'compact',
+                        'replaced_snapshots': len(live),
+                        'replaced_files': n_files,
+                        'replaced_bytes': live_bytes,
+                        'target_file_bytes': int(target_file_bytes)})

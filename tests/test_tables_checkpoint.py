@@ -139,3 +139,46 @@ def test_changed_settings_reprocess_all_buckets(spark, tokens, tmp_path):
     assert len(job2.pending_buckets(tokens)) == 4  # params changed: all redo
     job3 = RollupCheckpointJob(root, n_buckets=4, algorithm='zero', params={})
     assert len(job3.pending_buckets(tokens)) == 4  # algorithm changed
+
+
+def test_compaction_packs_files_preserves_rows_and_time_travel(spark, tokens, tmp_path):
+    """Many tiny appends -> compact -> one snapshot with few files, identical
+    rows; pre-compaction time travel works until vacuum reclaims the old
+    snapshots."""
+    import os
+    t = IcebergishTable(str(tmp_path / 'ct'))
+    base = tokens.select('doc_id', 'n_tok', 'source')
+    ids = sorted(r['doc_id'] for r in base.select('doc_id').collect())
+    cuts = [ids[i * len(ids) // 4] for i in range(1, 4)]
+    lo = None
+    for hi in cuts + [None]:  # 4 small appends (the small-files problem)
+        part = base
+        if lo is not None:
+            part = part.filter(F.col('doc_id') >= lo)
+        if hi is not None:
+            part = part.filter(F.col('doc_id') < hi)
+        t.append(part.repartition(8), partition_by=())
+        lo = hi
+
+    def live_files():
+        files = []
+        for d, _, names in os.walk(t.data_dir):
+            files += [os.path.join(d, n) for n in names if n.endswith('.parquet')]
+        return files
+
+    before = t.read(spark).toPandas().sort_values('doc_id').reset_index(drop=True)
+    n_before = len(live_files())
+    snap = t.compact(spark, target_file_bytes=1 << 30)  # everything -> 1 file
+    assert snap['manifest']['properties']['operation'] == 'compact'
+    assert snap['manifest']['properties']['replaced_snapshots'] == 4
+    after = t.read(spark).toPandas().sort_values('doc_id').reset_index(drop=True)
+    assert after.equals(before)                        # content unchanged
+    new_dir = os.path.join(t.data_dir, f"snap-{snap['snapshot_id']}")
+    packed = [f for f in live_files() if f.startswith(new_dir)]
+    assert len(packed) == 1 and n_before > 4           # 32+ files -> 1
+    # time travel to a pre-compaction snapshot still works...
+    assert t.read(spark, snapshot_id=1).count() > 0
+    # ...until vacuum physically reclaims the replaced snapshots
+    assert t.vacuum() == [0, 1, 2, 3]
+    assert len(live_files()) == 1
+    assert t.read(spark).count() == len(before)
