@@ -117,6 +117,73 @@ _ZERO_SQL = "SELECT event_id, CAST(0.0 AS DOUBLE) AS score FROM events"
 # bits).
 _SIMHASH_BITS = 64
 
+# fixed BM25 query-term list (term order is part of the contract: the score
+# sums per-term parts in THIS order, so the double result is deterministic)
+_BM25_TERMS = ('spark', 'join', 'window', 'stream')
+
+# Gopher-style repetition signals over word n-grams (docs have no line
+# structure).  Integer-derived single divisions -> bit-exact cross-engine.
+_REPETITION_SQL = """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    g2 AS (SELECT doc_id, len(words) AS n_words, length(text) AS chars,
+                  array_to_string(words[s+1:s+2], ' ') AS gram
+           FROM w, LATERAL unnest(range(0, greatest(len(words)-2+1, 0))) AS t(s)),
+    tc AS (SELECT doc_id, n_words, chars, gram, COUNT(*) AS cnt
+           FROM g2 GROUP BY ALL),
+    top AS (SELECT doc_id, n_words, chars, gram AS top_gram, cnt AS top_gram_cnt,
+                   cnt * length(gram) * 1.0 / chars AS top2gram_char_frac,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, gram ASC) AS rn
+            FROM tc QUALIFY rn = 1),
+    g5 AS (SELECT doc_id, s AS start, array_to_string(words[s+1:s+5], ' ') AS gram
+           FROM w, LATERAL unnest(range(0, greatest(len(words)-5+1, 0))) AS t(s)),
+    d5 AS (SELECT doc_id, start,
+                  COUNT(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g5),
+    cov AS (SELECT DISTINCT doc_id, start + p AS p
+            FROM d5, LATERAL unnest(range(0, 5)) AS u(p)
+            WHERE cnt >= 2),
+    ncov AS (SELECT doc_id, COUNT(*) AS n_cov FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words, t.top_gram,
+           CAST(t.top_gram_cnt AS BIGINT) AS top_gram_cnt, t.top2gram_char_frac,
+           COALESCE(n.n_cov, 0) * 1.0 / t.n_words AS dup5gram_word_frac
+    FROM top t LEFT JOIN ncov n ON t.doc_id = n.doc_id
+"""
+
+
+def _bm25_oracle_sql(terms=_BM25_TERMS, k: int = 20, k1: float = 1.2,
+                     b: float = 0.75) -> str:
+    """DuckDB BM25 twin, generated from the SAME term tuple as the Spark
+    query so the fixed summation order can never drift between the two."""
+    tf_cols = ',\n         '.join(
+        f"len(list_filter(string_split(text, ' '), w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms))
+    df_cols = ',\n             '.join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms)))
+    norm = (f"({1 - b!r} + {b!r} * CAST(dl AS DOUBLE)"
+            " / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))")
+    parts = '\n       + '.join(
+        f"ln((CAST(n_docs AS DOUBLE) - df_{i} + 0.5) / (df_{i} + 0.5) + 1)"
+        f" * CAST(tf_{i} AS DOUBLE) * ({k1!r} + 1)"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * {norm})"
+        for i in range(len(terms)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         {tf_cols}
+      FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+             {df_cols}
+              FROM base),
+    scored AS (
+      SELECT doc_id, CAST(dl AS BIGINT) AS n_words,
+             ROUND({parts}, 6) AS score_bm25
+      FROM base, stats)
+    SELECT * FROM scored WHERE score_bm25 > 0
+    ORDER BY score_bm25 DESC, doc_id ASC
+    LIMIT {k}
+    """
+
 
 _DUP_CLUSTERS_SQL = """
 WITH RECURSIVE words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -636,6 +703,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (words.groupBy('w').agg(F.count('*').alias('n'))
                      .orderBy(F.col('n').desc(), 'w').limit(50))
 
+    def doc_repetition_stats(spark, sf_dir):
+        return text.repetition_stats(_read_spread(spark, sf_dir, 'documents'),
+                                     n_top=2, n_dup=5)
+
+    def doc_search_bm25(spark, sf_dir):
+        return text.bm25_search(_read_spread(spark, sf_dir, 'documents'),
+                                _BM25_TERMS, k=20)
+
     def doc_pack_stats(spark, sf_dir):
         # rows-only: pack composition depends on partitioning; invariants
         # (exactly-once, budget) are pytest-asserted (tests/test_packing.py)
@@ -693,10 +768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   variants ARE oracled with literal planes/centroids).
     # - multimodal_*: binary payload plans with honestly-stubbed decode —
     #   shapes/partitioning asserted in tests/test_multimodal.py.
-    # - gap_fill_linear_values: np.interp bit-equality is pytest-asserted
-    #   (tests/test_rollup.py); a DuckDB twin was tried in round 2 and is
-    #   UNSOUND cross-engine at 6.3M rows (raw double sums hit round-6
-    #   boundary flips), so the rows-only check is deliberate.
+    # (gap_fill_linear_values moved to the oracled set in round 3: the round-2
+    # twin was unsound because RAW double sums made the tier averages
+    # order-dependent; with DECIMAL-exact sums cast to double the tier is
+    # deterministic, and the lerp itself is bit-identical IEEE binary64 in
+    # both engines, so the oracle compares FULL-precision doubles, no ROUND.)
 
     def scored_rollup_compressed(spark, sf_dir):
         # fused zero-shuffle path: scores + tiers + gorilla blocks in one
@@ -877,11 +953,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             now='2026-02-01 00:00:00')
 
     def gap_fill_linear_values(spark, sf_dir):
-        tier = _rollup_1m(spark, sf_dir)
+        # DECIMAL-exact tier sums -> the pre-interpolation average is
+        # partitioning-independent, which is what makes the full-precision
+        # cross-engine compare sound (see oracle note above)
+        tier = (_rollup_1m(spark, sf_dir, exact_sum=True)
+                .withColumn('avg_value',
+                            F.col('sum_value').cast('double') / F.col('cnt_points')))
         filled = rollup.gap_fill(tier, keys=['user_id'], value_cols=('avg_value',),
                                  interval_seconds=60, method='linear')
-        return filled.select('user_id', 'bucket_start',
-                             F.round('avg_value', 6).alias('avg_value'), 'is_gap')
+        return filled.select('user_id', 'bucket_start', 'avg_value', 'is_gap')
 
     return {
         # SQL-oracled
@@ -905,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_dup_clusters': doc_dup_clusters,
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
+        'doc_repetition_stats': doc_repetition_stats,
+        'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,
         'doc_simhash': doc_simhash,
         'embedding_topk_cosine': embedding_topk_cosine,
@@ -1013,6 +1095,50 @@ def oracle_sql() -> dict[str, str]:
             FROM spine s LEFT JOIN obs o
               ON s.user_id = o.user_id AND s.bucket_start = o.bucket_start
             GROUP BY s.user_id
+        """,
+        # Full-precision doubles on purpose (no ROUND): the tier average is
+        # DECIMAL-exact-sum / count (deterministic), and the lerp expression
+        # tree is identical binary64 arithmetic in both engines, so every
+        # value must match BIT-FOR-BIT — a stronger check than round-6.
+        'gap_fill_linear_values': """
+            WITH tier AS (
+                SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+                       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(value) AS avg_value
+                FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+                  FROM tier GROUP BY user_id),
+            spine AS (SELECT user_id,
+                             unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS bucket_start
+                      FROM b),
+            j AS (SELECT s.user_id, s.bucket_start, t.avg_value,
+                         t.avg_value IS NULL AS is_gap
+                  FROM spine s LEFT JOIN tier t
+                    ON s.user_id = t.user_id AND s.bucket_start = t.bucket_start),
+            p AS (SELECT *, CAST(ROW_NUMBER() OVER
+                       (PARTITION BY user_id ORDER BY bucket_start) AS DOUBLE) AS pos
+                  FROM j),
+            f AS (SELECT *,
+                    last_value(avg_value IGNORE NULLS) OVER w_prev AS prev_v,
+                    last_value(CASE WHEN avg_value IS NOT NULL THEN pos END
+                               IGNORE NULLS) OVER w_prev AS prev_x,
+                    last_value(avg_value IGNORE NULLS) OVER w_next AS next_v,
+                    last_value(CASE WHEN avg_value IS NOT NULL THEN pos END
+                               IGNORE NULLS) OVER w_next AS next_x
+                  FROM p
+                  WINDOW w_prev AS (PARTITION BY user_id ORDER BY bucket_start
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         w_next AS (PARTITION BY user_id ORDER BY bucket_start DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT user_id, bucket_start,
+                   CASE WHEN avg_value IS NOT NULL THEN avg_value
+                        WHEN prev_v IS NULL THEN next_v
+                        WHEN next_v IS NULL THEN prev_v
+                        ELSE prev_v + (next_v - prev_v) / (next_x - prev_x)
+                             * (pos - prev_x)
+                   END AS avg_value,
+                   is_gap
+            FROM f
         """,
         'doc_token_counts': r"""
             SELECT doc_id,
@@ -1165,6 +1291,8 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        'doc_repetition_stats': _REPETITION_SQL,
+        'doc_search_bm25': _bm25_oracle_sql(),
         'doc_top_words': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

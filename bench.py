@@ -77,7 +77,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'sst_ika_scores', 'bocpd_scores', 'fluss_scores',
              'scored_rollup_compressed', 'simhash_dup_pairs', 'embedding_ivf_topk',
              'doc_dup_clusters', 'gap_fill_linear_values',
-             'doc_pii_scrub', 'doc_contamination', 'corpus_mixture_sample']
+             'doc_pii_scrub', 'doc_contamination', 'corpus_mixture_sample',
+             'doc_repetition_stats', 'doc_search_bm25']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -352,3 +352,129 @@ def contamination_check(df: DataFrame, benchmark_ids, n: int = 3,
         n_grams.cast('long').alias('n_grams'),
         n_hit.cast('long').alias('n_hit'),
         F.round(n_hit / n_grams, 6).alias('hit_ratio'))
+
+
+def _word_ngrams(words, n: int):
+    """Array of word n-grams with array index == 0-based start position.
+    Guarded for docs shorter than n (Spark's sequence(0, -k) would DESCEND,
+    not return empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(' ', F.slice(words, i + 1, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast('array<string>'))
+
+
+def repetition_stats(df: DataFrame, n_top: int = 2, n_dup: int = 5,
+                     id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    "repetitious text" rules, adapted to word n-grams because this corpus
+    has no line structure):
+
+    - ``top{n_top}gram_char_frac``: characters of the single most frequent
+      word ``n_top``-gram (count x gram length) over total characters —
+      ties broken by lexicographically smallest gram, so the winner is
+      deterministic cross-engine.
+    - ``dup{n_dup}gram_word_frac``: fraction of word POSITIONS covered by
+      some ``n_dup``-gram that occurs more than once in the doc (the honest
+      covered-positions union, not an instance count — overlapping
+      duplicate grams are not double-counted).
+
+    Scale shape: one hash exchange keyed by (doc, gram) for the occurrence
+    counts, one by (doc, position) for the coverage union, one final per-doc
+    aggregate — all combiner-friendly, group sizes bounded by document
+    length, nothing corpus-global.  Fractions are single divisions of
+    integer-derived values -> bit-exact cross-engine.
+    """
+    from pyspark.sql import Window
+    words = F.split(F.col(text_col), ' ')
+    base = df.select(F.col(id_col), F.col(text_col), words.alias('_w'),
+                     F.size(words).alias('n_words'),
+                     F.length(text_col).alias('_chars'))
+
+    # --- top n_top-gram by count (tie: smallest gram string) ---
+    tg = (base.select(id_col, 'n_words', '_chars',
+                      F.explode(_word_ngrams(F.col('_w'), n_top)).alias('gram'))
+              .groupBy(id_col, 'n_words', '_chars', 'gram')
+              .agg(F.count('*').alias('cnt')))
+    rank = Window.partitionBy(id_col).orderBy(F.col('cnt').desc(), F.col('gram').asc())
+    top = (tg.withColumn('_rn', F.row_number().over(rank))
+             .filter(F.col('_rn') == 1)
+             .select(id_col, 'n_words', '_chars',
+                     F.col('gram').alias('top_gram'),
+                     F.col('cnt').alias('top_gram_cnt'),
+                     (F.col('cnt') * F.length('gram')
+                      / F.col('_chars')).alias(f'top{n_top}gram_char_frac')))
+
+    # --- covered-position union of duplicated n_dup-grams ---
+    inst = base.select(id_col,
+                       F.posexplode(_word_ngrams(F.col('_w'), n_dup))
+                        .alias('start', 'gram'))
+    cnt_w = Window.partitionBy(id_col, 'gram')
+    covered = (inst.withColumn('_cnt', F.count('*').over(cnt_w))
+                   .filter(F.col('_cnt') >= 2)
+                   .select(id_col, F.explode(
+                       F.sequence(F.col('start'),
+                                  F.col('start') + n_dup - 1)).alias('p'))
+                   .distinct()
+                   .groupBy(id_col)
+                   .agg(F.count('*').alias('_n_cov')))
+
+    out = (top.join(covered, on=id_col, how='left')
+              .withColumn('_n_cov', F.coalesce('_n_cov', F.lit(0))))
+    return out.select(
+        id_col,
+        F.col('n_words').cast('long').alias('n_words'),
+        'top_gram',
+        F.col('top_gram_cnt').cast('long').alias('top_gram_cnt'),
+        f'top{n_top}gram_char_frac',
+        (F.col('_n_cov') / F.col('n_words')).alias(f'dup{n_dup}gram_word_frac'))
+
+
+def bm25_search(df: DataFrame, query_terms, k: int = 20, k1: float = 1.2,
+                b: float = 0.75, id_col: str = 'doc_id',
+                text_col: str = 'text') -> DataFrame:
+    """Top-k BM25 keyword search over the corpus (Robertson/Sparck-Jones
+    probabilistic idf: ln((N - df + 0.5)/(df + 0.5) + 1), the Lucene
+    variant).
+
+    Plan shape (100 TB-first): per-term tf is a row-local array_filter size
+    — the corpus is scanned ONCE, map-only, no explode/shuffle of the big
+    side.  Corpus stats (N, Σdl as exact integers, per-term document
+    frequencies) reduce to a single row that is broadcast back; the final
+    score is one fixed-order arithmetic expression (term order = the order
+    given), so the double result is deterministic under any partitioning,
+    and the only wide stages are the tiny stats aggregate and the top-k
+    TakeOrdered.  Scores are rounded to 6 decimals and ordered by
+    (rounded score desc, id) so ranking is reproducible cross-engine even
+    if ln() differs in the last ulp.
+    """
+    terms = list(query_terms)
+    words = F.split(F.col(text_col), ' ')
+    def _tf(term):
+        # single-arg lambda on purpose: a 2-arg lambda would make F.filter
+        # pass (element, index) and shadow the captured term
+        return F.size(F.filter(words, lambda w: w == F.lit(term)))
+
+    scored = df.select(F.col(id_col), F.size(words).alias('dl'),
+                       *[_tf(t).alias(f'_tf_{i}') for i, t in enumerate(terms)])
+    stats = scored.agg(
+        F.count('*').alias('_n_docs'),
+        F.sum('dl').alias('_sum_dl'),
+        *[F.sum((F.col(f'_tf_{i}') > 0).cast('long')).alias(f'_df_{i}')
+          for i in range(len(terms))])
+    j = scored.crossJoin(F.broadcast(stats))
+    n_d = F.col('_n_docs').cast('double')
+    avgdl = F.col('_sum_dl').cast('double') / n_d   # exact ints -> one division
+    norm = 1 - b + b * F.col('dl').cast('double') / avgdl
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f'_tf_{i}').cast('double')
+        idf = F.log((n_d - F.col(f'_df_{i}') + 0.5) / (F.col(f'_df_{i}') + 0.5) + 1)
+        part = idf * tf * (k1 + 1) / (tf + k1 * norm)
+        score = part if score is None else score + part
+    out = (j.withColumn('score_bm25', F.round(score, 6))
+            .filter(F.col('score_bm25') > 0)
+            .select(id_col, F.col('dl').cast('long').alias('n_words'), 'score_bm25')
+            .orderBy(F.col('score_bm25').desc(), F.col(id_col).asc())
+            .limit(k))
+    return out

@@ -423,3 +423,64 @@ def test_passage_stride_subsamples_but_detects_aligned_repeats(spark):
     df2 = spark.createDataFrame([(1, text), (2, text)], schema)
     rep = dedup.repeated_passages(df2, n=5, stride=2, id_col='doc_id', text_col='text')
     assert rep.count() == 8
+
+
+def test_repetition_stats_hand_computed(spark):
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    rows = [
+        # "a b a b a b": top 2-gram "a b" occurs 3x (len 3, text len 11)
+        # dup 5-grams: "a b a b a" (pos 0) and "b a b a b" (pos 1) each once
+        # -> no duplicated 5-gram -> coverage 0
+        (1, 'a b a b a b'),
+        # 12 words, "x y z w v" repeated twice back to back: 5-gram
+        # "x y z w v" occurs at starts 0 and 5 -> covers positions 0..9
+        (2, 'x y z w v x y z w v q r'),
+        (3, 'one two'),            # exactly one 2-gram, shorter than n_dup
+        (4, 'solo'),               # shorter than every n-gram size
+    ]
+    rep = (txt.repetition_stats(spark.createDataFrame(rows, schema))
+              .toPandas().set_index('doc_id').sort_index())
+    assert rep.loc[1, 'top_gram'] == 'a b'
+    assert int(rep.loc[1, 'top_gram_cnt']) == 3
+    assert rep.loc[1, 'top2gram_char_frac'] == 3 * 3 / 11
+    assert rep.loc[1, 'dup5gram_word_frac'] == 0.0
+    assert int(rep.loc[2, 'top_gram_cnt']) == 2
+    assert rep.loc[2, 'dup5gram_word_frac'] == 10 / 12
+    # a 2-word doc yields exactly one 2-gram covering the whole text
+    assert rep.loc[3, 'top_gram'] == 'one two'
+    assert rep.loc[3, 'top2gram_char_frac'] == 1.0
+    assert rep.loc[3, 'dup5gram_word_frac'] == 0.0
+    # a 1-word doc has no 2-gram at all -> absent (nothing to rank)
+    assert 4 not in rep.index
+
+
+def test_bm25_search_ranks_term_matches(spark):
+    import math
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    rows = [
+        (1, 'spark spark spark alpha beta'),
+        (2, 'spark alpha beta gamma delta'),
+        (3, 'alpha beta gamma delta epsilon'),
+        (4, 'join join alpha beta gamma'),
+    ]
+    out = (txt.bm25_search(spark.createDataFrame(rows, schema),
+                           ['spark', 'join'], k=10).toPandas())
+    # docs without any query term are filtered; tf-heavy doc 1 outranks doc 2
+    assert set(out['doc_id']) == {1, 2, 4}
+    assert list(out['doc_id'])[0] in (1, 4)
+    s = dict(zip(out['doc_id'], out['score_bm25']))
+    assert s[1] > s[2]
+    # hand-check doc 2: tf=1, dl=5, avgdl=5 -> norm term = 1
+    # idf = ln((4 - 2 + 0.5)/(2 + 0.5) + 1), score = idf * 1 * 2.2 / (1 + 1.2)
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1)
+    assert abs(s[2] - round(idf * 2.2 / 2.2, 6)) < 1e-9
+
+
+def test_bm25_empty_and_absent_term(spark):
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    df = spark.createDataFrame([(1, 'alpha beta'), (2, '')], schema)
+    # no doc contains the term -> empty result, no div-by-zero on empty text
+    assert txt.bm25_search(df, ['zzz'], k=5).count() == 0
