@@ -312,6 +312,28 @@ def _ivf_centroids(n_lists: int = 16, dim: int = 64, seed: int = 11):
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def _cluster_sizes_sql(n_lists: int = 16, dim: int = 64, seed: int = 11) -> str:
+    """Histogram twin of the IVF assignment: same centroid literals, same
+    first-position argmax — integer counts, exact compare."""
+    cents = _ivf_centroids(n_lists, dim, seed)
+
+    def arr(c):
+        return '[' + ', '.join(repr(float(x)) for x in c) + ']'
+
+    def score(col, c):
+        half = repr(float(c @ c) / 2.0)
+        return f"(list_inner_product({col}, {arr(c)}) - {half})"
+
+    elist = '[' + ', '.join(score('ev', c) for c in cents) + ']'
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+               FROM embeddings)
+    SELECT CAST(list_position({elist}, list_max({elist})) - 1 AS INTEGER) AS list_id,
+           COUNT(*) AS n_vecs
+    FROM e GROUP BY 1
+    """
+
+
 def _ivf_topk_sql(n_lists: int = 16, nprobe: int = 4, k: int = 10, dim: int = 64,
                   seed: int = 11) -> str:
     """IVF oracle: centroid literals + the same score expression
@@ -703,6 +725,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (words.groupBy('w').agg(F.count('*').alias('n'))
                      .orderBy(F.col('n').desc(), 'w').limit(50))
 
+    def doc_lexical_diversity(spark, sf_dir):
+        return text.lexical_diversity(_read(spark, sf_dir, 'documents'))
+
+    def events_rollup_1h_distinct_users(spark, sf_dir):
+        # exact per-hour distinct-user tier: the two-phase distinct
+        # aggregate (partial dedup map-side, merge on the bucket key)
+        ev = _read(spark, sf_dir, 'events')
+        return (ev.groupBy(F.window('ts', '1 hour').alias('w'))
+                  .agg(F.count_distinct('user_id').alias('n_users'),
+                       F.count('*').alias('n_events'))
+                  .select(F.col('w.start').alias('bucket_start'),
+                          'n_users', 'n_events'))
+
+    def doc_normalize(spark, sf_dir):
+        return text.normalize_text(_read(spark, sf_dir, 'documents'))
+
     def doc_repetition_stats(spark, sf_dir):
         return text.repetition_stats(_read_spread(spark, sf_dir, 'documents'),
                                      n_top=2, n_dup=5)
@@ -803,6 +841,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb.filter('vec_id <> 0'), qvec, cents,
                                    k=10, nprobe=4)
 
+    def embedding_cluster_sizes(spark, sf_dir):
+        # coarse k-means cluster histogram over the whole embedding table —
+        # the partition-design view of the IVF index (list balance decides
+        # whether list-pruned probes are skew-free at scale)
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        dim = len(emb.select('embedding').first()[0])
+        cents = _ivf_centroids(n_lists=16, dim=dim, seed=11)
+        assigned = similarity.ivf_assign(emb, cents)
+        return assigned.groupBy('list_id').agg(F.count('*').alias('n_vecs'))
+
     def embedding_lsh_topk(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
         emb = emb.withColumn('embedding',
@@ -871,6 +921,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev2 = ev.withColumn('counter', F.sum(cents).over(run) % 100000)
         return rollup.counter_rate(ev2, ['user_id'], interval='1 hour',
                                    order_cols=('event_id',))
+
+    def events_interval_join(spark, sf_dir):
+        # clicks inside a 4-hour window after each error, per user — the
+        # canonical range join, run through the bucketed interval_join
+        # operator (equi-join blocking, NOT a BroadcastNestedLoopJoin).
+        # DECIMAL-exact value sums -> deterministic doubles, no rounding.
+        from changepoynt_spark.operators.asof import interval_join
+        ev = _read(spark, sf_dir, 'events')
+        iv = (ev.filter(F.col('event_type') == 'error')
+                .select('user_id', F.col('event_id').alias('interval_id'),
+                        F.col('ts').alias('lo'),
+                        (F.col('ts') + F.expr('INTERVAL 4 HOURS')).alias('hi')))
+        pts = (ev.filter(F.col('event_type') == 'click')
+                 .select('user_id', 'ts', 'value'))
+        j = interval_join(pts, iv, on=('user_id',), ts_col='ts',
+                          bucket_seconds=14400, interval_cols=('interval_id',))
+        return (j.groupBy('user_id', 'interval_id', 'lo')
+                  .agg(F.count('*').alias('n_clicks'),
+                       F.sum(F.col('value').cast('decimal(18,6)'))
+                        .cast('double').alias('sum_value')))
 
     def events_asof_join(spark, sf_dir):
         # readings (even event ids) aligned to the most recent marker (odd
@@ -985,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_dup_clusters': doc_dup_clusters,
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
+        'doc_normalize': doc_normalize,
+        'doc_lexical_diversity': doc_lexical_diversity,
+        'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,
@@ -1016,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'simhash_dup_pairs': simhash_dup_pairs,
         'embedding_lsh_topk': embedding_lsh_topk,
         'embedding_ivf_topk': embedding_ivf_topk,
+        'embedding_cluster_sizes': embedding_cluster_sizes,
         'embedding_knn': embedding_knn,
         'chunked_moving_window': chunked_moving_window,
         'retention_report': retention_report,
@@ -1026,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
         'events_asof_join': events_asof_join,
+        'events_interval_join': events_interval_join,
         'events_sessions': events_sessions,
         'events_counter_rate': events_counter_rate,
         'events_percentile_1h': events_percentile_1h,
@@ -1232,6 +1307,18 @@ def oracle_sql() -> dict[str, str]:
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
         'events_asof_join': _ASOF_JOIN_SQL,
+        'events_interval_join': """
+            WITH iv AS (SELECT user_id, event_id AS interval_id, ts AS lo,
+                               ts + INTERVAL 4 HOUR AS hi
+                        FROM events WHERE event_type = 'error'),
+            pt AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+            SELECT i.user_id, i.interval_id, i.lo,
+                   COUNT(*) AS n_clicks,
+                   CAST(SUM(CAST(p.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM iv i JOIN pt p
+              ON i.user_id = p.user_id AND p.ts BETWEEN i.lo AND i.hi
+            GROUP BY i.user_id, i.interval_id, i.lo
+        """,
         'events_sessions': _SESSIONS_SQL,
         'events_ewma': """
             WITH RECURSIVE s AS (
@@ -1291,6 +1378,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1
         """,
+        'doc_normalize': r"""
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_md5,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   CAST(length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm,
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) <> text AS changed
+            FROM documents
+        """,
+        'doc_lexical_diversity': """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            counts AS (SELECT word, COUNT(*) AS c
+                       FROM (SELECT unnest(words) AS word FROM w) GROUP BY word),
+            hapax AS (SELECT word FROM counts WHERE c = 1),
+            inst AS (SELECT doc_id, unnest(words) AS word FROM w),
+            hpd AS (SELECT doc_id, COUNT(*) AS n_hapax
+                    FROM inst JOIN hapax USING (word) GROUP BY doc_id)
+            SELECT w.doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(words)) AS BIGINT) AS n_types,
+                   len(list_distinct(words)) * 1.0 / len(words) AS ttr,
+                   COALESCE(h.n_hapax, 0) AS n_hapax,
+                   COALESCE(h.n_hapax, 0) * 1.0 / len(words) AS hapax_frac
+            FROM w LEFT JOIN hpd h ON w.doc_id = h.doc_id
+        """,
+        'events_rollup_1h_distinct_users': """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),
         'doc_top_words': """
@@ -1302,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
         'embedding_ivf_topk': _ivf_topk_sql(n_lists=16, nprobe=4, k=10),
+        'embedding_cluster_sizes': _cluster_sizes_sql(n_lists=16),
         'doc_language_id': _langid_sql(),
         # the LSH band join is candidate PRUNING; on this corpus it must
         # recover the complete brute-force Jaccard pair set at the query

@@ -78,7 +78,9 @@ def run_queries(spark, sf_dir: str) -> dict:
              'scored_rollup_compressed', 'simhash_dup_pairs', 'embedding_ivf_topk',
              'doc_dup_clusters', 'gap_fill_linear_values',
              'doc_pii_scrub', 'doc_contamination', 'corpus_mixture_sample',
-             'doc_repetition_stats', 'doc_search_bm25']
+             'doc_repetition_stats', 'doc_search_bm25', 'events_interval_join',
+             'embedding_cluster_sizes', 'doc_normalize', 'doc_lexical_diversity',
+             'events_rollup_1h_distinct_users']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -95,3 +95,47 @@ def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
                          *[F.col(f'_m_{c}').alias(f'{c}{suffix}')
                            for c in right_cols])
     return out
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, on=(),
+                  ts_col: str = 'ts', lo_col: str = 'lo', hi_col: str = 'hi',
+                  bucket_seconds: int = 3600, interval_cols=None) -> DataFrame:
+    """Range (interval) join: every ``points`` row paired with every
+    ``intervals`` row whose [lo, hi] contains its timestamp (bounds
+    inclusive), optionally per equi-key ``on``.
+
+    Spark-first design: NOT the naive theta join (Catalyst plans
+    ts >= lo AND ts <= hi as BroadcastNestedLoopJoin — O(|P| x |I|) at any
+    scale) but the standard time-bucket blocking:
+
+      1. each interval is exploded to the buckets it spans
+         (sequence(floor(lo), floor(hi), bucket)) — an interval appears in
+         span/bucket_seconds buckets,
+      2. each point belongs to EXACTLY ONE bucket (floor(ts)), so the
+         equi-join on (keys, bucket) meets every qualifying pair exactly
+         once — no post-join dedup — and runs as a plain shuffled hash
+         join,
+      3. the residual predicate ts BETWEEN lo AND hi filters within the
+         bucket.
+
+    Shuffle volume: |P| + Σ span_i/bucket (pick ``bucket_seconds`` near the
+    median interval span so most intervals land in O(1) buckets).  Skewed
+    buckets (a bucket holding many points AND many intervals) are AQE
+    skew-join territory; the blocking keys make that visible to AQE, which
+    a nested-loop join never is.
+    """
+    on = list(on)
+    interval_cols = list(interval_cols if interval_cols is not None
+                         else [c for c in intervals.columns
+                               if c not in on + [lo_col, hi_col]])
+    bucket = lambda c: (F.unix_micros(F.col(c).cast('timestamp'))
+                        / (bucket_seconds * 1_000_000)).cast('long')  # noqa: E731
+    iv = intervals.select(
+        *on, lo_col, hi_col, *interval_cols,
+        F.explode(F.sequence(bucket(lo_col), bucket(hi_col))).alias('_b'))
+    pt = points.withColumn('_b', bucket(ts_col))
+    cond = [pt['_b'] == iv['_b']] + [pt[k] == iv[k] for k in on]
+    out = (pt.join(iv, on=cond, how='inner')
+             .where((pt[ts_col] >= iv[lo_col]) & (pt[ts_col] <= iv[hi_col])))
+    return out.select(*[pt[c] for c in points.columns],
+                      *[iv[c] for c in [lo_col, hi_col] + interval_cols])

@@ -478,3 +478,57 @@ def bm25_search(df: DataFrame, query_terms, k: int = 20, k1: float = 1.2,
             .orderBy(F.col('score_bm25').desc(), F.col(id_col).asc())
             .limit(k))
     return out
+
+
+def normalize_text(df: DataFrame, id_col: str = 'doc_id',
+                   text_col: str = 'text') -> DataFrame:
+    """CCNet/C4-style text normalization ahead of dedup: lowercase, collapse
+    runs of whitespace, trim.  Emits the normalized text, its md5 (the key
+    exact dedup on the NORMALIZED form groups by — catches
+    case/whitespace-variant duplicates the raw-text hash misses), lengths,
+    and a ``changed`` flag.  Pure JVM expressions, map-only, no shuffle."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r'\s+', ' '))
+    return df.select(
+        F.col(id_col),
+        norm.alias('norm_text'),
+        F.md5(norm).alias('norm_md5'),
+        F.length(text_col).cast('long').alias('n_chars_raw'),
+        F.length(norm).cast('long').alias('n_chars_norm'),
+        (norm != F.col(text_col)).alias('changed'))
+
+
+def lexical_diversity(df: DataFrame, id_col: str = 'doc_id',
+                      text_col: str = 'text') -> DataFrame:
+    """Lexical-diversity quality signals — the integer-derived cousins of
+    perplexity scoring (no ln(), so every value is bit-exact cross-engine):
+
+    - ``ttr``: type-token ratio (distinct words / words), row-local.
+    - ``hapax_frac``: fraction of the doc's word instances whose word is a
+      CORPUS hapax (appears exactly once in the whole corpus) — high means
+      vocabulary the rest of the corpus never uses (OCR noise, codes,
+      gibberish).
+
+    Scale shape: corpus word counts are one combiner-friendly shuffle on
+    word; the hapax set is joined back BROADCAST (hapax words are the
+    frequency-1 tail — bounded by vocabulary, tiny next to the corpus), so
+    the second pass is map-side + one doc-keyed aggregate."""
+    words = F.split(F.col(text_col), ' ')
+    base = df.select(F.col(id_col), words.alias('_w'),
+                     F.size(words).alias('n_words'),
+                     F.size(F.array_distinct(words)).alias('n_types'))
+    counts = (df.select(F.explode(words).alias('w'))
+                .groupBy('w').agg(F.count('*').alias('c')))
+    hapax = counts.filter(F.col('c') == 1).select('w')
+    inst = base.select(id_col, F.explode('_w').alias('w'))
+    hap_per_doc = (inst.join(F.broadcast(hapax), on='w', how='inner')
+                       .groupBy(id_col).agg(F.count('*').alias('n_hapax')))
+    out = (base.drop('_w')
+               .join(hap_per_doc, on=id_col, how='left')
+               .withColumn('n_hapax', F.coalesce('n_hapax', F.lit(0))))
+    return out.select(
+        id_col,
+        F.col('n_words').cast('long').alias('n_words'),
+        F.col('n_types').cast('long').alias('n_types'),
+        (F.col('n_types') / F.col('n_words')).alias('ttr'),
+        F.col('n_hapax').cast('long').alias('n_hapax'),
+        (F.col('n_hapax') / F.col('n_words')).alias('hapax_frac'))

@@ -74,3 +74,39 @@ def test_asof_single_shuffle_no_range_join(spark, frames):
     assert 'CartesianProduct' not in plan
     assert 'BroadcastNestedLoopJoin' not in plan
     assert 'Window' in plan
+
+
+def test_interval_join_inclusive_bounds_and_bucket_spans(spark):
+    from changepoynt_spark.operators.asof import interval_join
+    import datetime as dt
+    TS = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(1, TS(0)), (2, TS(10)), (3, TS(20)), (4, TS(30)), (5, TS(59))],
+        'pid long, ts timestamp')
+    iv = spark.createDataFrame(
+        # [10, 30] inclusive both ends; bucket_seconds=7 forces multi-bucket
+        # spans, so exactly-once matching across bucket boundaries is exercised
+        [(100, TS(10), TS(30)), (200, TS(29), TS(59))],
+        'iid long, lo timestamp, hi timestamp')
+    out = interval_join(pts, iv, on=(), ts_col='ts', bucket_seconds=7,
+                        interval_cols=('iid',)).toPandas()
+    pairs = sorted(zip(out['pid'], out['iid']))
+    # pid 2 at lo, pid 4 at hi: inclusive; pid 4 and 5 also inside [29,59]
+    assert pairs == [(2, 100), (3, 100), (4, 100), (4, 200), (5, 200)]
+
+
+def test_interval_join_keys_and_plan_has_no_nested_loop(spark):
+    from changepoynt_spark.operators.asof import interval_join
+    import datetime as dt
+    TS = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    pts = spark.createDataFrame([(7, 1, TS(5)), (8, 2, TS(5))],
+                                'uid long, pid long, ts timestamp')
+    iv = spark.createDataFrame([(7, 9, TS(0), TS(10))],
+                               'uid long, iid long, lo timestamp, hi timestamp')
+    out = interval_join(pts, iv, on=('uid',), ts_col='ts', bucket_seconds=60,
+                        interval_cols=('iid',))
+    pdf = out.toPandas()
+    assert list(zip(pdf['uid'], pdf['pid'], pdf['iid'])) == [(7, 1, 9)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastNestedLoopJoin' not in plan
+    assert 'CartesianProduct' not in plan
