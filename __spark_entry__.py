@@ -672,6 +672,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                              'min_value', 'max_value',
                              F.round(sum_d / F.col('cnt_points'), 6).alias('avg_value'))
 
+    def events_backfill_merge(spark, sf_dir):
+        # incremental continuous-aggregate refresh: roll up "on-time" and
+        # "late" halves separately, merge the partials, finalize — the
+        # oracle is a FULL recompute over all events, so hash-green proves
+        # incremental == full, cross-engine, with decimal-exact merge
+        ev = _read(spark, sf_dir, 'events')
+        on_time = ev.filter(F.pmod('event_id', F.lit(2)) == 0)
+        late = ev.filter(F.pmod('event_id', F.lit(2)) == 1)
+        pa = rollup.rollup_partial(on_time, ['user_id'], interval='1 minute')
+        pb = rollup.rollup_partial(late, ['user_id'], interval='1 minute')
+        merged = rollup.merge_rollup_partials(pa, pb, ['user_id'])
+        return _round_rollup(rollup.finalize_rollup(merged, ['user_id']))
+
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
@@ -1043,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup_1m': events_rollup_1m,
         'events_rollup_1h_cascade': events_rollup_1h_cascade,
         'events_rollup_1d_cascade': events_rollup_1d_cascade,
+        'events_backfill_merge': events_backfill_merge,
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
@@ -1155,6 +1169,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         'events_rollup_1m': rollup_tier('minute'),
+        # full recompute over ALL events == the incremental merge
+        'events_backfill_merge': rollup_tier('minute'),
         'events_rollup_1h_cascade': rollup_tier('hour'),
         'events_rollup_1d_cascade': rollup_tier('day'),
         'events_gapfill_1m': """

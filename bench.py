@@ -79,6 +79,7 @@ def run_queries(spark, sf_dir: str) -> dict:
              'doc_dup_clusters', 'gap_fill_linear_values',
              'doc_pii_scrub', 'doc_contamination', 'corpus_mixture_sample',
              'doc_repetition_stats', 'doc_search_bm25', 'events_interval_join',
+             'events_backfill_merge',
              'embedding_cluster_sizes', 'doc_normalize', 'doc_lexical_diversity',
              'events_rollup_1h_distinct_users']
     qs = entrymod.queries()

@@ -339,3 +339,68 @@ def percentile_rollup(df: DataFrame, keys, ts_col: str = 'ts',
         out = out.withColumn(name, F.element_at('_vals', idx))
         names.append(name)
     return out.select(*keys, 'bucket_start', 'n_points', *names)
+
+
+# ---------------------------------------------------------------------------
+# incremental refresh (late-data backfill)
+# ---------------------------------------------------------------------------
+
+def rollup_partial(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'value',
+                   interval: str = '1 minute') -> DataFrame:
+    """Mergeable per-bucket partial aggregate — the continuous-aggregate
+    REFRESH unit (TimescaleDB-style): when late/out-of-order points arrive,
+    roll up ONLY them and merge into the stored tier instead of
+    re-aggregating the raw history.
+
+    The partial carries what finalization drops: DECIMAL-exact sums (merge
+    order can never change the result) and the first/last TS ANCHORS, which
+    make first/last mergeable across same-bucket partials (the tier cascade
+    merges across DIFFERENT buckets, where bucket_start orders partials;
+    same-bucket merges need the real timestamps).
+    """
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+             .agg(F.count(value_col).alias('cnt_points'),
+                  # pinned carry type: re-aggregation in merge widens decimal
+                  # precision, so without the cast a merged partial's schema
+                  # (and its avg's scale) would depend on merge DEPTH
+                  F.sum(F.col(value_col).cast('decimal(18,6)'))
+                   .cast('decimal(28,6)').alias('sum_value'),
+                  F.min(value_col).alias('min_value'),
+                  F.max(value_col).alias('max_value'),
+                  F.min_by(value_col, ts_col).alias('first_value'),
+                  F.min(ts_col).alias('first_ts'),
+                  F.max_by(value_col, ts_col).alias('last_value'),
+                  F.max(ts_col).alias('last_ts')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'cnt_points', 'sum_value',
+                       'min_value', 'max_value', 'first_value', 'first_ts',
+                       'last_value', 'last_ts'))
+
+
+def merge_rollup_partials(a: DataFrame, b: DataFrame, keys) -> DataFrame:
+    """Algebraic merge of two partial tables on (keys, bucket): the result
+    is again a partial (the merge is a commutative monoid), so backfills
+    compose — merge(merge(tier, late1), late2) == rollup of everything.
+    One hash-aggregate shuffle on the same (keys, bucket) the tier is
+    already partitioned by."""
+    keys = list(keys)
+    u = a.unionByName(b)
+    return (u.groupBy(*keys, 'bucket_start')
+             .agg(F.sum('cnt_points').alias('cnt_points'),
+                  F.sum('sum_value').cast('decimal(28,6)').alias('sum_value'),
+                  F.min('min_value').alias('min_value'),
+                  F.max('max_value').alias('max_value'),
+                  F.min_by('first_value', 'first_ts').alias('first_value'),
+                  F.min('first_ts').alias('first_ts'),
+                  F.max_by('last_value', 'last_ts').alias('last_value'),
+                  F.max('last_ts').alias('last_ts')))
+
+
+def finalize_rollup(partial: DataFrame, keys) -> DataFrame:
+    """Partial -> the tier schema (drops anchors, derives avg). The stored
+    tier keeps the partial form so future backfills merge; readers get this
+    view."""
+    keys = list(keys)
+    return (partial.withColumn('avg_value', F.col('sum_value') / F.col('cnt_points'))
+                   .select(*keys, 'bucket_start', *AGG_COLS))

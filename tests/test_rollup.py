@@ -254,3 +254,36 @@ def test_ewma_smooth_matches_pandas_recursion(spark):
         np.testing.assert_allclose(got, ref, rtol=1e-12, atol=0)
     empty = spark.createDataFrame([], 'k string, ts timestamp, value double')
     assert ewma_smooth(empty, ['k']).count() == 0
+
+
+def test_backfill_merge_equals_full_rollup_and_composes(spark):
+    from changepoynt_spark.operators import rollup
+    import datetime as dt
+    rows = []
+    for i in range(300):
+        rows.append((i % 3, dt.datetime(2026, 1, 1, 0, i % 50, i % 60),
+                     float(i) * 0.37 - 20))
+    df = spark.createDataFrame(rows, 'k long, ts timestamp, value double')
+    full = rollup.finalize_rollup(
+        rollup.rollup_partial(df, ['k']), ['k']).toPandas()
+
+    # split three ways, merge in two different groupings -> same result
+    a = df.filter('value < -10')
+    b = df.filter('value >= -10 and value < 10')
+    c = df.filter('value >= 10')
+    pa, pb, pc = (rollup.rollup_partial(x, ['k']) for x in (a, b, c))
+    m1 = rollup.merge_rollup_partials(rollup.merge_rollup_partials(pa, pb, ['k']), pc, ['k'])
+    m2 = rollup.merge_rollup_partials(pa, rollup.merge_rollup_partials(pb, pc, ['k']), ['k'])
+
+    def norm(pdf):
+        return (pdf.sort_values(['k', 'bucket_start'])
+                   .reset_index(drop=True).astype(str))
+
+    f1 = rollup.finalize_rollup(m1, ['k']).toPandas()
+    f2 = rollup.finalize_rollup(m2, ['k']).toPandas()
+    assert norm(f1).equals(norm(full))
+    assert norm(f2).equals(norm(full))
+
+    # finalize matches the plain exact-sum tier (same schema, same values)
+    tier = rollup.rollup_from_points(df, ['k'], exact_sum=True).toPandas()
+    assert norm(full).equals(norm(tier))
