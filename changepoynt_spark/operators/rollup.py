@@ -378,14 +378,13 @@ def rollup_partial(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'va
                        'last_value', 'last_ts'))
 
 
-def merge_rollup_partials(a: DataFrame, b: DataFrame, keys) -> DataFrame:
-    """Algebraic merge of two partial tables on (keys, bucket): the result
-    is again a partial (the merge is a commutative monoid), so backfills
-    compose — merge(merge(tier, late1), late2) == rollup of everything.
-    One hash-aggregate shuffle on the same (keys, bucket) the tier is
-    already partitioned by."""
+def merge_partials(u: DataFrame, keys) -> DataFrame:
+    """Merge-on-read: collapse ANY union of partial tables to one partial
+    row per (keys, bucket).  Because the merge is a commutative monoid,
+    a tier table can store backfills append-only (LSM/Hudi-style
+    merge-on-read) and stay exactly correct — one hash-aggregate shuffle on
+    the same (keys, bucket) the tier is already partitioned by."""
     keys = list(keys)
-    u = a.unionByName(b)
     return (u.groupBy(*keys, 'bucket_start')
              .agg(F.sum('cnt_points').alias('cnt_points'),
                   F.sum('sum_value').cast('decimal(28,6)').alias('sum_value'),
@@ -395,6 +394,13 @@ def merge_rollup_partials(a: DataFrame, b: DataFrame, keys) -> DataFrame:
                   F.min('first_ts').alias('first_ts'),
                   F.max_by('last_value', 'last_ts').alias('last_value'),
                   F.max('last_ts').alias('last_ts')))
+
+
+def merge_rollup_partials(a: DataFrame, b: DataFrame, keys) -> DataFrame:
+    """Algebraic merge of two partial tables on (keys, bucket): the result
+    is again a partial, so backfills compose — merge(merge(tier, late1),
+    late2) == rollup of everything."""
+    return merge_partials(a.unionByName(b), keys)
 
 
 def finalize_rollup(partial: DataFrame, keys) -> DataFrame:

@@ -109,3 +109,49 @@ def test_rollup_job_runs_and_resumes(spark, tmp_path, capsys):
     assert rollup_job.main(argv, spark=spark) == 0
     second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(second['processed']) == 0 and len(second['skipped']) == 4
+
+
+def test_backfill_job_merge_on_read_and_exactly_once(spark, tmp_path):
+    import datetime as dt
+    import json as _json
+
+    from jobs import backfill_job
+    from changepoynt_spark.operators import rollup
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    # ts UNIQUE per key (j < 80 < lcm(40,60)=120): first/last are only
+    # well-defined under a total per-key ts order
+    rows = [(i % 3, dt.datetime(2026, 1, 2, 0, (i // 3) % 40, (i // 3 * 7) % 60),
+             float(i) * 1.3 - 5) for i in range(240)]
+    df = spark.createDataFrame(rows, 'user_id long, ts timestamp, value double')
+    early = df.filter('value < 100')
+    late = df.filter('value >= 100')
+    p_early = str(tmp_path / 'early.parquet')
+    p_late = str(tmp_path / 'late.parquet')
+    early.write.parquet(p_early)
+    late.write.parquet(p_late)
+    troot = str(tmp_path / 'tier')
+
+    backfill_job.main(['--table', troot, '--late', p_early], spark=spark)
+    backfill_job.main(['--table', troot, '--late', p_late], spark=spark)
+
+    table = IcebergishTable(troot)
+    got = backfill_job.read_tier(spark, table, ['user_id']).toPandas()
+    want = rollup.finalize_rollup(
+        rollup.rollup_partial(df, ['user_id']), ['user_id']).toPandas()
+
+    def norm(p):
+        return (p.sort_values(['user_id', 'bucket_start'])
+                 .reset_index(drop=True).astype(str))
+    assert norm(got).equals(norm(want))
+
+    # exactly-once: resubmitting an applied input is a no-op
+    sid_before = table.current_snapshot_id()
+    backfill_job.main(['--table', troot, '--late', p_late], spark=spark)
+    assert table.current_snapshot_id() == sid_before
+
+    # compaction collapses to one live snapshot with identical reads
+    backfill_job.main(['--table', troot, '--late', p_late, '--compact'],
+                      spark=spark)
+    got2 = backfill_job.read_tier(spark, table, ['user_id']).toPandas()
+    assert norm(got2).equals(norm(want))
