@@ -41,3 +41,28 @@ def streaming_rollup(stream_df: DataFrame, keys, ts_col: str = 'ts', value_col: 
     return (agg.withColumn('avg_value', F.col('sum_value') / F.col('cnt_points'))
                .withColumn('bucket_start', F.col('w.start'))
                .drop('w'))
+
+
+def streaming_sessionize(stream_df: DataFrame, keys, ts_col: str = 'ts',
+                         value_col: str = 'value', gap: str = '30 minutes',
+                         watermark_delay: str = '2 minutes') -> DataFrame:
+    """Streaming session aggregation via Spark's native ``session_window``
+    (dynamic-gap windows: a session closes when no event arrives for
+    ``gap``).  The streaming twin of operators.sessionize: state is bounded
+    by the watermark (an open session's state is dropped once the watermark
+    passes its close), and append mode emits every session exactly once.
+
+    Per-session aggregates mirror session_stats: event count, value sum,
+    session bounds and duration."""
+    keys = list(keys)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(*keys, F.session_window(ts_col, gap).alias('w'))
+           .agg(F.count(value_col).alias('n_events'),
+                F.sum(value_col).alias('sum_value'),
+                F.min(ts_col).alias('session_start'),
+                F.max(ts_col).alias('session_end')))
+    dur = (F.unix_micros(F.col('session_end').cast('timestamp'))
+           - F.unix_micros(F.col('session_start').cast('timestamp'))) / 1e6
+    return (agg.withColumn('duration_sec', dur).drop('w'))

@@ -131,3 +131,28 @@ def test_streaming_tier_cascades_to_1h_1d_exactly(spark, events_dir):
             np.testing.assert_allclose(got[col].to_numpy(dtype=float),
                                        exp[col].to_numpy(dtype=float),
                                        rtol=1e-9, err_msg=f'{interval}.{col}')
+
+
+def test_streaming_session_windows_match_batch_sessionize(spark, events_dir):
+    from changepoynt_spark.operators.window_ops import session_stats
+    from changepoynt_spark.streaming.rollup_stream import streaming_sessionize
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    sess = streaming_sessionize(stream, keys=['user_id'], gap='30 minutes')
+    q = (sess.writeStream.outputMode('complete').format('memory')
+         .queryName('sessions_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql('SELECT user_id, session_start, session_end, n_events '
+                     'FROM sessions_stream')
+           .toPandas().sort_values(['user_id', 'session_start'])
+           .reset_index(drop=True))
+
+    batch = (session_stats(spark.read.parquet(events_dir), ['user_id'],
+                           gap_seconds=1800)
+             .select('user_id', 'session_start', 'session_end', 'n_events')
+             .toPandas().sort_values(['user_id', 'session_start'])
+             .reset_index(drop=True))
+    assert len(got) == len(batch) > 0
+    assert got.astype(str).equals(batch.astype(str))
