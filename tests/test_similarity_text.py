@@ -484,3 +484,29 @@ def test_bm25_empty_and_absent_term(spark):
     df = spark.createDataFrame([(1, 'alpha beta'), (2, '')], schema)
     # no doc contains the term -> empty result, no div-by-zero on empty text
     assert txt.bm25_search(df, ['zzz'], k=5).count() == 0
+
+
+def test_bm25_plan_scans_corpus_once_no_explode(spark):
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    df = spark.createDataFrame([(1, 'spark alpha'), (2, 'join beta')], schema)
+    out = txt.bm25_search(df, ['spark', 'join'], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # tf is a row-local array_filter size: the doc side is never exploded,
+    # and the single stats row comes back via a broadcast join
+    assert 'Generate' not in plan          # no explode anywhere
+    assert 'BroadcastExchange' in plan     # stats row broadcast, not shuffled
+    assert plan.count('Scan ExistingRDD') + plan.count('Scan parquet') <= 2
+
+
+def test_lexical_diversity_broadcasts_hapax_set(spark):
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    df = spark.createDataFrame([(1, 'a b c a'), (2, 'c d e')], schema)
+    out = txt.lexical_diversity(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan     # hapax set joins map-side
+    pdf = out.toPandas().set_index('doc_id')
+    # corpus counts: a=2 b=1 c=2 d=1 e=1 -> hapax {b, d, e}
+    assert int(pdf.loc[1, 'n_hapax']) == 1 and int(pdf.loc[2, 'n_hapax']) == 2
+    assert pdf.loc[1, 'ttr'] == 3 / 4 and pdf.loc[2, 'ttr'] == 1.0
