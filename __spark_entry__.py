@@ -312,6 +312,28 @@ def _ivf_centroids(n_lists: int = 16, dim: int = 64, seed: int = 11):
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+# Feature-hashing embedder twin (md5 buckets/signs, integer sums, one sqrt +
+# one division per component -> bit-exact cross-engine; proven at 32k
+# components).  `dense` = (doc_id, i, v) normalized components, `nrm` = norms.
+_HASH_EMBED_CTE = """
+    inst AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+    hb AS (SELECT doc_id,
+                  CAST(CAST('0x' || substring(md5(w),1,8) AS BIGINT) % 64 AS INTEGER) AS b,
+                  CASE WHEN CAST('0x' || substring(md5('s' || w),1,2) AS INTEGER) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+           FROM inst),
+    sums AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v FROM hb GROUP BY doc_id, b),
+    dims AS (SELECT DISTINCT doc_id, unnest(range(0,64)) AS i FROM documents),
+    raw AS (SELECT d.doc_id, d.i, COALESCE(s.v, 0) AS v
+            FROM dims d LEFT JOIN sums s ON d.doc_id = s.doc_id AND d.i = s.b),
+    nrm AS (SELECT doc_id, sqrt(CAST(SUM(v*v) AS DOUBLE)) AS norm FROM raw GROUP BY doc_id),
+    dense AS (SELECT r.doc_id, r.i,
+                     CASE WHEN n.norm > 0 THEN CAST(r.v AS DOUBLE)/n.norm
+                          ELSE CAST(r.v AS DOUBLE) END AS v
+              FROM raw r JOIN nrm n ON r.doc_id = n.doc_id)
+"""
+
+
 def _cluster_sizes_sql(n_lists: int = 16, dim: int = 64, seed: int = 11) -> str:
     """Histogram twin of the IVF assignment: same centroid literals, same
     first-position argmax — integer counts, exact compare."""
@@ -751,6 +773,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select(F.col('w.start').alias('bucket_start'),
                           'n_users', 'n_events'))
 
+    def doc_hash_embeddings(spark, sf_dir):
+        # feature-hashing text embedder, flattened to scalar rows for the
+        # cross-engine hash compare (arrays stringify differently per engine)
+        emb = text.hash_embed(_read(spark, sf_dir, 'documents'), dim=64)
+        return emb.select('doc_id', 'norm',
+                          F.posexplode('embedding').alias('i', 'v'))
+
+    def doc_semantic_topk(spark, sf_dir):
+        # text -> hash embedding -> exact cosine top-k, all in-engine: the
+        # ANN bridge when no model embeddings exist.  Query = doc 0's vector.
+        emb = text.hash_embed(_read(spark, sf_dir, 'documents'), dim=64)
+        qvec = emb.filter('doc_id = 0').select('embedding').first()[0]
+        return similarity.cosine_topk(emb.filter('doc_id <> 0'), qvec, k=10,
+                                      id_col='doc_id')
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1070,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
         'doc_normalize': doc_normalize,
+        'doc_hash_embeddings': doc_hash_embeddings,
+        'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'doc_repetition_stats': doc_repetition_stats,
@@ -1424,6 +1463,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1
+        """,
+        'doc_hash_embeddings': f"""
+            WITH {_HASH_EMBED_CTE}
+            SELECT d.doc_id, n.norm, CAST(d.i AS INTEGER) AS i, d.v
+            FROM dense d JOIN nrm n ON d.doc_id = n.doc_id
+        """,
+        'doc_semantic_topk': f"""
+            WITH {_HASH_EMBED_CTE},
+            vecs AS (SELECT doc_id, list(v ORDER BY i) AS ev FROM dense GROUP BY doc_id),
+            q AS (SELECT ev AS qv FROM vecs WHERE doc_id = 0),
+            e AS (SELECT doc_id, ev FROM vecs WHERE doc_id <> 0)
+            SELECT e.doc_id,
+                   ROUND(list_inner_product(ev, qv)
+                         / (sqrt(list_inner_product(ev, ev)) * sqrt(list_inner_product(qv, qv))),
+                         6) AS cos_sim
+            FROM e, q
+            ORDER BY cos_sim DESC, doc_id
+            LIMIT 10
         """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),

@@ -81,7 +81,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'doc_repetition_stats', 'doc_search_bm25', 'events_interval_join',
              'events_backfill_merge',
              'embedding_cluster_sizes', 'doc_normalize', 'doc_lexical_diversity',
-             'events_rollup_1h_distinct_users']
+             'events_rollup_1h_distinct_users', 'doc_hash_embeddings',
+             'doc_semantic_topk']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -532,3 +532,44 @@ def lexical_diversity(df: DataFrame, id_col: str = 'doc_id',
         (F.col('n_types') / F.col('n_words')).alias('ttr'),
         F.col('n_hapax').cast('long').alias('n_hapax'),
         (F.col('n_hapax') / F.col('n_words')).alias('hapax_frac'))
+
+
+def hash_embed(df: DataFrame, dim: int = 64, id_col: str = 'doc_id',
+               text_col: str = 'text', normalize: bool = True) -> DataFrame:
+    """Feature-hashing (hashing-trick) text embedder: word w adds sign(w)
+    (±1, from an md5 bit) to component md5(w) % dim.  Deterministic and
+    engine-portable BY CONSTRUCTION — component sums are integers (exact
+    under any aggregation order), and L2 normalization is one sqrt of an
+    integer plus one division per component, so the double vector is
+    bit-identical on any engine/partitioning.  The bridge from raw text to
+    the ANN/near-dup operators when no model embeddings exist.
+
+    Scale shape: explode -> (doc, bucket) combiner-friendly aggregate ->
+    per-doc map assembly (a second, doc-keyed exchange whose input is
+    already <= dim rows per doc) -> dense array via map lookup over a
+    literal index sequence.  Output: (id, embedding array<double>, norm).
+    """
+    words = F.split(F.col(text_col), ' ')
+    bucket = F.pmod(F.conv(F.substring(F.md5('w'), 1, 8), 16, 10).cast('long'),
+                    F.lit(dim)).cast('int')
+    sign = F.when(F.conv(F.substring(F.md5(F.concat(F.lit('s'), F.col('w'))), 1, 2),
+                         16, 10).cast('int') % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    sums = (df.select(F.col(id_col), F.explode(words).alias('w'))
+              .select(id_col, bucket.alias('b'), sign.alias('s'))
+              .groupBy(id_col, 'b').agg(F.sum('s').alias('v'))
+              .groupBy(id_col)
+              .agg(F.map_from_entries(F.collect_list(F.struct('b', 'v'))).alias('_m')))
+    dense = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.coalesce(F.element_at('_m', i.cast('int')),
+                                             F.lit(0)).cast('long'))
+    out = sums.withColumn('_d', dense).drop('_m')
+    # integer sum of squares -> exact; norm & components then bit-exact
+    sq = F.aggregate('_d', F.lit(0).cast('long'), lambda acc, x: acc + x * x)
+    out = out.withColumn('norm', F.sqrt(sq.cast('double')))
+    if normalize:
+        emb = F.when(F.col('norm') > 0,
+                     F.transform('_d', lambda x: x.cast('double') / F.col('norm'))) \
+               .otherwise(F.transform('_d', lambda x: x.cast('double')))
+    else:
+        emb = F.transform('_d', lambda x: x.cast('double'))
+    return out.select(F.col(id_col), emb.alias('embedding'), 'norm')

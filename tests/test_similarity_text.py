@@ -510,3 +510,21 @@ def test_lexical_diversity_broadcasts_hapax_set(spark):
     # corpus counts: a=2 b=1 c=2 d=1 e=1 -> hapax {b, d, e}
     assert int(pdf.loc[1, 'n_hapax']) == 1 and int(pdf.loc[2, 'n_hapax']) == 2
     assert pdf.loc[1, 'ttr'] == 3 / 4 and pdf.loc[2, 'ttr'] == 1.0
+
+
+def test_hash_embed_deterministic_unit_norm_and_signal(spark):
+    from changepoynt_spark.operators import text as txt
+    schema = 'doc_id long, text string'
+    df = spark.createDataFrame(
+        [(1, 'alpha beta gamma alpha'), (2, 'alpha beta gamma alpha'),
+         (3, 'totally different words here'), (4, '')], schema)
+    emb = txt.hash_embed(df, dim=16).toPandas().set_index('doc_id')
+    import numpy as np
+    v1 = np.array(emb.loc[1, 'embedding'])
+    v2 = np.array(emb.loc[2, 'embedding'])
+    v3 = np.array(emb.loc[3, 'embedding'])
+    np.testing.assert_array_equal(v1, v2)          # identical text -> identical vector
+    assert abs(float(np.linalg.norm(v1)) - 1.0) < 1e-12
+    assert float(v1 @ v3) < 0.9                    # different text separates
+    # empty doc: one '' token still hashes -> norm 1; never NaN
+    assert not np.isnan(np.array(emb.loc[4, 'embedding'])).any()
