@@ -382,8 +382,12 @@ def repetition_stats(df: DataFrame, n_top: int = 2, n_dup: int = 5,
     Scale shape: one hash exchange keyed by (doc, gram) for the occurrence
     counts, one by (doc, position) for the coverage union, one final per-doc
     aggregate — all combiner-friendly, group sizes bounded by document
-    length, nothing corpus-global.  Fractions are single divisions of
-    integer-derived values -> bit-exact cross-engine.
+    length, nothing corpus-global.  Gram strings DO ride the first exchange:
+    unlike the dedup self-joins (where int64-hashed postings avoid quadratic
+    string traffic), this is a linear one-pass aggregate whose exchange IS
+    the data — same volume class as tokenization, shrunk by map-side
+    combine.  Fractions are single divisions of integer-derived values ->
+    bit-exact cross-engine.
     """
     from pyspark.sql import Window
     words = F.split(F.col(text_col), ' ')
