@@ -66,3 +66,28 @@ def streaming_sessionize(stream_df: DataFrame, keys, ts_col: str = 'ts',
     dur = (F.unix_micros(F.col('session_end').cast('timestamp'))
            - F.unix_micros(F.col('session_start').cast('timestamp'))) / 1e6
     return (agg.withColumn('duration_sec', dur).drop('w'))
+
+
+def streaming_interval_join(points: DataFrame, intervals: DataFrame, on: str,
+                            ts_col: str = 'ts', lo_col: str = 'lo',
+                            width: str = '4 hours',
+                            watermark_delay: str = '2 minutes') -> DataFrame:
+    """Stream-stream interval join: each point joins the interval rows whose
+    [lo, lo + width] window contains it, per equi-key ``on``.
+
+    The BOUNDED width is what makes this streamable: Spark derives the state
+    retention for each side from the time-range condition
+    (p.ts BETWEEN i.lo AND i.lo + width), so interval state is dropped once
+    the point watermark passes lo + width + delay — without the bound, join
+    state would grow forever.  Append-mode only (the stream-stream join
+    contract); the batch twin is operators.asof.interval_join with
+    hi = lo + width.
+    """
+    p = (points.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+               .withWatermark(ts_col, watermark_delay).alias('p'))
+    i = (intervals.withColumn(lo_col, F.col(lo_col).cast('timestamp'))
+                  .withWatermark(lo_col, watermark_delay).alias('i'))
+    cond = F.expr(
+        f'p.{on} = i.{on} AND p.{ts_col} >= i.{lo_col} '
+        f'AND p.{ts_col} <= i.{lo_col} + INTERVAL {width}')
+    return p.join(i, cond)

@@ -156,3 +156,42 @@ def test_streaming_session_windows_match_batch_sessionize(spark, events_dir):
              .reset_index(drop=True))
     assert len(got) == len(batch) > 0
     assert got.astype(str).equals(batch.astype(str))
+
+
+def test_streaming_interval_join_matches_batch(spark, events_dir):
+    from changepoynt_spark.operators.asof import interval_join
+    from changepoynt_spark.streaming.rollup_stream import streaming_interval_join
+
+    schema = spark.read.parquet(events_dir).schema
+    mk = lambda: (spark.readStream.schema(schema)  # noqa: E731
+                  .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    pts = (mk().filter("event_type = 'click'")
+           .selectExpr('user_id', 'ts', 'event_id AS click_id'))
+    iv = (mk().filter("event_type = 'error'")
+          .selectExpr('user_id AS user_id', 'ts AS lo', 'event_id AS interval_id')
+          .withColumnRenamed('user_id', 'user_id'))
+    iv = iv.selectExpr('user_id', 'lo', 'interval_id')
+    joined = streaming_interval_join(pts, iv, on='user_id', ts_col='ts',
+                                     lo_col='lo', width='4 hours',
+                                     watermark_delay='2 minutes')
+    out = joined.selectExpr('p.user_id AS user_id', 'click_id', 'interval_id')
+    q = (out.writeStream.outputMode('append').format('memory')
+         .queryName('sj').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = set(map(tuple, spark.sql(
+        'SELECT user_id, click_id, interval_id FROM sj').collect()))
+
+    ev = spark.read.parquet(events_dir)
+    bi = (ev.filter("event_type = 'error'")
+            .select('user_id', F.col('ts').alias('lo'),
+                    (F.col('ts') + F.expr('INTERVAL 4 HOURS')).alias('hi'),
+                    F.col('event_id').alias('interval_id')))
+    bp = (ev.filter("event_type = 'click'")
+            .select('user_id', 'ts', F.col('event_id').alias('click_id')))
+    batch = interval_join(bp, bi, on=('user_id',), ts_col='ts',
+                          bucket_seconds=14400, interval_cols=('interval_id',))
+    want = set(map(tuple, batch.select('user_id', 'click_id', 'interval_id').collect()))
+    assert len(want) > 0
+    # append-mode stream must emit exactly the batch pair set (late rows are
+    # within the watermark in availableNow replay)
+    assert got == want
