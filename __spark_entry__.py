@@ -788,6 +788,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(emb.filter('doc_id <> 0'), qvec, k=10,
                                       id_col='doc_id')
 
+    def events_sketch_users_1d(spark, sf_dir):
+        # rows-only: Datasketches HLL estimates have no DuckDB twin (its
+        # approx_count_distinct is a different sketch).  The strong check is
+        # pytest: the 1h->1d cascaded sketch is BIT-identical to sketching
+        # raw points directly, and relative error vs exact is <= 5%
+        # (tests/test_rollup.py).
+        ev = _read(spark, sf_dir, 'events')
+        hourly = rollup.sketch_rollup(ev, [], 'user_id', interval='1 hour')
+        daily = rollup.sketch_rollup_merge(hourly, [], interval='1 day')
+        return rollup.sketch_estimate(daily, [])
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1111,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
+        'events_sketch_users_1d': events_sketch_users_1d,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,

@@ -410,3 +410,47 @@ def finalize_rollup(partial: DataFrame, keys) -> DataFrame:
     keys = list(keys)
     return (partial.withColumn('avg_value', F.col('sum_value') / F.col('cnt_points'))
                    .select(*keys, 'bucket_start', *AGG_COLS))
+
+
+# ---------------------------------------------------------------------------
+# sketch tiers (approximate distinct, mergeable)
+# ---------------------------------------------------------------------------
+
+def sketch_rollup(df: DataFrame, keys, distinct_col: str, ts_col: str = 'ts',
+                  interval: str = '1 hour', lg_k: int = 12) -> DataFrame:
+    """Base sketch tier: per (keys, bucket), a Datasketches HLL sketch of
+    ``distinct_col`` plus the bucket's point count.
+
+    Exact COUNT(DISTINCT) cannot cascade — you cannot merge two buckets'
+    distinct counts.  The HLL sketch CAN (register-wise max), which is why
+    sketch tiers are how 100 TB systems serve "unique users per
+    minute/hour/day/arbitrary range" from rollups alone.  HLL insertion is
+    order-independent, so the sketch — and every estimate derived from it —
+    is deterministic under any partitioning."""
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+             .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k)).alias('sketch'),
+                  F.count('*').alias('cnt_points')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'sketch', 'cnt_points'))
+
+
+def sketch_rollup_merge(df: DataFrame, keys, interval: str = '1 day') -> DataFrame:
+    """Cascade step: union finer sketches into coarser buckets — the
+    approximate-distinct twin of rollup_from_rollup.  Union is associative
+    and commutative, so the cascaded sketch is BIT-identical to sketching
+    the raw points directly (asserted in tests/test_rollup.py)."""
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window('bucket_start', interval).alias('w'))
+             .agg(F.hll_union_agg('sketch').alias('sketch'),
+                  F.sum('cnt_points').alias('cnt_points')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'sketch', 'cnt_points'))
+
+
+def sketch_estimate(df: DataFrame, keys) -> DataFrame:
+    """Readable view: (keys, bucket_start, n_distinct_est, cnt_points)."""
+    keys = list(keys)
+    return df.select(*keys, 'bucket_start',
+                     F.hll_sketch_estimate('sketch').alias('n_distinct_est'),
+                     'cnt_points')

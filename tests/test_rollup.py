@@ -287,3 +287,29 @@ def test_backfill_merge_equals_full_rollup_and_composes(spark):
     # finalize matches the plain exact-sum tier (same schema, same values)
     tier = rollup.rollup_from_points(df, ['k'], exact_sum=True).toPandas()
     assert norm(full).equals(norm(tier))
+
+
+def test_sketch_tier_cascade_bit_equals_direct_and_bounds_error(spark, sf_dir):
+    from changepoynt_spark.operators import rollup
+    from pyspark.sql import functions as F
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+
+    hourly = rollup.sketch_rollup(ev, [], 'user_id', interval='1 hour')
+    daily_cascaded = rollup.sketch_rollup_merge(hourly, [], interval='1 day')
+    daily_direct = rollup.sketch_rollup(ev, [], 'user_id', interval='1 day')
+
+    c = (rollup.sketch_estimate(daily_cascaded, []).toPandas()
+         .sort_values('bucket_start').reset_index(drop=True))
+    d = (rollup.sketch_estimate(daily_direct, []).toPandas()
+         .sort_values('bucket_start').reset_index(drop=True))
+    # union is associative/commutative and insertion order-independent:
+    # cascading through the hourly tier must give EXACTLY the direct result
+    assert (c['n_distinct_est'] == d['n_distinct_est']).all()
+    assert (c['cnt_points'] == d['cnt_points']).all()
+
+    exact = (ev.groupBy(F.window('ts', '1 day').alias('w'))
+               .agg(F.count_distinct('user_id').alias('n'))
+               .select(F.col('w.start').alias('bucket_start'), 'n')
+               .toPandas().sort_values('bucket_start').reset_index(drop=True))
+    rel_err = ((c['n_distinct_est'] - exact['n']).abs() / exact['n']).max()
+    assert rel_err <= 0.05, f'HLL relative error {rel_err}'
