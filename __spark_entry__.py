@@ -799,6 +799,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         daily = rollup.sketch_rollup_merge(hourly, [], interval='1 day')
         return rollup.sketch_estimate(daily, [])
 
+    def events_twa_1h(spark, sf_dir):
+        # time-weighted average tier (LOCF integral over covered time) — the
+        # irregular-telemetry summary plain AVG gets wrong.  exact=True: the
+        # oracle bit-compares the DECIMAL integral + covered time (the
+        # sufficient statistics); the double ratio is presentation (the
+        # decimal->double conversion itself differs by 1 ulp across engines)
+        out = rollup.time_weighted_avg(_read(spark, sf_dir, 'events'),
+                                       ['user_id'], interval_seconds=3600,
+                                       exact=True)
+        # fixed-scale STRING on both sides: DuckDB's pandas bridge degrades
+        # DECIMAL to float64, so the exact compare rides the string form
+        return out.withColumn('integral', F.col('integral').cast('string'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1123,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_lexical_diversity': doc_lexical_diversity,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'events_sketch_users_1d': events_sketch_users_1d,
+        'events_twa_1h': events_twa_1h,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,
@@ -1493,6 +1507,29 @@ def oracle_sql() -> dict[str, str]:
             FROM e, q
             ORDER BY cos_sim DESC, doc_id
             LIMIT 10
+        """,
+        'events_twa_1h': """
+            WITH d AS (SELECT user_id, epoch_us(ts) AS t, value AS v,
+                              lead(epoch_us(ts)) OVER
+                                  (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+                       FROM events),
+            seg AS (SELECT user_id, t, v,
+                           COALESCE(nxt, (t // 3600000000 + 1) * 3600000000) AS e
+                    FROM d),
+            ex AS (SELECT user_id, t, v, e,
+                          unnest(range(t // 3600000000, (e - 1) // 3600000000 + 1)) AS b
+                   FROM seg WHERE e > t),
+            ov AS (SELECT user_id, b, v,
+                          least(e, (b + 1) * 3600000000)
+                              - greatest(t, b * 3600000000) AS overlap
+                   FROM ex),
+            agg AS (SELECT user_id, b,
+                           CAST(SUM(overlap) AS BIGINT) AS covered_us,
+                           SUM(CAST(v AS DECIMAL(18,6)) * overlap) AS integral_d
+                    FROM ov GROUP BY 1, 2)
+            SELECT user_id, make_timestamp(b * 3600000000) AS bucket_start,
+                   covered_us, CAST(integral_d AS VARCHAR) AS integral
+            FROM agg
         """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),

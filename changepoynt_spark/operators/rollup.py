@@ -454,3 +454,69 @@ def sketch_estimate(df: DataFrame, keys) -> DataFrame:
     return df.select(*keys, 'bucket_start',
                      F.hll_sketch_estimate('sketch').alias('n_distinct_est'),
                      'cnt_points')
+
+
+def time_weighted_avg(df: DataFrame, keys, ts_col: str = 'ts',
+                      value_col: str = 'value',
+                      interval_seconds: int = 3600,
+                      exact: bool = False) -> DataFrame:
+    """(keys, bucket_start, covered_us, integral, twa) — time-weighted
+    average per bucket under LOCF semantics (TimescaleDB's
+    ``time_weighted_average``): each observation holds its value until the
+    next one, and a bucket's TWA is the integral of that step function over
+    the bucket divided by the covered time.
+
+    Plain AVG over-weights oversampled regions (a sensor that reports 1000x
+    while hot and once while cool reads "hot on average"); TWA weights by
+    TIME, which is the semantically right tier summary for irregular
+    telemetry.  The last observation per key carries to the end of its own
+    bucket (there is no later information).
+
+    Plan: one lag window for segment ends (key-hash exchange), segments
+    exploded to the buckets they span (same blocking as interval_join —
+    bounded by span/interval per segment), one bucket aggregate.  Overlap
+    durations are integer microseconds and products are cast to
+    DECIMAL(38,12) before summing, so integral and TWA are bit-exact
+    cross-engine under any partitioning.
+    """
+    from pyspark.sql import Window
+    keys = list(keys)
+    us = F.unix_micros(F.col(ts_col).cast('timestamp'))
+    step = interval_seconds * 1_000_000
+    order = Window.partitionBy(*keys).orderBy('_t')
+    d = (df.select(*keys, us.alias('_t'), F.col(value_col).alias('_v'))
+           .withColumn('_next', F.lead('_t').over(order)))
+    # last point: carry to the end of its own bucket
+    seg_end = F.coalesce('_next', (F.floor(F.col('_t') / step) + 1) * step)
+    d = d.withColumn('_end', seg_end).filter(F.col('_end') > F.col('_t'))
+    b0 = F.floor(F.col('_t') / step)
+    b1 = F.floor((F.col('_end') - 1) / step)
+    d = d.withColumn('_b', F.explode(F.sequence(b0, b1)))
+    lo = F.greatest(F.col('_t'), F.col('_b') * step)
+    hi = F.least(F.col('_end'), (F.col('_b') + 1) * step)
+    overlap = (hi - lo)
+    # value quantized to DECIMAL(18,6) FIRST, then multiplied by the integer
+    # overlap entirely in decimal: no double->decimal cast of PRODUCTS
+    # (Spark converts double->decimal via the shortest string repr, ~15
+    # significant digits, while DuckDB converts the exact binary value — a
+    # product-level cast diverges in the 15th digit; a value-level 6dp
+    # quantization is the established cross-engine-identical form)
+    part = F.col('_v').cast('decimal(18,6)') * overlap
+    agg = (d.groupBy(*keys, '_b')
+             .agg(F.sum(overlap).alias('covered_us'),
+                  F.sum(part).cast('decimal(38,6)').alias('_integral')))
+    # ``exact=True`` keeps the integral as DECIMAL(38,6) and omits the
+    # ratio: decimal -> double conversion itself differs by 1 ulp across
+    # engines (Spark converts the decimal correctly-rounded; DuckDB divides
+    # an int128 by 10^scale in double arithmetic), so a cross-engine
+    # bit-compare validates the EXACT sufficient statistics and leaves the
+    # ratio as presentation.  Default emits user-facing doubles.
+    out = agg.withColumn('bucket_start',
+                         F.timestamp_micros((F.col('_b') * step).cast('long')))
+    if exact:
+        return out.select(*keys, 'bucket_start', 'covered_us',
+                          F.col('_integral').alias('integral'))
+    return (out.withColumn('integral', F.col('_integral').cast('double'))
+               .withColumn('twa', F.col('_integral').cast('double')
+                           / F.col('covered_us').cast('double'))
+               .select(*keys, 'bucket_start', 'covered_us', 'integral', 'twa'))

@@ -313,3 +313,44 @@ def test_sketch_tier_cascade_bit_equals_direct_and_bounds_error(spark, sf_dir):
                .toPandas().sort_values('bucket_start').reset_index(drop=True))
     rel_err = ((c['n_distinct_est'] - exact['n']).abs() / exact['n']).max()
     assert rel_err <= 0.05, f'HLL relative error {rel_err}'
+
+
+def test_time_weighted_avg_matches_numpy_integral(spark, sf_dir):
+    import numpy as np
+    from changepoynt_spark.operators import rollup
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    pdf = rollup.time_weighted_avg(ev, ['user_id'], interval_seconds=3600).toPandas()
+    step = 3600 * 1_000_000
+    for uid in (1, 3, 7):
+        sub = (ev.filter(f'user_id = {uid}').select('ts', 'value')
+                 .toPandas().sort_values('ts'))
+        t = sub['ts'].astype('datetime64[us]').to_numpy().view(np.int64)
+        v = sub['value'].to_numpy()
+        integ, cov = {}, {}
+        for i in range(len(t)):
+            t0 = t[i]
+            t1 = t[i + 1] if i + 1 < len(t) else (t[i] // step + 1) * step
+            b = t0 // step
+            while True:
+                lo, hi = max(t0, b * step), min(t1, (b + 1) * step)
+                if hi > lo:
+                    # mirror the operator's 6dp value quantization
+                    integ[b] = integ.get(b, 0.0) + round(v[i], 6) * (hi - lo)
+                    cov[b] = cov.get(b, 0) + (hi - lo)
+                if (b + 1) * step >= t1:
+                    break
+                b += 1
+        g = pdf[pdf.user_id == uid].copy()
+        g['b'] = g['bucket_start'].astype('datetime64[us]').astype(np.int64) // step
+        g = g.set_index('b')
+        assert len(g) == len(integ)
+        for b in integ:
+            np.testing.assert_allclose(g.loc[b, 'twa'], integ[b] / cov[b], rtol=1e-9)
+            assert int(g.loc[b, 'covered_us']) == cov[b]
+    # TWA differs from plain AVG on irregular spacing (the point of the op)
+    import pandas as pd
+    from pyspark.sql import functions as F
+    plain = (ev.groupBy('user_id', F.window('ts', '1 hour')['start'].alias('bucket_start'))
+               .agg(F.avg('value').alias('avg'))).toPandas()
+    m = pdf.merge(plain, on=['user_id', 'bucket_start'])
+    assert (np.abs(m['twa'] - m['avg']) > 1e-9).any()
