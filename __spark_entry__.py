@@ -812,6 +812,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DECIMAL to float64, so the exact compare rides the string form
         return out.withColumn('integral', F.col('integral').cast('string'))
 
+    def events_lttb_600(spark, sf_dir):
+        # rows-only: LTTB picks argmax-area points — not SQL-expressible;
+        # shape preservation, determinism, endpoint pinning and pass-through
+        # are pytest-asserted (tests/test_rollup.py)
+        from changepoynt_spark.operators.window_ops import lttb_downsample
+        return lttb_downsample(_read(spark, sf_dir, 'events'), ['user_id'],
+                               n_out=600)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1137,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
+        'events_lttb_600': events_lttb_600,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,

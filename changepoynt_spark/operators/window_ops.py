@@ -168,3 +168,51 @@ def ewma_smooth(df: DataFrame, keys, ts_col: str = 'ts',
         return pdf
 
     return df.groupBy(*keys).applyInPandas(smooth, schema=out_schema)
+
+
+def lttb_downsample(df, keys, ts_col: str = 'ts', value_col: str = 'value',
+                    n_out: int = 600):
+    """Largest-Triangle-Three-Buckets downsampling per series (Steinarsson
+    2013 — the visualization-grade downsampler Grafana/Timescale use):
+    keeps the ~n_out points that best preserve the series' SHAPE (peaks,
+    cliffs), where tier averaging would flatten them.
+
+    Per-series Arrow grouped-map (the same one-series-fits-one-task
+    assumption as the scoring kernels; chunk first for pathological
+    series).  Deterministic: ties in triangle area resolve to the earliest
+    point (np.argmax).  First/last points are always kept.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    keys = list(keys)
+    kf = [df.schema[k] for k in keys]
+    out_schema = T.StructType(kf + [df.schema[ts_col], df.schema[value_col]])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[keys + [ts_col, value_col]]
+        t = pdf[ts_col].to_numpy()
+        tn = (t.astype('datetime64[us]').astype(np.int64)
+              if np.issubdtype(t.dtype, np.datetime64) else t.astype(np.float64))
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket edges over the interior points (first/last pinned)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        chosen = [0]
+        a = 0
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            nxt_lo, nxt_hi = edges[i + 1], (edges[i + 2] if i + 2 < n_out - 1 else n)
+            avg_t = tn[nxt_lo:nxt_hi].mean()
+            avg_v = v[nxt_lo:nxt_hi].mean()
+            area = np.abs((tn[a] - avg_t) * (v[lo:hi] - v[a])
+                          - (tn[a] - tn[lo:hi]) * (avg_v - v[a]))
+            a = lo + int(np.argmax(area))
+            chosen.append(a)
+        chosen.append(n - 1)
+        return pdf.iloc[chosen][keys + [ts_col, value_col]]
+
+    return df.select(*keys, ts_col, value_col).groupBy(*keys) \
+             .applyInPandas(kernel, schema=out_schema)

@@ -354,3 +354,33 @@ def test_time_weighted_avg_matches_numpy_integral(spark, sf_dir):
                .agg(F.avg('value').alias('avg'))).toPandas()
     m = pdf.merge(plain, on=['user_id', 'bucket_start'])
     assert (np.abs(m['twa'] - m['avg']) > 1e-9).any()
+
+
+def test_lttb_downsample_shape_preserving(spark):
+    import datetime as dt
+    import numpy as np
+    from changepoynt_spark.operators.window_ops import lttb_downsample
+    # a smooth wave with one violent spike the downsample must keep
+    n = 5000
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for i in range(n):
+        v = float(np.sin(i / 80.0))
+        if i == 3333:
+            v = 40.0
+        rows.append((1, t0 + dt.timedelta(seconds=i), v))
+    df = spark.createDataFrame(rows, 'k long, ts timestamp, value double')
+    out = (lttb_downsample(df, ['k'], n_out=200).toPandas()
+           .sort_values('ts').reset_index(drop=True))
+    assert len(out) == 200
+    # endpoints pinned
+    assert out['ts'].iloc[0] == t0 and out['ts'].iloc[-1] == rows[-1][1]
+    # the spike survives; a 25x coarser uniform stride would likely miss it
+    assert (out['value'] == 40.0).any()
+    # deterministic
+    out2 = (lttb_downsample(df, ['k'], n_out=200).toPandas()
+            .sort_values('ts').reset_index(drop=True))
+    assert out['ts'].equals(out2['ts'])
+    # short series pass through untouched
+    short = spark.createDataFrame(rows[:50], 'k long, ts timestamp, value double')
+    assert lttb_downsample(short, ['k'], n_out=200).count() == 50
