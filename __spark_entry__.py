@@ -820,6 +820,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return lttb_downsample(_read(spark, sf_dir, 'events'), ['user_id'],
                                n_out=600)
 
+    def doc_top_words_mg(spark, sf_dir):
+        # same answer as doc_top_words, computed the 100 TB way: per-
+        # partition Misra-Gries summaries prune the exchange to ~256
+        # candidates + an exact broadcast recount (the naive top-k shuffles
+        # EVERY distinct item).  Oracle == the naive SQL, which is the
+        # equality proof.
+        from changepoynt_spark.operators.frequent import heavy_hitters
+        words = (_read(spark, sf_dir, 'documents')
+                 .select(F.explode(F.split('text', ' ')).alias('w')))
+        return (heavy_hitters(words, 'w', k=20, candidate_k=256)
+                .withColumnRenamed('item', 'w').withColumnRenamed('cnt', 'n'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1138,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_dup_clusters': doc_dup_clusters,
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
+        'doc_top_words_mg': doc_top_words_mg,
         'doc_normalize': doc_normalize,
         'doc_hash_embeddings': doc_hash_embeddings,
         'doc_semantic_topk': doc_semantic_topk,
@@ -1539,6 +1552,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, make_timestamp(b * 3600000000) AS bucket_start,
                    covered_us, CAST(integral_d AS VARCHAR) AS integral
             FROM agg
+        """,
+        'doc_top_words_mg': """
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY n DESC, w LIMIT 20
         """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),

@@ -528,3 +528,16 @@ def test_hash_embed_deterministic_unit_norm_and_signal(spark):
     assert float(v1 @ v3) < 0.9                    # different text separates
     # empty doc: one '' token still hashes -> norm 1; never NaN
     assert not np.isnan(np.array(emb.loc[4, 'embedding'])).any()
+
+
+def test_heavy_hitters_equals_naive_topk(spark, documents):
+    from changepoynt_spark.operators.frequent import heavy_hitters
+    words = documents.select(F.explode(F.split('text', ' ')).alias('w'))
+    got = heavy_hitters(words, 'w', k=20, candidate_k=256).toPandas()
+    want = (words.groupBy('w').agg(F.count('*').alias('cnt'))
+                 .orderBy(F.col('cnt').desc(), 'w').limit(20)
+                 .toPandas().rename(columns={'w': 'item'}))
+    assert got['item'].tolist() == want['item'].tolist()
+    assert got['cnt'].tolist() == want['cnt'].tolist()
+    # the exchange after pruning carries only candidates (superset of top-k)
+    assert len(got) == 20
