@@ -45,3 +45,38 @@ def expired_counts(df: DataFrame, policy: dict = None, now=None,
     return (total.join(kept, tier_col, 'left')
                  .withColumn('kept_rows', F.coalesce('kept_rows', F.lit(0)))
                  .withColumn('dropped_rows', F.col('total_rows') - F.col('kept_rows')))
+
+
+def route_tier(tiers: dict, interval_seconds: int):
+    """Continuous-aggregate ROUTING: given the resolution a query asks for,
+    serve it from the COARSEST stored tier that still divides the request
+    evenly — a 6-hour rollup should re-aggregate ~4 rows/key from the 1h
+    tier, not ~360 from the 1m tier (and never raw points).
+
+    ``tiers``: {tier_name: DataFrame} as produced by rollup_cascade.
+    Returns (tier_name, df).  Raises if no stored tier divides the request
+    (caller falls back to raw)."""
+    from changepoynt_spark.operators.rollup import TIER_SECONDS
+    best = None
+    for name in tiers:
+        secs = TIER_SECONDS.get(name)
+        if secs is None:
+            continue
+        if interval_seconds % secs == 0 and (best is None or secs > best[1]):
+            best = (name, secs)
+    if best is None:
+        raise ValueError(
+            f'no stored tier divides a {interval_seconds}s request '
+            f'(have {sorted(tiers)}); aggregate from raw instead')
+    return best[0], tiers[best[0]]
+
+
+def rollup_at(tiers: dict, keys, interval_seconds: int):
+    """Answer "aggregates at resolution X" from the routed tier: picks the
+    coarsest dividing tier and re-merges it to the requested buckets with
+    the algebraic cascade step (exact — every aggregate is mergeable)."""
+    from changepoynt_spark.operators.rollup import TIER_SECONDS, rollup_from_rollup
+    name, df = route_tier(tiers, interval_seconds)
+    if TIER_SECONDS[name] == interval_seconds:
+        return name, df
+    return name, rollup_from_rollup(df, keys, f'{interval_seconds} seconds')

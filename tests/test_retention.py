@@ -58,3 +58,30 @@ def test_vacuum_removes_replaced_snapshots(spark, tmp_path):
     assert removed, 'expected invalidated snapshots to be vacuumed'
     after = job.table.read(spark).count()
     assert after == before  # live data untouched
+
+
+def test_tier_routing_picks_coarsest_dividing_tier(spark, sf_dir):
+    from changepoynt_spark.operators import rollup, retention
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    tiers = rollup.rollup_cascade(ev, ['user_id'])
+    # 6h request: 1h divides (coarsest), 1d does not
+    name, df = retention.route_tier(tiers, 6 * 3600)
+    assert name == '1h'
+    # exact resolution requests route to the tier itself
+    assert retention.route_tier(tiers, 86400)[0] == '1d'
+    assert retention.route_tier(tiers, 60)[0] == '1m'
+    # routed re-aggregation == direct aggregation from raw (mergeability)
+    name, six_h = retention.rollup_at(tiers, ['user_id'], 6 * 3600)
+    direct = rollup.rollup_from_points(ev, ['user_id'], interval='6 hours')
+    a = six_h.toPandas().sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    b = direct.toPandas().sort_values(['user_id', 'bucket_start']).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    import numpy as np
+    for c in ('cnt_points', 'min_value', 'max_value', 'first_value', 'last_value'):
+        np.testing.assert_array_equal(a[c].to_numpy(), b[c].to_numpy())
+    np.testing.assert_allclose(a['sum_value'].astype(float),
+                               b['sum_value'].astype(float), rtol=1e-9)
+    # sub-tier request has no divisor -> explicit refusal
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retention.route_tier(tiers, 30)
