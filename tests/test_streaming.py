@@ -195,3 +195,31 @@ def test_streaming_interval_join_matches_batch(spark, events_dir):
     # append-mode stream must emit exactly the batch pair set (late rows are
     # within the watermark in availableNow replay)
     assert got == want
+
+
+def test_streaming_sketch_tier_matches_batch_estimates(spark, events_dir):
+    from changepoynt_spark.operators import rollup as r
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    stream = stream.withColumn('ts', F.col('ts').cast('timestamp'))
+    agg = (stream.withWatermark('ts', '30 minutes')
+           .groupBy(F.window('ts', '1 day').alias('w'))
+           .agg(F.hll_sketch_agg('user_id').alias('sketch'),
+                F.count('*').alias('cnt_points')))
+    est = agg.select(F.col('w.start').alias('bucket_start'),
+                     F.hll_sketch_estimate('sketch').alias('n_distinct_est'),
+                     'cnt_points')
+    q = (est.writeStream.outputMode('complete').format('memory')
+         .queryName('sketch_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql('SELECT * FROM sketch_stream').toPandas()
+           .sort_values('bucket_start').reset_index(drop=True))
+    batch = (r.sketch_estimate(
+                r.sketch_rollup(spark.read.parquet(events_dir), [], 'user_id',
+                                interval='1 day'), [])
+             .toPandas().sort_values('bucket_start').reset_index(drop=True))
+    # HLL add/union are order-independent -> stream == batch EXACTLY
+    assert got['n_distinct_est'].tolist() == batch['n_distinct_est'].tolist()
+    assert got['cnt_points'].tolist() == batch['cnt_points'].tolist()
