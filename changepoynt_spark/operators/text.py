@@ -419,9 +419,8 @@ def repetition_stats(df: DataFrame, n_top: int = 2, n_dup: int = 5,
                    .select(id_col, F.explode(
                        F.sequence(F.col('start'),
                                   F.col('start') + n_dup - 1)).alias('p'))
-                   .distinct()
                    .groupBy(id_col)
-                   .agg(F.count('*').alias('_n_cov')))
+                   .agg(F.count_distinct('p').alias('_n_cov')))
 
     out = (top.join(covered, on=id_col, how='left')
               .withColumn('_n_cov', F.coalesce('_n_cov', F.lit(0))))
