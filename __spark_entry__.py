@@ -832,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (heavy_hitters(words, 'w', k=20, candidate_k=256)
                 .withColumnRenamed('item', 'w').withColumnRenamed('cnt', 'n'))
 
+    def corpus_report_by_source(spark, sf_dir):
+        return text.corpus_report(_read(spark, sf_dir, 'documents'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1152,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_top_words': doc_top_words,
         'doc_top_words_mg': doc_top_words_mg,
         'doc_normalize': doc_normalize,
+        'corpus_report_by_source': corpus_report_by_source,
         'doc_hash_embeddings': doc_hash_embeddings,
         'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
@@ -1557,6 +1561,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             GROUP BY w ORDER BY n DESC, w LIMIT 20
+        """,
+        'corpus_report_by_source': """
+            WITH base AS (SELECT source, lang, md5(text) AS h,
+                                 len(string_split(text, ' ')) AS w,
+                                 length(text) AS c
+                          FROM documents),
+            dup AS (SELECT source, CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+                    FROM (SELECT source, h, COUNT(*) AS n FROM base GROUP BY 1, 2)
+                    GROUP BY source)
+            SELECT b.source, COUNT(*) AS n_docs,
+                   CAST(SUM(w) AS BIGINT) AS total_words,
+                   CAST(SUM(c) AS BIGINT) AS total_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   COALESCE(ANY_VALUE(d.n_dup_docs), 0) AS n_dup_docs
+            FROM base b LEFT JOIN dup d ON b.source = d.source
+            GROUP BY b.source
         """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),

@@ -576,3 +576,26 @@ def hash_embed(df: DataFrame, dim: int = 64, id_col: str = 'doc_id',
     else:
         emb = F.transform('_d', lambda x: x.cast('double'))
     return out.select(F.col(id_col), emb.alias('embedding'), 'norm')
+
+
+def corpus_report(df: DataFrame, text_col: str = 'text') -> DataFrame:
+    """Per-source corpus health report: doc/word/char totals, exact-dup doc
+    count (md5 twins within the source), language spread.  The first thing
+    a pipeline owner asks of a new 100 TB crawl; one combiner-friendly
+    aggregate per grouping, all integer-derived."""
+    words = F.split(F.col(text_col), ' ')
+    base = df.select('source', 'lang', F.md5(text_col).alias('_h'),
+                     F.size(words).alias('_w'), F.length(text_col).alias('_c'))
+    dup = (base.groupBy('source', '_h').agg(F.count('*').alias('n'))
+               .groupBy('source')
+               .agg(F.sum(F.when(F.col('n') > 1, F.col('n'))
+                           .otherwise(F.lit(0))).alias('n_dup_docs')))
+    agg = (base.groupBy('source')
+               .agg(F.count('*').alias('n_docs'),
+                    F.sum('_w').alias('total_words'),
+                    F.sum('_c').alias('total_chars'),
+                    F.count_distinct('lang').alias('n_langs')))
+    return (agg.join(dup, on='source', how='left')
+               .withColumn('n_dup_docs', F.coalesce('n_dup_docs', F.lit(0)))
+               .select('source', 'n_docs', 'total_words', 'total_chars',
+                       'n_langs', 'n_dup_docs'))

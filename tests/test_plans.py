@@ -40,3 +40,31 @@ def test_embedding_topk_uses_take_ordered(spark, sf_dir):
     df = entrymod.queries()['embedding_topk_cosine'](spark, sf_dir)
     plan = _plan(df)
     assert 'TakeOrderedAndProject' in plan, 'top-k must not be a full sort\n' + plan
+
+
+def test_scans_prune_columns_to_projection(spark, sf_dir):
+    """ReadSchema asserts: operators must push column pruning into the
+    parquet scan — reading all columns for a narrow projection is wrong."""
+    import re
+    from changepoynt_spark.operators import text as txt
+    from changepoynt_spark.operators.rollup import rollup_from_points
+
+    def read_schema(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r'ReadSchema: struct<([^>]*)>', plan)
+        assert m, plan
+        return {c.split(':')[0] for c in m.group(1).split(',') if c}
+
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    # tokenize touches doc_id/text/source — lang and n_chars must be pruned
+    cols = read_schema(txt.tokenize_documents(docs))
+    assert cols == {'doc_id', 'text', 'source'}, cols
+
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    tier = rollup_from_points(ev, ['user_id'], interval='1 hour')
+    cols = read_schema(tier)
+    assert cols == {'user_id', 'ts', 'value'}, cols
+
+    # quality stats needs only doc_id/text
+    cols = read_schema(txt.quality_stats(docs))
+    assert cols == {'doc_id', 'text'}, cols
