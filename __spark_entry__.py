@@ -334,6 +334,37 @@ _HASH_EMBED_CTE = """
 """
 
 
+def _segments_oracle_sql(threshold: float = 2000.0, d: int = 8) -> str:
+    """Peak-picking + segmentation composed over the moving-window score
+    oracle — the full scores->segments chain in ANSI SQL."""
+    from changepoynt_spark.operators.window_ops import moving_window_oracle_sql
+    scores = moving_window_oracle_sql(window_length=8, method='meanvar')
+    return f"""
+    WITH scores AS ({scores}),
+    cp AS (SELECT user_id, rn, score,
+                  (score >= {threshold!r}
+                   AND score > COALESCE(max(score) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN {d} PRECEDING AND 1 PRECEDING),
+                       CAST('-infinity' AS DOUBLE))
+                   AND score >= COALESCE(max(score) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND {d} FOLLOWING),
+                       CAST('-infinity' AS DOUBLE))) AS is_cp
+           FROM scores),
+    seg AS (SELECT user_id, rn, score,
+                   SUM(CASE WHEN is_cp THEN 1 ELSE 0 END) OVER
+                       (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+            FROM cp)
+    SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
+           MIN(rn) AS start_pos, MAX(rn) AS end_pos,
+           COUNT(*) AS n_points,
+           ROUND(SUM(score) / COUNT(*), 3) AS mean_score
+    FROM seg GROUP BY user_id, segment_id
+    """
+
+
 def _cluster_sizes_sql(n_lists: int = 16, dim: int = 64, seed: int = 11) -> str:
     """Histogram twin of the IVF assignment: same centroid literals, same
     first-position argmax — integer counts, exact compare."""
@@ -835,6 +866,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def corpus_report_by_source(spark, sf_dir):
         return text.corpus_report(_read(spark, sf_dir, 'documents'))
 
+    def events_changepoint_segments(spark, sf_dir):
+        # scores -> changepoints -> SEGMENTS: the downstream table every
+        # changepoint consumer wants (the reference stops at scores).
+        # Driven by the SQL-expressible moving-window score so the WHOLE
+        # chain is DuckDB-oracled end to end.
+        s = window_ops.moving_window_score(_read(spark, sf_dir, 'events'),
+                                           window_length=8, method='meanvar')
+        seg = window_ops.score_segments(s, threshold=2000.0, min_distance=8)
+        # round-3 on the MEAN (not the addends): the scores are near-dyadic
+        # rationals, so any fixed-dp quantization of the addends lands on
+        # rounding-tie boundaries systematically (HALF_UP vs exact-binary
+        # divergence); the mean, divided by arbitrary segment sizes, is not
+        # dyadic and a 1e-9 sum-order wobble cannot flip its 3rd decimal
+        return seg.withColumn('mean_score', F.round('mean_score', 3))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1163,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
+        'events_changepoint_segments': events_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,
@@ -1557,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
                    covered_us, CAST(integral_d AS VARCHAR) AS integral
             FROM agg
         """,
+        'events_changepoint_segments': _segments_oracle_sql(),
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -216,3 +216,42 @@ def lttb_downsample(df, keys, ts_col: str = 'ts', value_col: str = 'value',
 
     return df.select(*keys, ts_col, value_col).groupBy(*keys) \
              .applyInPandas(kernel, schema=out_schema)
+
+
+def detect_changepoints(scores: DataFrame, key_col: str = 'user_id',
+                        pos_col: str = 'rn', score_col: str = 'score',
+                        threshold: float = 1.0, min_distance: int = 8) -> DataFrame:
+    """Score series -> changepoint positions: a position is a changepoint
+    iff its score clears ``threshold`` AND is STRICTLY greater than every
+    score in the ``min_distance`` positions before it AND >= every score in
+    the ``min_distance`` after (leftmost-of-ties wins — deterministic on
+    any engine).  Pure running-window expressions, one key exchange."""
+    order = Window.partitionBy(key_col).orderBy(pos_col)
+    left = F.max(score_col).over(order.rowsBetween(-min_distance, -1))
+    right = F.max(score_col).over(order.rowsBetween(1, min_distance))
+    s = F.col(score_col)
+    is_cp = ((s >= threshold)
+             & (s > F.coalesce(left, F.lit(float('-inf'))))
+             & (s >= F.coalesce(right, F.lit(float('-inf')))))
+    return scores.withColumn('is_changepoint', is_cp)
+
+
+def score_segments(scores: DataFrame, key_col: str = 'user_id',
+                   pos_col: str = 'rn', score_col: str = 'score',
+                   threshold: float = 1.0, min_distance: int = 8) -> DataFrame:
+    """Segmentation view: consecutive positions between changepoints become
+    segments — (key, segment_id, start_pos, end_pos, n_points, mean_score).
+    The downstream table every changepoint consumer actually wants (the
+    reference stops at scores).  Segment means use the decimal-quantized
+    sum -> deterministic cross-engine."""
+    cp = detect_changepoints(scores, key_col, pos_col, score_col,
+                             threshold, min_distance)
+    order = Window.partitionBy(key_col).orderBy(pos_col)
+    seg = F.sum(F.col('is_changepoint').cast('long')) \
+           .over(order.rowsBetween(Window.unboundedPreceding, 0))
+    out = cp.withColumn('segment_id', seg)
+    return (out.groupBy(key_col, 'segment_id')
+               .agg(F.min(pos_col).alias('start_pos'),
+                    F.max(pos_col).alias('end_pos'),
+                    F.count('*').alias('n_points'),
+                    (F.sum(score_col) / F.count('*')).alias('mean_score')))

@@ -384,3 +384,25 @@ def test_lttb_downsample_shape_preserving(spark):
     # short series pass through untouched
     short = spark.createDataFrame(rows[:50], 'k long, ts timestamp, value double')
     assert lttb_downsample(short, ['k'], n_out=200).count() == 50
+
+
+def test_changepoint_segments_structure(spark, sf_dir):
+    from changepoynt_spark.operators import window_ops as w
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet')
+    s = w.moving_window_score(ev, window_length=8, method='meanvar')
+    cps = (w.detect_changepoints(s, threshold=2000.0, min_distance=8)
+             .filter('is_changepoint').toPandas())
+    segs = (w.score_segments(s, threshold=2000.0, min_distance=8)
+              .toPandas().sort_values(['user_id', 'segment_id']))
+    # min-distance: no two changepoints within 8 positions of each other
+    for _, g in cps.groupby('user_id'):
+        d = g['rn'].sort_values().diff().dropna()
+        assert (d > 8).all()
+    # segments tile each series exactly: contiguous, non-overlapping
+    for uid, g in segs.groupby('user_id'):
+        g = g.sort_values('segment_id')
+        assert (g['end_pos'] - g['start_pos'] + 1 == g['n_points']).all()
+        nxt = g['start_pos'].shift(-1).dropna()
+        assert (nxt.to_numpy() == g['end_pos'].to_numpy()[:-1] + 1).all()
+    n_cp = len(cps)
+    assert len(segs) == segs['user_id'].nunique() + n_cp
