@@ -881,6 +881,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dyadic and a 1e-9 sum-order wobble cannot flip its 3rd decimal
         return seg.withColumn('mean_score', F.round('mean_score', 3))
 
+    def sst_changepoint_segments(spark, sf_dir):
+        # flagship composition, rows-only (SST scores are not
+        # SQL-expressible; the segmentation layer itself IS oracled via
+        # events_changepoint_segments): kernel scores -> peak picking ->
+        # per-series segments, all native window expressions downstream of
+        # the Arrow kernel
+        from changepoynt_spark.operators.scoring import explode_scores, score_series
+        scored = score_series(_events_series(spark, sf_dir), algorithm='sst',
+                              params={'window_length': 10, 'n_windows': 10,
+                                      'lag': 3, 'rank': 2, 'method': 'ika'})
+        s = explode_scores(scored).select(
+            'doc_id', F.col('pos').alias('rn'), 'score')
+        return window_ops.score_segments(s, key_col='doc_id', threshold=0.2,
+                                         min_distance=20)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1210,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
         'events_changepoint_segments': events_changepoint_segments,
+        'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
         'doc_pack_stats': doc_pack_stats,
