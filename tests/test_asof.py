@@ -110,3 +110,30 @@ def test_interval_join_keys_and_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert 'BroadcastNestedLoopJoin' not in plan
     assert 'CartesianProduct' not in plan
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize('seed', [0, 1, 2])
+def test_interval_join_randomized_vs_bruteforce(spark, seed):
+    import datetime as dt
+    import numpy as np
+    from changepoynt_spark.operators.asof import interval_join
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2026, 1, 1)
+    pts = [(int(rng.integers(0, 3)), base + dt.timedelta(seconds=int(s)), i)
+           for i, s in enumerate(rng.integers(0, 50_000, size=200))]
+    ivs = []
+    for j in range(60):
+        lo = int(rng.integers(0, 48_000))
+        ivs.append((int(rng.integers(0, 3)), base + dt.timedelta(seconds=lo),
+                    base + dt.timedelta(seconds=lo + int(rng.integers(1, 9000))), j))
+    pdf = spark.createDataFrame(pts, 'k long, ts timestamp, pid long')
+    idf = spark.createDataFrame(ivs, 'k long, lo timestamp, hi timestamp, iid long')
+    got = {(r['pid'], r['iid']) for r in
+           interval_join(pdf, idf, on=('k',), ts_col='ts', bucket_seconds=777,
+                         interval_cols=('iid',)).collect()}
+    want = {(p[2], v[3]) for p in pts for v in ivs
+            if p[0] == v[0] and v[1] <= p[1] <= v[2]}
+    assert got == want

@@ -406,3 +406,46 @@ def test_changepoint_segments_structure(spark, sf_dir):
         assert (nxt.to_numpy() == g['end_pos'].to_numpy()[:-1] + 1).all()
     n_cp = len(cps)
     assert len(segs) == segs['user_id'].nunique() + n_cp
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize('seed', [0, 1, 2])
+def test_time_weighted_avg_randomized_vs_numpy(spark, seed):
+    import datetime as dt
+    import numpy as np
+    from changepoynt_spark.operators import rollup
+    rng = np.random.default_rng(seed)
+    base = dt.datetime(2026, 1, 1)
+    secs = np.sort(rng.choice(200_000, size=300, replace=False))
+    rows = [(int(i % 4), base + dt.timedelta(seconds=int(s)),
+             float(np.round(rng.normal(0, 50), 6))) for i, s in enumerate(secs)]
+    df = spark.createDataFrame(rows, 'k long, ts timestamp, value double')
+    got = rollup.time_weighted_avg(df, ['k'], interval_seconds=3600).toPandas()
+    step = 3600 * 1_000_000
+    for k in range(4):
+        sub = sorted([(r[1], r[2]) for r in rows if r[0] == k])
+        t = np.array([dt_.timestamp() * 1e6 for dt_, _ in sub], dtype=np.int64)
+        v = np.array([x for _, x in sub])
+        integ, cov = {}, {}
+        for i in range(len(t)):
+            t0 = t[i]
+            t1 = t[i + 1] if i + 1 < len(t) else (t[i] // step + 1) * step
+            b = t0 // step
+            while True:
+                lo, hi = max(t0, b * step), min(t1, (b + 1) * step)
+                if hi > lo:
+                    integ[b] = integ.get(b, 0.0) + v[i] * (hi - lo)
+                    cov[b] = cov.get(b, 0) + (hi - lo)
+                if (b + 1) * step >= t1:
+                    break
+                b += 1
+        g = got[got.k == k].copy()
+        g['b'] = (g['bucket_start'].astype('datetime64[us]').astype(np.int64)
+                  // step)
+        g = g.set_index('b')
+        assert len(g) == len(integ)
+        for b in integ:
+            np.testing.assert_allclose(g.loc[b, 'twa'], integ[b] / cov[b],
+                                       rtol=1e-9)
