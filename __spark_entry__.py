@@ -365,6 +365,58 @@ def _segments_oracle_sql(threshold: float = 2000.0, d: int = 8) -> str:
     """
 
 
+def _funnel_oracle_sql(stoplist: str) -> str:
+    """Quality gate + normalized dedup + contamination funnel in ANSI SQL —
+    mirrors text.corpus_funnel stage by stage."""
+    return rf"""
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars_m,
+             len(string_split(text, ' ')) AS n_words,
+             (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+               / len(string_split(text, ' ')) AS avg_wl,
+             len(list_filter(string_split(text, ' '),
+                             w -> list_contains([{stoplist}], lower(w)))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g'))) * 1.0
+               / length(text) AS sym_ratio
+      FROM documents),
+    flags AS (SELECT doc_id,
+                     ((n_words >= 20 AND n_words <= 100000)
+                      AND (avg_wl >= 2.0 AND avg_wl <= 12.0)
+                      AND (stop_ratio >= 0.01)
+                      AND (n_chars_m > 0 AND sym_ratio <= 0.3)) AS keep
+              FROM m),
+    nrm AS (SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+            FROM documents),
+    base AS (SELECT d.doc_id, f.keep, n.h,
+                    d.doc_id IN (0, 1, 2, 3, 4) AS is_bench
+             FROM documents d
+             JOIN flags f ON d.doc_id = f.doc_id
+             JOIN nrm n ON d.doc_id = n.doc_id),
+    canon AS (SELECT *, (NOT is_bench AND keep) AS in_q,
+                     MIN(CASE WHEN NOT is_bench AND keep THEN doc_id END)
+                         OVER (PARTITION BY h) AS c
+              FROM base),
+    contam AS ({_CONTAMINATION_SQL.replace('FROM agg', 'FROM agg ')}),
+    j AS (SELECT canon.doc_id, canon.is_bench, canon.in_q,
+                 (canon.in_q AND canon.doc_id = canon.c) AS is_canonical,
+                 COALESCE(contam.hit_ratio < 0.5, FALSE) AS contam_ok
+          FROM canon LEFT JOIN contam ON canon.doc_id = contam.doc_id),
+    agg AS (SELECT CAST(SUM(CASE WHEN NOT is_bench THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN in_q THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN is_canonical AND contam_ok THEN 1 ELSE 0 END) AS BIGINT) AS n3
+            FROM j)
+    SELECT 'corpus' AS stage, 0 AS stage_order, n0 AS n_docs,
+           CAST(0 AS BIGINT) AS n_dropped FROM agg
+    UNION ALL SELECT 'quality_gate', 1, n1, n0 - n1 FROM agg
+    UNION ALL SELECT 'exact_dedup_normalized', 2, n2, n1 - n2 FROM agg
+    UNION ALL SELECT 'contamination_gate', 3, n3, n2 - n3 FROM agg
+    """
+
+
 def _cluster_sizes_sql(n_lists: int = 16, dim: int = 64, seed: int = 11) -> str:
     """Histogram twin of the IVF assignment: same centroid literals, same
     first-position argmax — integer counts, exact compare."""
@@ -896,6 +948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return window_ops.score_segments(s, key_col='doc_id', threshold=0.2,
                                          min_distance=20)
 
+    def corpus_curation_funnel(spark, sf_dir):
+        # the WHOLE curation pipeline as one query: quality gate ->
+        # normalized exact dedup -> contamination gate, with per-stage
+        # admit/drop counts.  Sequential semantics; all integers.
+        return text.corpus_funnel(_read_spread(spark, sf_dir, 'documents'),
+                                  benchmark_ids=[0, 1, 2, 3, 4], n=3)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1217,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_top_words_mg': doc_top_words_mg,
         'doc_normalize': doc_normalize,
         'corpus_report_by_source': corpus_report_by_source,
+        'corpus_curation_funnel': corpus_curation_funnel,
         'doc_hash_embeddings': doc_hash_embeddings,
         'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
@@ -1626,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
             GROUP BY w ORDER BY n DESC, w LIMIT 20
         """,
+        'corpus_curation_funnel': _funnel_oracle_sql(stoplist),
         'corpus_report_by_source': """
             WITH base AS (SELECT source, lang, md5(text) AS h,
                                  len(string_split(text, ' ')) AS w,

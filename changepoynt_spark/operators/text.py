@@ -599,3 +599,50 @@ def corpus_report(df: DataFrame, text_col: str = 'text') -> DataFrame:
                .withColumn('n_dup_docs', F.coalesce('n_dup_docs', F.lit(0)))
                .select('source', 'n_docs', 'total_words', 'total_chars',
                        'n_langs', 'n_dup_docs'))
+
+
+def corpus_funnel(df: DataFrame, benchmark_ids=(), n: int = 3,
+                  hit_ratio_max: float = 0.5) -> DataFrame:
+    """The curation pipeline as ONE query — (stage, stage_order, n_docs,
+    n_dropped): every document flows quality gate -> whitespace/case-
+    normalized exact dedup (min-doc_id canonical among gate survivors) ->
+    benchmark contamination gate, and the funnel reports how many documents
+    each stage admits and drops.  The first thing to monitor on a 100 TB
+    curation run, and entirely integer-derived -> exact cross-engine.
+
+    Stage semantics are SEQUENTIAL (a doc drops at its first failing
+    stage), so canonical selection runs among quality survivors only and
+    the contamination gate among dedup survivors."""
+    from pyspark.sql import Window
+    bench = list(benchmark_ids)
+    flags = quality_filter_flags(df).select('doc_id', 'keep')
+    norm = normalize_text(df).select('doc_id', 'norm_md5')
+    base = (df.select('doc_id')
+              .join(flags, 'doc_id').join(norm, 'doc_id')
+              .withColumn('is_bench', F.col('doc_id').isin(bench)))
+    # canonical among quality survivors (benchmark docs are out of corpus)
+    in_q = (~F.col('is_bench')) & F.col('keep')
+    w = Window.partitionBy('norm_md5')
+    canon = F.min(F.when(in_q, F.col('doc_id'))).over(w)
+    base = base.withColumn('is_canonical', in_q & (F.col('doc_id') == canon))
+    contam = (contamination_check(df, bench, n=n)
+              .select('doc_id', (F.col('hit_ratio') < hit_ratio_max)
+                      .alias('contam_ok')))
+    base = base.join(contam, 'doc_id', 'left')
+    s0 = F.sum((~F.col('is_bench')).cast('long'))
+    s1 = F.sum(in_q.cast('long'))
+    s2 = F.sum(F.col('is_canonical').cast('long'))
+    s3 = F.sum((F.col('is_canonical')
+                & F.coalesce('contam_ok', F.lit(False))).cast('long'))
+    row = base.agg(s0.alias('n0'), s1.alias('n1'), s2.alias('n2'), s3.alias('n3'))
+    stages = F.array(
+        F.struct(F.lit('corpus').alias('stage'), F.lit(0).alias('stage_order'),
+                 F.col('n0').alias('n_docs'), (F.col('n0') - F.col('n0')).alias('n_dropped')),
+        F.struct(F.lit('quality_gate').alias('stage'), F.lit(1).alias('stage_order'),
+                 F.col('n1').alias('n_docs'), (F.col('n0') - F.col('n1')).alias('n_dropped')),
+        F.struct(F.lit('exact_dedup_normalized').alias('stage'), F.lit(2).alias('stage_order'),
+                 F.col('n2').alias('n_docs'), (F.col('n1') - F.col('n2')).alias('n_dropped')),
+        F.struct(F.lit('contamination_gate').alias('stage'), F.lit(3).alias('stage_order'),
+                 F.col('n3').alias('n_docs'), (F.col('n2') - F.col('n3')).alias('n_dropped')))
+    return (row.select(F.explode(stages).alias('s'))
+               .select('s.stage', 's.stage_order', 's.n_docs', 's.n_dropped'))
