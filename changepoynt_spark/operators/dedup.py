@@ -376,3 +376,73 @@ def repeated_passages(df: DataFrame, n: int = 10, stride: int = 1, min_docs: int
                  F.count('*').alias('n_occurrences'),
                  F.min(id_col).alias('min_doc_id'))
             .filter(F.col('n_docs') >= min_docs))
+
+
+def dup_clusters_star(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
+                      max_iterations: int = 30) -> DataFrame:
+    """(doc_id, cluster_id) — connected components via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014): converges in O(log^2 n) rounds on
+    ANY graph, where min-label propagation needs diameter rounds — the
+    scale path for duplicate graphs with long chains (e.g. drifting
+    near-dup chains a->b->c->... from incremental crawls).
+
+    Each round is two groupBys over the edge list:
+    - large-star: every node links its LARGER neighbors to the minimum of
+      its neighborhood (incl. itself),
+    - small-star: every node links its smaller-or-equal neighbors to that
+      minimum.
+    Edges monotonically contract toward (node, component-min) stars; the
+    fixpoint is detected when the edge multiset stops changing (checked via
+    count + per-round hash).  Same output contract as dup_clusters.
+    """
+    e = pairs.select(F.col(id_a).alias('u'), F.col(id_b).alias('v'))
+    # symmetrize, drop self loops
+    edges = (e.unionByName(e.select(F.col('v').alias('u'), F.col('u').alias('v')))
+              .filter('u <> v').distinct().localCheckpoint(eager=True))
+
+    def _star(edges, large: bool):
+        # neighborhood min per u over N(u) ∪ {u}
+        m = (edges.groupBy('u')
+                  .agg(F.least(F.min('v'), F.first('u')).alias('m')))
+        j = edges.join(m, 'u')
+        cond = F.col('v') > F.col('u') if large else F.col('v') <= F.col('u')
+        out = (j.filter(cond)
+                .select(F.col('v').alias('u'), F.col('m').alias('v'))
+                .filter('u <> v'))
+        if not large:
+            # small-star also links u ITSELF to its neighborhood min —
+            # without it a fully-contracted star loses its spokes
+            out = out.unionByName(m.select('u', F.col('m').alias('v'))
+                                   .filter('u <> v'))
+        sym = out.unionByName(
+            out.select(F.col('v').alias('u'), F.col('u').alias('v')))
+        return sym.distinct()
+
+    def _sig(edges):
+        # bit_xor: order-independent and cannot overflow under ANSI mode
+        row = edges.agg(F.count('*').alias('n'),
+                        F.expr('bit_xor(xxhash64(u, v))').alias('h')).first()
+        return (row['n'], row['h'])
+
+    sig = _sig(edges)
+    for _ in range(max_iterations):
+        edges = _star(edges, large=True).localCheckpoint(eager=True)
+        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f'dup_clusters_star did not converge within {max_iterations} '
+            'double-rounds — raise max_iterations')
+    # at the fixpoint every edge is (node, component_min) or its mirror;
+    # keep the min-side as the label and add singleton-free node set
+    labels = (edges.filter('v < u')
+                   .groupBy(F.col('u').alias('doc_id'))
+                   .agg(F.min('v').alias('cluster_id')))
+    mins = (edges.select(F.col('v').alias('doc_id'))
+                 .subtract(labels.select('doc_id'))
+                 .withColumn('cluster_id', F.col('doc_id')).distinct())
+    return labels.unionByName(mins)

@@ -541,3 +541,37 @@ def test_heavy_hitters_equals_naive_topk(spark, documents):
     assert got['cnt'].tolist() == want['cnt'].tolist()
     # the exchange after pruning carries only candidates (superset of top-k)
     assert len(got) == 20
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_dup_clusters_star_matches_union_find(spark, seed):
+    import numpy as np
+    from changepoynt_spark.operators import dedup
+    rng = np.random.default_rng(seed)
+    edges = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.integers(0, 80, size=(60, 2)) if a != b}
+    # a long chain: diameter >> log rounds — the case star-CC exists for
+    chain = [(100 + i, 101 + i) for i in range(30)]
+    edges |= set(chain)
+    # union-find ground truth
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(sorted(edges), 'doc_a long, doc_b long')
+    got = {r['doc_id']: r['cluster_id']
+           for r in dedup.dup_clusters_star(df, max_iterations=15).collect()}
+    assert got == truth
+    # agrees with the min-label propagation path too
+    prop = {r['doc_id']: r['cluster_id']
+            for r in dedup.dup_clusters(df, max_iterations=60).collect()}
+    assert got == prop
