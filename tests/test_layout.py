@@ -58,3 +58,36 @@ def test_time_partitioned_tier_prunes_and_pushes_down(spark, sf_dir, tmp_path):
     assert files and all('p_date=2024-01-0' in f for f in files)
     days = {f.split('p_date=')[1].split('/')[0] for f in files}
     assert days <= {'2024-01-03', '2024-01-04'}
+
+
+def test_zorder_narrows_file_ranges_on_both_dims(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f'{sf_dir}/events.parquet') \
+              .select('user_id', 'ts', 'value')
+    zp = str(tmp_path / 'zord')
+    tp = str(tmp_path / 'tsorted')
+    layout.write_zordered(ev, zp, 'user_id', 'ts', n_files=16, bits=8)
+    # baseline: single-column (time) clustering
+    (ev.repartitionByRange(16, 'ts').sortWithinPartitions('ts')
+       .write.mode('overwrite').parquet(tp))
+
+    def widths(path):
+        df = spark.read.parquet(path)
+        per = (df.groupBy(F.input_file_name().alias('f'))
+                 .agg((F.max('user_id') - F.min('user_id')).alias('uw'),
+                      (F.unix_micros(F.max('ts').cast('timestamp'))
+                       - F.unix_micros(F.min('ts').cast('timestamp'))).alias('tw'))
+                 .toPandas())
+        return per['uw'].mean(), per['tw'].mean()
+
+    z_uw, z_tw = widths(zp)
+    t_uw, t_tw = widths(tp)
+    g_uw = ev.agg(F.max('user_id') - F.min('user_id')).first()[0]
+    g_tw = (ev.agg(F.unix_micros(F.max('ts').cast('timestamp'))
+                   - F.unix_micros(F.min('ts').cast('timestamp'))).first()[0])
+    # time-sorted files: great ts ranges, useless user ranges (~global)
+    assert t_uw > 0.9 * g_uw
+    # z-ordered files: BOTH dims substantially narrowed vs global
+    assert z_uw < 0.5 * g_uw, (z_uw, g_uw)
+    assert z_tw < 0.5 * g_tw, (z_tw, g_tw)
+    # row counts preserved
+    assert spark.read.parquet(zp).count() == ev.count()
