@@ -117,6 +117,33 @@ _ZERO_SQL = "SELECT event_id, CAST(0.0 AS DOUBLE) AS score FROM events"
 # bits).
 _SIMHASH_BITS = 64
 
+# mixture-epoch contract rates: src0 upsampled 2.5x, src1 dropped to 40%,
+# everything else exactly once
+_MIX_EPOCH_RATES = {'src0': 2.5, 'src1': 0.4}
+
+
+def _mixture_epochs_oracle_sql(rates=None, default_rate: float = 1.0) -> str:
+    rates = dict(rates if rates is not None else _MIX_EPOCH_RATES)
+    nf = ' '.join(f"WHEN source = '{s}' THEN {int(r)}"
+                  for s, r in sorted(rates.items()))
+    ft = ' '.join(f"WHEN source = '{s}' THEN {int(round((r - int(r)) * 1_000_000))}"
+                  for s, r in sorted(rates.items()))
+    return f"""
+    WITH b AS (SELECT doc_id, source,
+                      CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)
+                           AS BIGINT) % 1000000 AS bucket,
+                      CASE {nf} ELSE {int(default_rate)} END AS n_full,
+                      CASE {ft} ELSE {int(round((default_rate - int(default_rate)) * 1_000_000))} END AS frac_thr
+               FROM documents),
+    c AS (SELECT doc_id, source,
+                 CAST(n_full + CASE WHEN bucket < frac_thr THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+          FROM b)
+    SELECT doc_id, source, CAST(e AS INTEGER) AS epoch, n_copies
+    FROM c, LATERAL unnest(range(1, n_copies + 1)) AS t(e)
+    WHERE n_copies > 0
+    """
+
+
 # fixed BM25 query-term list (term order is part of the contract: the score
 # sums per-term parts in THIS order, so the double result is deterministic)
 _BM25_TERMS = ('spark', 'join', 'window', 'stream')
@@ -955,6 +982,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.corpus_funnel(_read_spread(spark, sf_dir, 'documents'),
                                   benchmark_ids=[0, 1, 2, 3, 4], n=3)
 
+    def corpus_mixture_epochs(spark, sf_dir):
+        from changepoynt_spark.operators.packing import mixture_epochs
+        return mixture_epochs(_read(spark, sf_dir, 'documents'),
+                              rates=_MIX_EPOCH_RATES)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1277,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_normalize': doc_normalize,
         'corpus_report_by_source': corpus_report_by_source,
         'corpus_curation_funnel': corpus_curation_funnel,
+        'corpus_mixture_epochs': corpus_mixture_epochs,
         'doc_hash_embeddings': doc_hash_embeddings,
         'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
@@ -1687,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w ORDER BY n DESC, w LIMIT 20
         """,
         'corpus_curation_funnel': _funnel_oracle_sql(stoplist),
+        'corpus_mixture_epochs': _mixture_epochs_oracle_sql(),
         'corpus_report_by_source': """
             WITH base AS (SELECT source, lang, md5(text) AS h,
                                  len(string_split(text, ' ')) AS w,

@@ -123,3 +123,36 @@ def mixture_sample(df: DataFrame, rates: dict, default_rate: float = 1.0,
                 if rate_col is not None
                 else F.lit(int(round(default_rate * 1_000_000))))
     return df.filter(bucket < rate_col)
+
+
+def mixture_epochs(df: DataFrame, rates: dict, default_rate: float = 1.0,
+                   id_col: str = 'doc_id', source_col: str = 'source') -> DataFrame:
+    """Deterministic per-source UP/DOWN-sampling with epoch repetition —
+    the full mixture-weighting step (e.g. wiki x2.3, web x0.3): every doc
+    is emitted floor(rate) times, plus once more for the hash-selected
+    ``rate - floor(rate)`` fraction.  Adds ``epoch`` (1-based copy index)
+    and ``n_copies``.
+
+    Same md5 ':mix' hash discipline as mixture_sample (a doc's fate never
+    changes as the corpus grows; independent of the train/val split salt);
+    map-only + a bounded explode — no shuffle at any scale."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast('string'),
+                                          F.lit(':mix'))), 1, 8), 16, 10).cast('long'),
+        F.lit(1_000_000))
+
+    def chain(value_of):
+        col = None
+        for src, rate in sorted(rates.items()):
+            v = F.lit(value_of(rate))
+            col = F.when(F.col(source_col) == src, v) if col is None \
+                else col.when(F.col(source_col) == src, v)
+        dv = F.lit(value_of(default_rate))
+        return col.otherwise(dv) if col is not None else dv
+
+    n_full = chain(lambda r: int(r))
+    frac_thr = chain(lambda r: int(round((r - int(r)) * 1_000_000)))
+    n_copies = (n_full + (bucket < frac_thr).cast('int')).alias('n_copies')
+    out = df.withColumn('n_copies', n_copies).filter(F.col('n_copies') > 0)
+    return (out.withColumn('epoch', F.explode(F.sequence(F.lit(1), F.col('n_copies'))))
+               .select(id_col, source_col, 'epoch', 'n_copies'))

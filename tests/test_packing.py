@@ -57,3 +57,26 @@ def test_split_by_hash_deterministic_and_balanced(spark, tokens):
                   .select('doc_id', 'split').toPandas()
     for d, s in zip(half['doc_id'], half['split']):
         assert am[d] == s
+
+
+def test_mixture_epochs_counts_and_determinism(spark):
+    from changepoynt_spark.operators.packing import mixture_epochs
+    rows = [(i, f'src{i % 3}') for i in range(3000)]
+    df = spark.createDataFrame(rows, 'doc_id long, source string')
+    out = mixture_epochs(df, rates={'src0': 2.5, 'src1': 0.4}).toPandas()
+    per = out.groupby('source')['doc_id'].agg(['count', 'nunique'])
+    # src0: every doc 2x or 3x -> count/nunique in [2, 3], ~2.5 on average
+    assert per.loc['src0', 'nunique'] == 1000
+    ratio0 = per.loc['src0', 'count'] / per.loc['src0', 'nunique']
+    assert 2.3 < ratio0 < 2.7
+    # src1: ~40% of docs kept exactly once
+    assert 320 < per.loc['src1', 'nunique'] < 480
+    assert per.loc['src1', 'count'] == per.loc['src1', 'nunique']
+    # default: everything exactly once
+    assert per.loc['src2', 'count'] == per.loc['src2', 'nunique'] == 1000
+    # per-doc epochs are 1..n_copies with no gaps
+    g = out[out.source == 'src0'].groupby('doc_id')['epoch'].agg(['min', 'max', 'count'])
+    assert (g['min'] == 1).all() and (g['max'] == g['count']).all()
+    # deterministic
+    out2 = mixture_epochs(df, rates={'src0': 2.5, 'src1': 0.4}).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
