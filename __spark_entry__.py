@@ -1013,6 +1013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                           n=3, threshold=0.5, df_cap=50)
         return dedup.dup_clusters(pairs)
 
+    def doc_dup_clusters_star(spark, sf_dir):
+        # same pair graph, star-contraction CC (O(log^2) rounds vs
+        # diameter) — must produce the identical clustering, and the same
+        # recursive-CTE oracle proves it cross-engine
+        pairs = dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
+                                          n=3, threshold=0.5, df_cap=50)
+        return dedup.dup_clusters_star(pairs)
+
     def doc_simhash(spark, sf_dir):
         return dedup.simhash(_read_spread(spark, sf_dir, 'documents'),
                              bits=_SIMHASH_BITS)
@@ -1303,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
         'doc_dup_clusters': doc_dup_clusters,
+        'doc_dup_clusters_star': doc_dup_clusters_star,
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
         'doc_top_words_mg': doc_top_words_mg,
@@ -1634,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e GROUP BY 1, 2 HAVING COUNT(delta) > 0
         """,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
+        'doc_dup_clusters_star': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                              AS BIGINT) % 100 < 10
