@@ -987,6 +987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return mixture_epochs(_read(spark, sf_dir, 'documents'),
                               rates=_MIX_EPOCH_RATES)
 
+    def doc_chunks(spark, sf_dir):
+        return text.chunk_documents(_read(spark, sf_dir, 'documents'),
+                                    chunk_words=100, overlap=20)
+
+    def doc_search_bm25_indexed(spark, sf_dir):
+        # BM25 answered FROM the inverted index (postings of the query
+        # terms only) — bit-identical to the scan path, same oracle
+        docs = _read_spread(spark, sf_dir, 'documents')
+        index = text.build_inverted_index(docs)
+        dl = docs.select('doc_id', F.size(F.split('text', ' ')).alias('dl'))
+        return text.bm25_from_index(index, dl, _BM25_TERMS, k=20)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1330,6 +1342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
+        'doc_search_bm25_indexed': doc_search_bm25_indexed,
+        'doc_chunks': doc_chunks,
         'doc_pack_stats': doc_pack_stats,
         'doc_simhash': doc_simhash,
         'embedding_topk_cosine': embedding_topk_cosine,
@@ -1747,8 +1761,19 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN dup d ON b.source = d.source
             GROUP BY b.source
         """,
+        'doc_chunks': """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+            n AS (SELECT doc_id, words, len(words) AS nw,
+                         CAST(greatest(1, ceil((len(words) - 20) / 80.0)) AS BIGINT) AS nc
+                  FROM w)
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+                   array_to_string(words[i*80 + 1 : i*80 + 100], ' ') AS chunk_text,
+                   CAST(len(words[i*80 + 1 : i*80 + 100]) AS BIGINT) AS n_words
+            FROM n, LATERAL unnest(range(0, nc)) AS t(i)
+        """,
         'doc_repetition_stats': _REPETITION_SQL,
         'doc_search_bm25': _bm25_oracle_sql(),
+        'doc_search_bm25_indexed': _bm25_oracle_sql(),
         'doc_top_words': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

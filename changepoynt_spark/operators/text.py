@@ -646,3 +646,74 @@ def corpus_funnel(df: DataFrame, benchmark_ids=(), n: int = 3,
                  F.col('n3').alias('n_docs'), (F.col('n2') - F.col('n3')).alias('n_dropped')))
     return (row.select(F.explode(stages).alias('s'))
                .select('s.stage', 's.stage_order', 's.n_docs', 's.n_dropped'))
+
+
+def chunk_documents(df: DataFrame, chunk_words: int = 100, overlap: int = 20,
+                    id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_words) — fixed-size overlapping word
+    windows (stride = chunk_words - overlap), the retrieval/embedding
+    chunking step of a RAG or indexing pipeline.  The final partial chunk
+    is kept iff it adds unseen words (its start < n_words).  Map-only
+    explode — no shuffle; chunk_id is the 0-based window index so chunking
+    is deterministic and stable under any partitioning."""
+    if not 0 <= overlap < chunk_words:
+        raise ValueError('need 0 <= overlap < chunk_words')
+    stride = chunk_words - overlap
+    words = F.split(F.col(text_col), ' ')
+    n = F.size(words)
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - overlap) / stride)).cast('int')
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk = lambda i: F.slice(words, i * stride + 1, chunk_words)  # noqa: E731
+    return (df.select(F.col(id_col), F.posexplode(
+                F.transform(idx, lambda i: F.concat_ws(' ', chunk(i))))
+                .alias('chunk_id', 'chunk_text'))
+              .withColumn('n_words', F.size(F.split('chunk_text', ' '))))
+
+
+def build_inverted_index(df: DataFrame, id_col: str = 'doc_id',
+                         text_col: str = 'text') -> DataFrame:
+    """(term, doc_id, tf) — the classic inverted index as a table: one
+    combiner-friendly shuffle on (doc, term), then stored bucketed/sorted
+    by term so query-time lookups are co-located joins.  The artifact
+    behind bm25_from_index."""
+    return (df.select(F.col(id_col), F.explode(F.split(text_col, ' ')).alias('term'))
+              .groupBy('term', id_col).agg(F.count('*').alias('tf')))
+
+
+def bm25_from_index(index: DataFrame, doc_lengths: DataFrame, query_terms,
+                    k: int = 20, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = 'doc_id') -> DataFrame:
+    """BM25 top-k answered FROM the stored inverted index — touches only
+    the query terms' postings (the point of an index: work ~ postings of
+    the query, not corpus size).  Value-identical to the scan-path
+    bm25_search (pytest-asserted): same idf form, same fixed-order
+    summation via conditional aggregation, same rounding and tie-break.
+    ``doc_lengths``: (doc_id, dl) — stored beside the index."""
+    terms = list(query_terms)
+    post = index.filter(F.col('term').isin(terms))
+    stats = doc_lengths.agg(F.count('*').alias('_n_docs'),
+                            F.sum('dl').alias('_sum_dl'))
+    dfreq = (post.groupBy('term').agg(F.count('*').alias('df_t')))
+    p = (post.join(F.broadcast(dfreq), 'term')
+             .join(doc_lengths, id_col)
+             .crossJoin(F.broadcast(stats)))
+    n_d = F.col('_n_docs').cast('double')
+    avgdl = F.col('_sum_dl').cast('double') / n_d
+    norm = 1 - b + b * F.col('dl').cast('double') / avgdl
+    idf = F.log((n_d - F.col('df_t') + 0.5) / (F.col('df_t') + 0.5) + 1)
+    part = idf * F.col('tf').cast('double') * (k1 + 1) \
+        / (F.col('tf').cast('double') + k1 * norm)
+    # fixed-order sum: conditional per-term parts aggregated in term order
+    per_doc = (p.groupBy(id_col, 'dl')
+                 .agg(*[F.sum(F.when(F.col('term') == t, part)).alias(f'_p_{i}')
+                        for i, t in enumerate(terms)]))
+    score = None
+    for i in range(len(terms)):
+        x = F.coalesce(F.col(f'_p_{i}'), F.lit(0.0))
+        score = x if score is None else score + x
+    return (per_doc.withColumn('score_bm25', F.round(score, 6))
+                   .filter(F.col('score_bm25') > 0)
+                   .select(id_col, F.col('dl').cast('long').alias('n_words'),
+                           'score_bm25')
+                   .orderBy(F.col('score_bm25').desc(), F.col(id_col).asc())
+                   .limit(k))

@@ -575,3 +575,38 @@ def test_dup_clusters_star_matches_union_find(spark, seed):
     prop = {r['doc_id']: r['cluster_id']
             for r in dedup.dup_clusters(df, max_iterations=60).collect()}
     assert got == prop
+
+
+def test_bm25_from_index_equals_scan_path(spark, documents):
+    from changepoynt_spark.operators import text as txt
+    terms = ['spark', 'join', 'window', 'stream']
+    scan = txt.bm25_search(documents, terms, k=20).toPandas()
+    index = txt.build_inverted_index(documents)
+    dl = documents.select('doc_id', F.size(F.split('text', ' ')).alias('dl'))
+    idx = txt.bm25_from_index(index, dl, terms, k=20).toPandas()
+    assert scan['doc_id'].tolist() == idx['doc_id'].tolist()
+    assert scan['score_bm25'].tolist() == idx['score_bm25'].tolist()
+    assert scan['n_words'].tolist() == idx['n_words'].tolist()
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from changepoynt_spark.operators import text as txt
+    words = ' '.join(f'w{i}' for i in range(250))
+    df = spark.createDataFrame([(1, words), (2, 'short doc only')],
+                               'doc_id long, text string')
+    out = (txt.chunk_documents(df, chunk_words=100, overlap=20)
+              .toPandas().sort_values(['doc_id', 'chunk_id']))
+    d1 = out[out.doc_id == 1]
+    # stride 80: starts at 0, 80, 160 -> 3 chunks (240..249 covered by last)
+    assert d1['chunk_id'].tolist() == [0, 1, 2]
+    assert d1['n_words'].tolist() == [100, 100, 90]
+    first = d1.iloc[0]['chunk_text'].split(' ')
+    second = d1.iloc[1]['chunk_text'].split(' ')
+    assert first[80:] == second[:20]          # exact overlap
+    assert first[0] == 'w0' and second[0] == 'w80'
+    # short doc: one whole chunk
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0]['chunk_text'] == 'short doc only'
+    # coverage: every word appears in some chunk
+    covered = set(w for t in d1['chunk_text'] for w in t.split(' '))
+    assert covered == set(words.split(' '))
