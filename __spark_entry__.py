@@ -988,8 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               rates=_MIX_EPOCH_RATES)
 
     def doc_chunks(spark, sf_dir):
+        # fixture docs are 10-99 words; 40/10 windows exercise real
+        # multi-chunk splits (1-3 chunks per doc) at every SF
         return text.chunk_documents(_read(spark, sf_dir, 'documents'),
-                                    chunk_words=100, overlap=20)
+                                    chunk_words=40, overlap=10)
 
     def doc_search_bm25_indexed(spark, sf_dir):
         # BM25 answered FROM the inverted index (postings of the query
@@ -1764,11 +1766,11 @@ def oracle_sql() -> dict[str, str]:
         'doc_chunks': """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             n AS (SELECT doc_id, words, len(words) AS nw,
-                         CAST(greatest(1, ceil((len(words) - 20) / 80.0)) AS BIGINT) AS nc
+                         CAST(greatest(1, ceil((len(words) - 10) / 30.0)) AS BIGINT) AS nc
                   FROM w)
             SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
-                   array_to_string(words[i*80 + 1 : i*80 + 100], ' ') AS chunk_text,
-                   CAST(len(words[i*80 + 1 : i*80 + 100]) AS BIGINT) AS n_words
+                   array_to_string(words[i*30 + 1 : i*30 + 40], ' ') AS chunk_text,
+                   CAST(len(words[i*30 + 1 : i*30 + 40]) AS BIGINT) AS n_words
             FROM n, LATERAL unnest(range(0, nc)) AS t(i)
         """,
         'doc_repetition_stats': _REPETITION_SQL,
