@@ -1112,6 +1112,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.ivf_topk(emb.filter('vec_id <> 0'), qvec, cents,
                                    k=10, nprobe=4)
 
+    def embedding_quantized_topk(spark, sf_dir):
+        # int8-quantized cosine top-k: the per-vector scale cancels in
+        # cosine, so similarities are INTEGER dot/norm products — exactly
+        # reproducible cross-engine (plus a 4x memory/IO cut at scale)
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        q = similarity.quantize_embeddings(emb.filter('vec_id <> 0'))
+        qrow = similarity.quantize_embeddings(emb.filter('vec_id = 0')) \
+            .select('qvec').first()[0]
+        return similarity.quantized_topk(q, qrow, k=10)
+
     def embedding_cluster_sizes(spark, sf_dir):
         # coarse k-means cluster histogram over the whole embedding table —
         # the partition-design view of the IVF index (list balance decides
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_lsh_topk': embedding_lsh_topk,
         'embedding_ivf_topk': embedding_ivf_topk,
         'embedding_cluster_sizes': embedding_cluster_sizes,
+        'embedding_quantized_topk': embedding_quantized_topk,
         'embedding_knn': embedding_knn,
         'chunked_moving_window': chunked_moving_window,
         'retention_report': retention_report,
@@ -1785,6 +1798,36 @@ def oracle_sql() -> dict[str, str]:
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
         'embedding_ivf_topk': _ivf_topk_sql(n_lists=16, nprobe=4, k=10),
+        'embedding_quantized_topk': """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings),
+            qz AS (SELECT vec_id,
+                          list_transform(v, x -> CAST(round(x * 127 /
+                              list_max(list_transform(v, y -> abs(y)))) AS INTEGER)) AS qv
+                   FROM e
+                   WHERE list_max(list_transform(v, y -> abs(y))) > 0),
+            qq AS (SELECT qv AS query_qv FROM qz WHERE vec_id = 0),
+            c AS (SELECT vec_id, qv FROM qz WHERE vec_id <> 0),
+            d AS (SELECT c.vec_id,
+                         CAST(list_inner_product(list_transform(c.qv, x -> CAST(x AS BIGINT)),
+                                                 list_transform(qq.query_qv, x -> CAST(x AS BIGINT)))
+                              AS BIGINT) AS dot,
+                         CAST(list_inner_product(list_transform(c.qv, x -> CAST(x AS BIGINT)),
+                                                 list_transform(c.qv, x -> CAST(x AS BIGINT)))
+                              AS BIGINT) AS aa,
+                         CAST(list_inner_product(list_transform(qq.query_qv, x -> CAST(x AS BIGINT)),
+                                                 list_transform(qq.query_qv, x -> CAST(x AS BIGINT)))
+                              AS BIGINT) AS bb
+                  FROM c, qq)
+            SELECT vec_id,
+                   ROUND(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6)
+                     AS qcos_sim
+            FROM d WHERE aa > 0
+            ORDER BY qcos_sim DESC, vec_id
+            LIMIT 10
+        """,
         'embedding_cluster_sizes': _cluster_sizes_sql(n_lists=16),
         'doc_language_id': _langid_sql(),
         # the LSH band join is candidate PRUNING; on this corpus it must

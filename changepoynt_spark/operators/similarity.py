@@ -230,3 +230,42 @@ def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int 
     return (pairs.withColumn('cos_sim', F.round(sim, 6))
                  .filter(F.col('cos_sim') >= threshold)
                  .select('vec_a', 'vec_b', 'cos_sim'))
+
+
+def quantize_embeddings(df: DataFrame, id_col: str = 'vec_id',
+                        vec_col: str = 'embedding') -> DataFrame:
+    """(id, qvec array<int>, max_abs) — symmetric per-vector int8
+    quantization: q_i = round(v_i * 127 / max|v|).  A 4x memory/IO cut for
+    the corpus-scale ANN path; and because the per-vector scale CANCELS in
+    cosine, quantized similarities are pure INTEGER arithmetic — exactly
+    reproducible on any engine, no float accumulation at all."""
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.round(x * 127 / max_abs).cast('int'))
+    return df.select(F.col(id_col),
+                     F.when(max_abs > 0, q)
+                      .otherwise(F.transform(v, lambda x: F.lit(0)))
+                      .alias('qvec'),
+                     max_abs.alias('max_abs'))
+
+
+def quantized_topk(df: DataFrame, query_qvec, k: int = 10,
+                   id_col: str = 'vec_id', qvec_col: str = 'qvec') -> DataFrame:
+    """Top-k by quantized cosine: dot/norm products are int64-exact
+    (aggregate over int products), the final cosine is one double division
+    + sqrt — bit-identical cross-engine by construction."""
+    ql = [int(x) for x in query_qvec]
+    qlit = F.array(*[F.lit(x) for x in ql])
+    qq = sum(x * x for x in ql)
+    if qq == 0:
+        raise ValueError('query vector quantized to zero')
+    dot = F.aggregate(F.zip_with(F.col(qvec_col), qlit, lambda a, b: a * b),
+                      F.lit(0).cast('long'), lambda acc, x: acc + x)
+    aa = F.aggregate(F.col(qvec_col), F.lit(0).cast('long'),
+                     lambda acc, x: acc + x * x)
+    sim = dot.cast('double') / (F.sqrt(aa.cast('double')) * float(qq) ** 0.5)
+    return (df.filter(F.aggregate(F.col(qvec_col), F.lit(0).cast('long'),
+                                  lambda acc, x: acc + x * x) > 0)
+              .select(F.col(id_col), F.round(sim, 6).alias('qcos_sim'))
+              .orderBy(F.col('qcos_sim').desc(), F.col(id_col))
+              .limit(k))

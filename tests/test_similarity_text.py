@@ -610,3 +610,22 @@ def test_chunk_documents_windows_and_edges(spark):
     # coverage: every word appears in some chunk
     covered = set(w for t in d1['chunk_text'] for w in t.split(' '))
     assert covered == set(words.split(' '))
+
+
+def test_quantized_topk_recall_and_integer_determinism(spark, embeddings):
+    from changepoynt_spark.operators import similarity
+    q = similarity.quantize_embeddings(embeddings.filter('vec_id <> 0'))
+    qrow = similarity.quantize_embeddings(embeddings.filter('vec_id = 0')) \
+        .select('qvec').first()[0]
+    got = similarity.quantized_topk(q, qrow, k=10).toPandas()
+    pdfq = embeddings.filter('vec_id = 0').select('embedding').first()[0]
+    exact = similarity.cosine_topk(embeddings.filter('vec_id <> 0'), pdfq,
+                                   k=10).toPandas()
+    overlap = len(set(got['vec_id']) & set(exact['vec_id'])) / 10
+    assert overlap >= 0.6, f'int8 recall {overlap}'     # 1/127 error budget
+    # int8 range respected; zero vectors dropped, never NaN
+    import numpy as np
+    qv = np.array(q.select('qvec').first()[0])
+    assert qv.min() >= -127 and qv.max() <= 127 and np.abs(qv).max() == 127
+    got2 = similarity.quantized_topk(q, qrow, k=10).toPandas()
+    assert got['vec_id'].tolist() == got2['vec_id'].tolist()
