@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Render docs/OPERATORS.md: the contract-query inventory with oracle
+status and row counts, generated from CORRECTNESS_SELF.json (run
+scripts/correctness_report.py first)."""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    with open('CORRECTNESS_SELF.json') as f:
+        report = json.load(f)
+    import __spark_entry__ as entry
+    oracles = set(entry.oracle_sql())
+    rows = []
+    for name in entry.queries():
+        r = report.get(name, {})
+        status = ('DuckDB hash-green' if r.get('hash_match')
+                  else 'rows-only (documented)' if r.get('err') == 'no_oracle'
+                  else 'NOT IN LAST REPORT' if not r else 'FAILING')
+        rows.append((name, 'yes' if name in oracles else 'no',
+                     r.get('spark_rows', '-'), status))
+    n_green = sum(1 for r in rows if r[3] == 'DuckDB hash-green')
+    lines = [
+        '# Contract-query inventory',
+        '',
+        f'{len(rows)} queries; {n_green} DuckDB-oracled hash-green in the last',
+        'self-report (`CORRECTNESS_SELF.json`, sf0.01); the rest are rows-only',
+        'with in-code infeasibility notes.  Regenerate with',
+        '`python scripts/operator_inventory.py` after a correctness run.',
+        '',
+        '| query | oracle | rows@sf0.01 | status |',
+        '|---|---|---|---|',
+    ]
+    for name, has_o, n, status in rows:
+        lines.append(f'| {name} | {has_o} | {n} | {status} |')
+    os.makedirs('docs', exist_ok=True)
+    with open('docs/OPERATORS.md', 'w') as f:
+        f.write('\n'.join(lines) + '\n')
+    print(f'docs/OPERATORS.md: {len(rows)} queries, {n_green} green')
+
+
+if __name__ == '__main__':
+    main()
