@@ -1001,6 +1001,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dl = docs.select('doc_id', F.size(F.split('text', ' ')).alias('dl'))
         return text.bm25_from_index(index, dl, _BM25_TERMS, k=20)
 
+    def events_anomaly_flags(spark, sf_dir):
+        # rolling median/MAD robust z-score — exact element picks + one
+        # interpolating mean per window -> cross-engine deterministic
+        out = window_ops.robust_anomaly_flags(_read(spark, sf_dir, 'events'),
+                                              ['user_id'], window=21, k=3.5)
+        return out.select('user_id', 'ts', 'value', 'med', 'mad', 'is_anomaly')
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1353,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
         'events_changepoint_segments': events_changepoint_segments,
+        'events_anomaly_flags': events_anomaly_flags,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -1753,6 +1761,22 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         'events_changepoint_segments': _segments_oracle_sql(),
+        'events_anomaly_flags': """
+            WITH m AS (SELECT user_id, ts, value,
+                              quantile_cont(value, 0.5) OVER w AS med
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)),
+            m2 AS (SELECT user_id, ts, value, med,
+                          quantile_cont(abs(value - med), 0.5) OVER w AS mad
+                   FROM m
+                   WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING))
+            SELECT user_id, ts, value, med, mad,
+                   CASE WHEN mad > 0 THEN abs(value - med) > 3.5 * 1.4826 * mad
+                        ELSE abs(value - med) > 0 END AS is_anomaly
+            FROM m2
+        """,
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -255,3 +255,32 @@ def score_segments(scores: DataFrame, key_col: str = 'user_id',
                     F.max(pos_col).alias('end_pos'),
                     F.count('*').alias('n_points'),
                     (F.sum(score_col) / F.count('*')).alias('mean_score')))
+
+
+def robust_anomaly_flags(df: DataFrame, keys, ts_col: str = 'ts',
+                         value_col: str = 'value', window: int = 61,
+                         k: float = 3.5) -> DataFrame:
+    """Adds ``med``, ``mad``, ``is_anomaly``: rolling-median/MAD robust
+    z-score — the outlier detector that mean/stddev scoring cannot be (a
+    single spike inflates the stddev and masks itself; the median/MAD
+    breakdown point is 50%).
+
+    is_anomaly = |x - med| > k * 1.4826 * MAD over a centered ``window``
+    (k=3.5 at the normal-consistency constant ~ p<0.0005).  MAD==0
+    (constant window) flags any deviation.  Two window passes over the
+    same key-hash exchange (median, then median absolute deviation) — the
+    sort is paid once, both frames are bounded, everything is exact
+    element picks + one interpolating mean -> deterministic cross-engine.
+    """
+    keys = list(keys)
+    half = window // 2
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-half, half)
+    med = F.expr(f'percentile({value_col}, 0.5)').over(w)
+    out = df.withColumn('med', med)
+    out = out.withColumn('_ad', F.abs(F.col(value_col) - F.col('med')))
+    w2 = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-half, half)
+    out = out.withColumn('mad', F.expr('percentile(_ad, 0.5)').over(w2))
+    dev = F.abs(F.col(value_col) - F.col('med'))
+    flag = F.when(F.col('mad') > 0, dev > k * 1.4826 * F.col('mad')) \
+            .otherwise(dev > 0)
+    return out.drop('_ad').withColumn('is_anomaly', flag)

@@ -449,3 +449,23 @@ def test_time_weighted_avg_randomized_vs_numpy(spark, seed):
         for b in integ:
             np.testing.assert_allclose(g.loc[b, 'twa'], integ[b] / cov[b],
                                        rtol=1e-9)
+
+
+def test_robust_anomaly_flags_catch_spike_mean_misses(spark):
+    import datetime as dt
+    import numpy as np
+    from changepoynt_spark.operators.window_ops import robust_anomaly_flags
+    rng = np.random.default_rng(3)
+    vals = rng.normal(10, 0.5, size=200)
+    vals[100] = 200.0                   # one massive spike
+    rows = [(1, dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=i),
+             float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, 'k long, ts timestamp, value double')
+    out = (robust_anomaly_flags(df, ['k'], window=21, k=3.5)
+           .toPandas().sort_values('ts').reset_index(drop=True))
+    assert bool(out.loc[100, 'is_anomaly'])
+    # the spike must NOT mask itself: its neighbors stay clean (a
+    # mean/stddev detector inflates sigma and often flags nothing at all)
+    assert not out.loc[95:99, 'is_anomaly'].any()
+    assert not out.loc[101:105, 'is_anomaly'].any()
+    assert out['is_anomaly'].sum() <= 5   # ~p<0.0005 on 200 normal points
