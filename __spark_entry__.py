@@ -1008,6 +1008,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                               ['user_id'], window=21, k=3.5)
         return out.select('user_id', 'ts', 'value', 'med', 'mad', 'is_anomaly')
 
+    def events_autocorr(spark, sf_dir):
+        out = window_ops.rolling_autocorr(_read(spark, sf_dir, 'events'),
+                                          ['user_id'], lag=1, window=30)
+        return out.select('user_id', 'ts', 'n_pairs',
+                          F.round('autocorr', 6).alias('autocorr'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1361,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_lttb_600': events_lttb_600,
         'events_changepoint_segments': events_changepoint_segments,
         'events_anomaly_flags': events_anomaly_flags,
+        'events_autocorr': events_autocorr,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -1776,6 +1783,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mad > 0 THEN abs(value - med) > 3.5 * 1.4826 * mad
                         ELSE abs(value - med) > 0 END AS is_anomaly
             FROM m2
+        """,
+        'events_autocorr': """
+            WITH d AS (SELECT user_id, ts,
+                              CAST(value AS DECIMAL(18,4)) AS x,
+                              CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts)
+                                   AS DECIMAL(18,4)) AS y
+                       FROM events),
+            s AS (SELECT user_id, ts,
+                         SUM(CASE WHEN y IS NOT NULL THEN 1 ELSE 0 END) OVER w AS n,
+                         CAST(SUM(CASE WHEN y IS NOT NULL THEN x END) OVER w AS DOUBLE) AS sx,
+                         CAST(SUM(CASE WHEN y IS NOT NULL THEN y END) OVER w AS DOUBLE) AS sy,
+                         CAST(SUM(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS DOUBLE) AS sxx,
+                         CAST(SUM(CASE WHEN y IS NOT NULL THEN y * y END) OVER w AS DOUBLE) AS syy,
+                         CAST(SUM(CASE WHEN y IS NOT NULL THEN x * y END) OVER w AS DOUBLE) AS sxy
+                  FROM d
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+            SELECT user_id, ts, CAST(n AS BIGINT) AS n_pairs,
+                   ROUND(CASE WHEN n >= 3
+                                   AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                                   AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                              THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                                   / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                          * (CAST(n AS DOUBLE) * syy - sy * sy))
+                         END, 6) AS autocorr
+            FROM s
         """,
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n

@@ -284,3 +284,41 @@ def robust_anomaly_flags(df: DataFrame, keys, ts_col: str = 'ts',
     flag = F.when(F.col('mad') > 0, dev > k * 1.4826 * F.col('mad')) \
             .otherwise(dev > 0)
     return out.drop('_ad').withColumn('is_anomaly', flag)
+
+
+def rolling_autocorr(df: DataFrame, keys, ts_col: str = 'ts',
+                     value_col: str = 'value', lag: int = 1,
+                     window: int = 30) -> DataFrame:
+    """Adds ``autocorr``: Pearson correlation between x[t] and x[t-lag]
+    over a trailing ``window`` of pairs — the seasonality/persistence
+    diagnostic of a telemetry tier (autocorr ~ 1: smooth drift, ~ 0:
+    noise, < 0: oscillation).
+
+    Decimal-exact moment sums (the moving_window discipline): all five
+    window sums accumulate in DECIMAL — order-independent — and the
+    correlation is derived in double from exact operands, so the result is
+    bit-identical cross-engine.  One key-hash exchange; windows with
+    degenerate variance yield NULL.
+    """
+    keys = list(keys)
+    order = Window.partitionBy(*keys).orderBy(ts_col)
+    x = F.col(value_col).cast('decimal(18,4)')
+    y = F.lag(value_col, lag).over(order).cast('decimal(18,4)')
+    d = df.withColumn('_x', x).withColumn('_y', y)
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-(window - 1), 0)
+    pair = F.col('_y').isNotNull()
+    n = F.sum(pair.cast('long')).over(w)
+    sx = F.sum(F.when(pair, F.col('_x'))).over(w).cast('double')
+    sy = F.sum(F.when(pair, F.col('_y'))).over(w).cast('double')
+    sxx = F.sum(F.when(pair, F.col('_x') * F.col('_x'))).over(w).cast('double')
+    syy = F.sum(F.when(pair, F.col('_y') * F.col('_y'))).over(w).cast('double')
+    sxy = F.sum(F.when(pair, F.col('_x') * F.col('_y'))).over(w).cast('double')
+    nd = n.cast('double')
+    num = nd * sxy - sx * sy
+    var_x = nd * sxx - sx * sx
+    var_y = nd * syy - sy * sy
+    corr = F.when((n >= 3) & (var_x > 0) & (var_y > 0),
+                  num / F.sqrt(var_x * var_y))
+    return (d.withColumn('n_pairs', n)
+             .withColumn('autocorr', corr)
+             .drop('_x', '_y'))

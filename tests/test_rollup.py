@@ -469,3 +469,20 @@ def test_robust_anomaly_flags_catch_spike_mean_misses(spark):
     assert not out.loc[95:99, 'is_anomaly'].any()
     assert not out.loc[101:105, 'is_anomaly'].any()
     assert out['is_anomaly'].sum() <= 5   # ~p<0.0005 on 200 normal points
+
+
+def test_rolling_autocorr_detects_persistence_vs_alternation(spark):
+    import datetime as dt
+    from changepoynt_spark.operators.window_ops import rolling_autocorr
+    t0 = dt.datetime(2026, 1, 1)
+    smooth = [(1, t0 + dt.timedelta(seconds=i), float(i)) for i in range(60)]
+    alt = [(2, t0 + dt.timedelta(seconds=i), float((-1) ** i)) for i in range(60)]
+    df = spark.createDataFrame(smooth + alt, 'k long, ts timestamp, value double')
+    out = rolling_autocorr(df, ['k'], lag=1, window=30).toPandas()
+    last = out.sort_values('ts').groupby('k').last()
+    assert last.loc[1, 'autocorr'] > 0.99     # linear drift: persistent
+    assert last.loc[2, 'autocorr'] < -0.99    # alternating: anti-persistent
+    # warmup rows (n < 3 pairs) are NULL, not garbage
+    import pandas as pd
+    first = out.sort_values('ts').groupby('k').nth(0)
+    assert pd.isna(first['autocorr']).all()
