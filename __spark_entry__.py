@@ -361,6 +361,18 @@ _HASH_EMBED_CTE = """
 """
 
 
+def _score_percentiles_oracle_sql() -> str:
+    from changepoynt_spark.operators.window_ops import moving_window_oracle_sql
+    scores = moving_window_oracle_sql(window_length=8, method='meanvar')
+    return f"""
+    WITH scores AS ({scores})
+    SELECT user_id, rn, ROUND(score, 6) AS score,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY score, rn)
+               AS score_pctile
+    FROM scores
+    """
+
+
 def _segments_oracle_sql(threshold: float = 2000.0, d: int = 8) -> str:
     """Peak-picking + segmentation composed over the moving-window score
     oracle — the full scores->segments chain in ANSI SQL."""
@@ -1014,6 +1026,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select('user_id', 'ts', 'n_pairs',
                           F.round('autocorr', 6).alias('autocorr'))
 
+    def events_score_percentiles(spark, sf_dir):
+        # per-key score calibration: percent_rank is (rank-1)/(n-1) —
+        # integer-derived, bit-exact; the cross-series comparable form of
+        # raw change scores (scores are scale-dependent per series)
+        from pyspark.sql import Window
+        s = window_ops.moving_window_score(_read(spark, sf_dir, 'events'),
+                                           window_length=8, method='meanvar')
+        w = Window.partitionBy('user_id').orderBy('score', 'rn')
+        return s.select('user_id', 'rn',
+                        F.round('score', 6).alias('score'),
+                        F.percent_rank().over(w).alias('score_pctile'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1368,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_changepoint_segments': events_changepoint_segments,
         'events_anomaly_flags': events_anomaly_flags,
         'events_autocorr': events_autocorr,
+        'events_score_percentiles': events_score_percentiles,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -1768,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         'events_changepoint_segments': _segments_oracle_sql(),
+        'events_score_percentiles': _score_percentiles_oracle_sql(),
         'events_anomaly_flags': """
             WITH m AS (SELECT user_id, ts, value,
                               quantile_cont(value, 0.5) OVER w AS med
