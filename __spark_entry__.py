@@ -366,7 +366,7 @@ def _score_percentiles_oracle_sql() -> str:
     scores = moving_window_oracle_sql(window_length=8, method='meanvar')
     return f"""
     WITH scores AS ({scores})
-    SELECT user_id, rn, ROUND(score, 6) AS score,
+    SELECT user_id, rn, score,
            percent_rank() OVER (PARTITION BY user_id ORDER BY score, rn)
                AS score_pctile
     FROM scores
@@ -1034,8 +1034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s = window_ops.moving_window_score(_read(spark, sf_dir, 'events'),
                                            window_length=8, method='meanvar')
         w = Window.partitionBy('user_id').orderBy('score', 'rn')
-        return s.select('user_id', 'rn',
-                        F.round('score', 6).alias('score'),
+        # FULL-precision score on purpose: the underlying doubles are
+        # bit-identical cross-engine (the moving_window contract proves it),
+        # while ROUND itself diverges on exact-tie dyadic values
+        return s.select('user_id', 'rn', 'score',
                         F.percent_rank().over(w).alias('score_pctile'))
 
     def doc_normalize(spark, sf_dir):
