@@ -31,3 +31,54 @@ def streaming_exact_dedup(stream_df: DataFrame, ts_col: str = 'ts',
                       .withColumn(ts_col, F.col(ts_col).cast('timestamp'))
     return (hashed.withWatermark(ts_col, delay)
                   .dropDuplicatesWithinWatermark(['text_hash']))
+
+
+def streaming_lsh_candidates(stream_df, ts_col: str = 'ts',
+                             num_hashes: int = 32, bands: int = 8, n: int = 3,
+                             id_col: str = 'doc_id',
+                             watermark_delay: str = '10 minutes'):
+    """Streaming near-duplicate CANDIDATE pairs: as documents arrive, each
+    is banded (MinHash LSH, same signatures as the batch path) and
+    stream-stream self-joined on (band, band hash) within the watermark —
+    a new doc surfaces a candidate pair with every recent doc sharing a
+    band.  Downstream verifies candidates exactly (batch jaccard, or
+    foreachBatch) — identical recall contract to the batch LSH: a pair is
+    emitted iff some band collides.
+
+    State is bounded by the watermark: band-hash state older than the
+    delay is dropped.  Self-join dedup: pairs ordered (a < b) and
+    dropDuplicates on (a, b) within the watermark, so a multi-band
+    collision emits once."""
+    from changepoynt_spark.operators.dedup import minhash_signatures
+    from pyspark.sql import functions as F
+    rows_per_band = num_hashes // bands
+
+    def banded(df, side):
+        sigs = minhash_signatures(df, num_hashes=num_hashes, n=n, id_col=id_col)
+        sigs = df.select(id_col, ts_col).join(sigs, id_col)
+        b = sigs.select(
+            F.col(id_col).alias(f'{side}_id'),
+            F.col(ts_col).cast('timestamp').alias(f'{side}_ts'),
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.concat_ws(
+                    ',', F.slice('signature', i * rows_per_band + 1,
+                                 rows_per_band))))).alias(f'{side}_band',
+                                                          f'{side}_bh'))
+        return b.withWatermark(f'{side}_ts', watermark_delay)
+
+    left = banded(stream_df, 'l')
+    right = banded(stream_df, 'r')
+    # SYMMETRIC time bound: id order (l_id < r_id) is independent of
+    # arrival order, so the matching doc may sit on either side in time
+    cond = F.expr(
+        'l_band = r_band AND l_bh = r_bh AND l_id < r_id '
+        'AND r_ts BETWEEN l_ts - INTERVAL 10 MINUTES '
+        'AND l_ts + INTERVAL 10 MINUTES')
+    pairs = (left.join(right, cond)
+                 .select(F.col('l_id').alias('doc_a'),
+                         F.col('r_id').alias('doc_b'),
+                         F.col('r_ts').alias('pair_ts')))
+    # the joined stream inherits its event-time watermark from r_ts;
+    # re-declaring one here would be a disallowed watermark redefinition
+    return pairs.dropDuplicatesWithinWatermark(['doc_a', 'doc_b'])

@@ -223,3 +223,36 @@ def test_streaming_sketch_tier_matches_batch_estimates(spark, events_dir):
     # HLL add/union are order-independent -> stream == batch EXACTLY
     assert got['n_distinct_est'].tolist() == batch['n_distinct_est'].tolist()
     assert got['cnt_points'].tolist() == batch['cnt_points'].tolist()
+
+
+def test_streaming_lsh_candidates_cover_batch_pairs(spark, tmp_path):
+    """Every batch LSH near-dup pair must surface as a streaming candidate
+    (same band collision within the watermark window)."""
+    import datetime as dt
+    from changepoynt_spark.operators import dedup
+    from changepoynt_spark.streaming.dedup_stream import streaming_lsh_candidates
+
+    base = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+    t0 = dt.datetime(2026, 1, 1)
+    docs = base.limit(200).withColumn(
+        'ts', F.expr(f"timestamp'{t0}' + make_interval(0,0,0,0,0,0, doc_id % 60)"))
+    path = str(tmp_path / 'docs_stream')
+    docs.repartition(4).write.parquet(path)
+
+    batch_pairs = {(min(a, b), max(a, b)) for a, b in
+                   dedup.minhash_lsh_pairs(spark.read.parquet(path),
+                                           num_hashes=32, bands=8, threshold=0.0)
+                   .select('doc_a', 'doc_b').collect()}
+
+    stream = (spark.readStream.schema(spark.read.parquet(path).schema)
+              .option('maxFilesPerTrigger', 1).parquet(path))
+    cands = streaming_lsh_candidates(stream, num_hashes=32, bands=8)
+    q = (cands.writeStream.outputMode('append').format('memory')
+         .queryName('lsh_stream').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r['doc_a'], r['doc_b']) for r in
+           spark.sql('SELECT doc_a, doc_b FROM lsh_stream').collect()}
+    assert batch_pairs, 'fixture produced no batch pairs'
+    # streaming candidates ⊇ verified batch pairs (the recall contract);
+    # extras are unverified band collisions, filtered downstream
+    assert batch_pairs <= got, f'missing {batch_pairs - got}'
