@@ -139,3 +139,54 @@ def test_pack_tokens_matches_bitwriter_property(tokens):
     vals = np.array([t[0] for t in tokens], dtype=np.uint64)
     nbits = np.array([t[1] for t in tokens], dtype=np.int64)
     assert pack_tokens(vals, nbits) == w.getvalue()
+
+
+def test_scaled_codec_roundtrip_and_fallback():
+    import numpy as np
+    from changepoynt_spark.codecs import decode_values_scaled, encode_values_scaled
+    rng = np.random.default_rng(9)
+    # decimal-quantized gauge (k/10 doubles): takes the scaled path and
+    # compresses hard.  (np.round(x,1) output is NOT always the correctly-
+    # rounded k/10 double — the codec's exactness guard rejects such
+    # streams to Gorilla rather than corrupt a bit; construct true k/10.)
+    gauge = np.cumsum(rng.integers(-5, 6, 50_000)).astype(np.float64) / 10.0
+    blob = encode_values_scaled(gauge, decimals=1)
+    assert blob[0] == 0x53
+    out = decode_values_scaled(blob)
+    np.testing.assert_array_equal(out.view(np.int64), gauge.view(np.int64))
+    assert len(blob) / len(gauge) < 1.5          # ~1 byte/pt vs 8 raw
+    # full-precision doubles: falls back to Gorilla, still bit-exact
+    noise = rng.standard_normal(10_000)
+    blob2 = encode_values_scaled(noise, decimals=6)
+    assert blob2[0] == 0x47
+    np.testing.assert_array_equal(decode_values_scaled(blob2).view(np.int64),
+                                  noise.view(np.int64))
+    # NaN / inf force the fallback and survive
+    weird = np.array([1.5, np.nan, np.inf, -np.inf, -0.0, 0.0])
+    blob3 = encode_values_scaled(weird, decimals=2)
+    assert blob3[0] == 0x47
+    np.testing.assert_array_equal(decode_values_scaled(blob3).view(np.int64),
+                                  weird.view(np.int64))
+    # values that LOOK quantized but aren't round-trippable stay lossless
+    tricky = np.array([0.1 + 1e-13, 2.3, 4.5])
+    np.testing.assert_array_equal(
+        decode_values_scaled(encode_values_scaled(tricky, decimals=1)).view(np.int64),
+        tricky.view(np.int64))
+
+
+def test_scaled_codec_hypothesis_lossless():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+    from changepoynt_spark.codecs import decode_values_scaled, encode_values_scaled
+
+    @given(arrays(np.float64, st.integers(1, 200),
+                  elements=st.floats(allow_nan=True, allow_infinity=True,
+                                     width=64)))
+    @settings(max_examples=60, deadline=None)
+    def check(v):
+        out = decode_values_scaled(encode_values_scaled(v, decimals=4))
+        np.testing.assert_array_equal(out.view(np.int64), v.view(np.int64))
+
+    check()
