@@ -1040,6 +1040,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.select('user_id', 'rn', 'score',
                         F.percent_rank().over(w).alias('score_pctile'))
 
+    def events_moments_1d(spark, sf_dir):
+        # per-bucket distribution profile (skewness/excess kurtosis) from
+        # DECIMAL-exact power sums -> bit-identical cross-engine
+        # GLOBAL daily buckets: per-user hourly cells are 1-2 points in the
+        # fixture (degenerate); cross-series daily cells have real spread
+        return rollup.moments_rollup(_read(spark, sf_dir, 'events'),
+                                     [], interval='1 day')
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1395,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_anomaly_flags': events_anomaly_flags,
         'events_autocorr': events_autocorr,
         'events_score_percentiles': events_score_percentiles,
+        'events_moments_1d': events_moments_1d,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -1814,7 +1823,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         'events_autocorr': """
             WITH d AS (SELECT user_id, ts,
-                              CAST(value AS DECIMAL(18,4)) AS x,
+                              CAST(value AS DECIMAL(8,4)) AS x,
                               CAST(lag(value) OVER (PARTITION BY user_id ORDER BY ts)
                                    AS DECIMAL(18,4)) AS y
                        FROM events),
@@ -1837,6 +1846,53 @@ def oracle_sql() -> dict[str, str]:
                                           * (CAST(n AS DOUBLE) * syy - sy * sy))
                          END, 6) AS autocorr
             FROM s
+        """,
+        'events_moments_1d': """
+            WITH a AS (
+              SELECT date_trunc('day', ts) AS bucket_start,
+                     COUNT(value) AS n_points,
+                     SUM(CAST(value AS DECIMAL(8,4))) AS s1,
+                     -- intermediate powers cast to >18-digit decimals so
+                     -- DuckDB computes them on the int128 path (a 16-digit
+                     -- x^2 times x overflows its int64 fast path at runtime)
+                     CAST(SUM(CAST(CAST(value AS DECIMAL(8,4))
+                                   * CAST(value AS DECIMAL(8,4))
+                                   AS DECIMAL(24,8)))
+                          AS DECIMAL(38,8)) AS s2,
+                     CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(8,4))
+                                        * CAST(value AS DECIMAL(8,4))
+                                        AS DECIMAL(24,8))
+                                   * CAST(value AS DECIMAL(8,4))
+                                   AS DECIMAL(32,12)))
+                          AS DECIMAL(38,12)) AS s3,
+                     CAST(SUM(CAST(CAST(CAST(value AS DECIMAL(8,4))
+                                        * CAST(value AS DECIMAL(8,4))
+                                        AS DECIMAL(24,8))
+                                   * CAST(CAST(value AS DECIMAL(8,4))
+                                          * CAST(value AS DECIMAL(8,4))
+                                          AS DECIMAL(24,8))
+                                   AS DECIMAL(38,16)))
+                          AS DECIMAL(38,16)) AS s4
+              FROM events GROUP BY 1),
+            d AS (SELECT bucket_start, n_points,
+                         CAST(n_points AS DOUBLE) AS n,
+                         CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+                         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+                  FROM a),
+            m AS (SELECT *, s1 / n AS mean,
+                         s2 / n - (s1 / n) * (s1 / n) AS m2,
+                         s3 / n - 3 * (s1 / n) * (s2 / n)
+                             + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+                         s4 / n - 4 * (s1 / n) * (s3 / n)
+                             + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                             - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+                  FROM d)
+            SELECT bucket_start, n_points,
+                   ROUND(mean, 6) + 0.0 AS mean,
+                   ROUND(m2, 6) + 0.0 AS variance,
+                   ROUND(m3 / sqrt(m2 * m2 * m2), 6) + 0.0 AS skewness,
+                   ROUND(m4 / (m2 * m2) - 3, 6) + 0.0 AS kurtosis
+            FROM m WHERE m2 > 1e-6
         """,
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n

@@ -83,7 +83,7 @@ def run_queries(spark, sf_dir: str) -> dict:
              'embedding_cluster_sizes', 'doc_normalize', 'doc_lexical_diversity',
              'events_rollup_1h_distinct_users', 'doc_hash_embeddings',
              'doc_semantic_topk', 'events_twa_1h', 'events_sketch_users_1d',
-             'corpus_report_by_source', 'events_changepoint_segments', 'corpus_curation_funnel', 'corpus_mixture_epochs', 'doc_chunks', 'doc_search_bm25_indexed', 'embedding_quantized_topk', 'events_anomaly_flags', 'events_autocorr', 'events_score_percentiles']
+             'corpus_report_by_source', 'events_changepoint_segments', 'corpus_curation_funnel', 'corpus_mixture_epochs', 'doc_chunks', 'doc_search_bm25_indexed', 'embedding_quantized_topk', 'events_anomaly_flags', 'events_autocorr', 'events_score_percentiles', 'events_moments_1d']
     qs = entrymod.queries()
     out = {}
     for name in names:

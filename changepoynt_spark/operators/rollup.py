@@ -520,3 +520,53 @@ def time_weighted_avg(df: DataFrame, keys, ts_col: str = 'ts',
                .withColumn('twa', F.col('_integral').cast('double')
                            / F.col('covered_us').cast('double'))
                .select(*keys, 'bucket_start', 'covered_us', 'integral', 'twa'))
+
+
+def moments_rollup(df: DataFrame, keys, ts_col: str = 'ts',
+                   value_col: str = 'value', interval: str = '1 hour') -> DataFrame:
+    """(keys, bucket_start, n_points, mean, variance, skewness, kurtosis) —
+    the per-bucket distribution profile beyond min/max/avg (fat tails and
+    asymmetry are what change ahead of incidents while means stay flat).
+
+    Population moments from DECIMAL-exact power sums (s1..s4): every
+    derived statistic is double arithmetic over exact operands in one
+    fixed expression shape -> bit-identical cross-engine.  Kurtosis is the
+    EXCESS form (normal = 0).  Degenerate buckets (var <= 0) yield NULL
+    skew/kurtosis rather than dividing by zero."""
+    keys = list(keys)
+    # DECIMAL(8,4) base on purpose: x^4 then stays within 38 digits with NO
+    # precision loss on either engine ((8,4)^4 -> scale 16, ~35 digits);
+    # a wider base silently loses precision in Spark and overflows DuckDB
+    x = F.col(value_col).cast('decimal(8,4)')
+    agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+             .agg(F.count(value_col).alias('n_points'),
+                  F.sum(x).alias('_s1'),
+                  F.sum(x * x).cast('decimal(38,8)').alias('_s2'),
+                  F.sum(x * x * x).cast('decimal(38,12)').alias('_s3'),
+                  F.sum(x * x * x * x).cast('decimal(38,16)').alias('_s4')))
+    n = F.col('n_points').cast('double')
+    s1 = F.col('_s1').cast('double')
+    s2 = F.col('_s2').cast('double')
+    s3 = F.col('_s3').cast('double')
+    s4 = F.col('_s4').cast('double')
+    m = s1 / n
+    # central moments from raw power sums (fixed expression order)
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    m4 = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+          - 3 * m * m * m * m)
+    skew = m3 / F.sqrt(m2 * m2 * m2)
+    kurt = m4 / (m2 * m2) - 3
+    # degenerate buckets (n==1 or constant values) leave m2 at catastrophic-
+    # cancellation noise (~1e-12): skew/kurt there are pure amplified ulps —
+    # meaningless on ANY engine — so they are excluded rather than emitted
+    # as garbage.  The survivors are well-conditioned; round-6 absorbs the
+    # one-ulp decimal->double conversion difference between engines.
+    out = (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+              .filter(m2 > 1e-6))
+    rnd = lambda c: F.round(c, 6) + F.lit(0.0)   # + 0.0 collapses -0.0  # noqa: E731
+    return out.select(*keys, 'bucket_start', 'n_points',
+                      rnd(m).alias('mean'),
+                      rnd(m2).alias('variance'),
+                      rnd(skew).alias('skewness'),
+                      rnd(kurt).alias('kurtosis'))
