@@ -1426,6 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bocpd_scores': _kernel_query('bocpd', {'run_length': 30}),
         'rulsif_scores': _kernel_query('rulsif', {'window_length': 4, 'n_windows': 8,
                                                   'scoring_step': 2}),
+        'kliep_scores': _kernel_query('kliep', {'window_length': 4, 'n_windows': 8,
+                                                'scoring_step': 4}),
         'ulsif_scores': _kernel_query('ulsif', {'window_length': 4, 'n_windows': 8,
                                                 'scoring_step': 4}),
         'fluss_scores': _kernel_query('fluss', {'window_length': 8}),

@@ -12,9 +12,9 @@ deterministic seed.
 from changepoynt_spark.kernels.base import Algorithm, SingularSubspaceAlgorithm
 from changepoynt_spark.kernels.baseline import ZERO, MovingWindow
 from changepoynt_spark.kernels.bocpd import BOCPD
-from changepoynt_spark.kernels.dead import (CLASP, FLOSS, KLIEP, TESST,
+from changepoynt_spark.kernels.dead import (CLASP, FLOSS, TESST,
                                             SubspaceIdentification)
-from changepoynt_spark.kernels.density_ratio import RuLSIF, ULSIF
+from changepoynt_spark.kernels.density_ratio import KLIEP, RuLSIF, ULSIF
 from changepoynt_spark.kernels.esst import ESST
 from changepoynt_spark.kernels.fluss import FLUSS
 from changepoynt_spark.kernels.messt import MESST

@@ -11,7 +11,8 @@ NotImplementedError and tests asserting the raise:
 - SubspaceIdentification (/root/reference/changepoynt/algorithms/si.py:61,
           tests/test_si.py:26-28),
 - KLIEP is listed as "Planned" in the reference (README.md:172) with no
-  implementation — represented the same way here,
+  implementation — this engine goes further and IMPLEMENTS it for real
+  (kernels/density_ratio.py KLIEP, Sugiyama 2008), so no stub lives here,
 - TESST (/root/reference/changepoynt/algorithms/torch_esst.py:12-152) hard-
   requires a CUDA torch install (torch_esst.py:43 asserts
   torch.cuda.is_available()), so on any CUDA-less host — including this
@@ -51,14 +52,6 @@ class SubspaceIdentification(Algorithm):
 
     def transform(self, time_series):
         raise NotImplementedError(_MSG)
-
-
-class KLIEP(Algorithm):
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError('KLIEP is "Planned" in the reference with no implementation.')
-
-    def transform(self, time_series):
-        raise NotImplementedError
 
 
 class TESST(Algorithm):

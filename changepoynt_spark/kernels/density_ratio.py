@@ -307,3 +307,361 @@ class ULSIF(RuLSIF):
         super().__init__(window_length=window_length, n_windows=n_windows, lag=lag,
                          estimation_lag=estimation_lag, scoring_step=scoring_step,
                          n_kernels=n_kernels, alpha=0.0, symmetric=symmetric, parallel=parallel)
+
+
+# ---------------------------------------------------------------------------
+# KLIEP
+# ---------------------------------------------------------------------------
+
+_KLIEP_TINY = 1e-12
+
+
+def _kliep_fit_batch(a_stack: np.ndarray, b_stack: np.ndarray, counts: np.ndarray,
+                     max_iter: int = 100, tol: float = 1e-6):
+    """Feasibility-projected gradient ascent for a BATCH of independent KLIEP
+    programs (Sugiyama et al., NIPS 2007 / AISM 60(4) 2008, Figure 1):
+
+        maximize   mean_i log( A alpha )_i
+        subject to alpha >= 0,  b^T alpha = 1
+
+    with ``A[i, l] = K(x_test_i, c_l)`` and ``b[l] = mean_ref K(x_ref, c_l)``
+    (the constraint makes w-hat average to 1 under the reference sample).
+
+    ``a_stack`` is (B, n_max, k) with zero-padded rows, ``counts`` (B,) the
+    real row count per problem, ``b_stack`` (B, k).  All B programs (the 25
+    sigma x fold CV fits of one scoring step, or a single final fit) iterate
+    in lock-step with per-slice monotone accept and per-slice convergence
+    flags, so each slice follows exactly the trajectory it would follow
+    alone — but the Python-loop overhead is paid once per batch instead of
+    once per fit (the same step-batching idea as kernels/sst.py).  The
+    objective is concave over a convex set, so the decreasing step-size
+    schedule with monotone accept converges; everything is deterministic —
+    the engine's goldens pin results bit-for-bit.
+
+    Returns ``(alpha, score)``: (B, k) weights and (B,) mean log w-hat(test),
+    the empirical KL(p_test || p_ref) estimate used as the change-point score
+    (Kawahara & Sugiyama, SDM 2009).
+    """
+    n_batch, n_max, n_kernels = a_stack.shape
+    mask = np.arange(n_max)[None, :] < counts[:, None]          # (B, n_max)
+    b_dot_b = np.einsum('bk,bk->b', b_stack, b_stack)           # (B,)
+
+    def project(alpha):
+        dot = np.einsum('bk,bk->b', b_stack, alpha)
+        alpha = alpha + b_stack * ((1.0 - dot) / b_dot_b)[:, None]
+        alpha = np.maximum(0.0, alpha)
+        scale = np.einsum('bk,bk->b', b_stack, alpha)
+        bad = scale <= _KLIEP_TINY  # degenerate kernel collapse: uniform restart
+        if bad.any():
+            alpha[bad] = 1.0
+            scale = np.einsum('bk,bk->b', b_stack, alpha)
+        return alpha / scale[:, None]
+
+    def objective(alpha):
+        w = np.maximum(np.matmul(a_stack, alpha[:, :, None])[:, :, 0], _KLIEP_TINY)
+        return np.sum(np.log(w) * mask, axis=1) / counts        # (B,)
+
+    alpha = project(np.ones((n_batch, n_kernels)))
+    score = objective(alpha)
+    for eps in (1e1, 1e0, 1e-1, 1e-2, 1e-3):
+        active = np.ones(n_batch, dtype=bool)
+        for _ in range(max_iter):
+            w = np.maximum(np.matmul(a_stack, alpha[:, :, None])[:, :, 0], _KLIEP_TINY)
+            grad = np.matmul(a_stack.transpose(0, 2, 1),
+                             (mask / w)[:, :, None])[:, :, 0] / counts[:, None]
+            candidate = project(alpha + eps * grad)
+            new_score = objective(candidate)
+            improved = active & (new_score > score + tol)
+            if not improved.any():
+                break
+            alpha[improved] = candidate[improved]
+            score[improved] = new_score[improved]
+            active = improved
+    return alpha, score
+
+
+def _kliep_fit(a_matrix: np.ndarray, b_vector: np.ndarray,
+               max_iter: int = 100, tol: float = 1e-6):
+    """Single-program convenience wrapper over :func:`_kliep_fit_batch`
+    (B = 1) — one code path for CV and final fits keeps goldens consistent."""
+    alpha, score = _kliep_fit_batch(
+        a_matrix[None, :, :], b_vector[None, :],
+        np.array([a_matrix.shape[0]], dtype=np.float64), max_iter, tol)
+    return alpha[0], float(score[0])
+
+
+class KLIEPEstimator:
+    """Per-step KL importance estimation (direct ratio w = p_test / p_ref).
+
+    Listed as "Planned" in the reference with no implementation
+    (/root/reference/README.md:172, docs/algorithms.md:16); this engine
+    implements the published algorithm, reusing the reference-shaped CV
+    machinery of :class:`DensityRatioEstimator`
+    (/root/reference/changepoynt/utils/densityratioestimation.py:300-523):
+    Gaussian centers drawn by one global ``np.random.permutation`` (from the
+    TEST sample — KLIEP models the numerator), sigma chosen by k-fold
+    likelihood cross-validation over the Jaakkola median-heuristic
+    candidates, with the sequential sigma power-update kernel chain kept.
+
+    RNG contract: exactly three global permutation draws per scoring step
+    (centers, ref-CV, test-CV) — the same count and order as
+    :class:`DensityRatioEstimator`, so the shared :func:`_transform`
+    estimation-lag dummy draws stay aligned.
+    """
+
+    def __init__(self, kernel_number: int = 100, cross_folds: int = 5,
+                 sigma: float = None):
+        self.kernel_number = kernel_number
+        self.cross_folds = cross_folds
+        self.gaussian_centers = None
+        self.sigma_width = sigma
+        self.cv = self.sigma_width is None
+
+    def generate_gaussian_centers(self, test_samples):
+        numcols = test_samples.shape[1]
+        test_sample_idxs = np.random.permutation(numcols)
+        self.kernel_number = min(self.kernel_number, numcols)
+        return test_samples[:, test_sample_idxs[0:self.kernel_number]]
+
+    def cross_validate(self, reference_samples, test_samples, gaussian_centers,
+                       sigma_widths):
+        """Likelihood CV: per fold, fit on the train split (A from train-test
+        columns, b from train-ref columns) and evaluate mean log w-hat on the
+        held-out test columns; pick the sigma maximizing the mean held-out
+        log-likelihood.  Splitting BOTH samples mirrors the reference's
+        RuLSIF CV fold structure (and consumes the same two permutation
+        draws)."""
+        ref_cols = reference_samples.shape[1]
+        test_cols = test_samples.shape[1]
+        ref_cv_idxs = np.random.permutation(ref_cols)
+        ref_cv_split = (np.arange(ref_cols) * self.cross_folds) // ref_cols
+        test_cv_idxs = np.random.permutation(test_cols)
+        test_cv_split = (np.arange(test_cols) * self.cross_folds) // test_cols
+
+        # sequential sigma power-update chain (reference dre.py:134-143)
+        k_ref = compute_gaussian_kernel(reference_samples, gaussian_centers,
+                                        sigma_widths[0])  # (n_ref, k)
+        k_test = compute_gaussian_kernel(test_samples, gaussian_centers,
+                                         sigma_widths[0])  # (n_test, k)
+        old_sigma = sigma_widths[0]
+        k_refs, k_tests = [], []
+        for sigma in sigma_widths:
+            k_ref = update_sigma_gaussian_kernel(k_ref, old_sigma, sigma)
+            k_test = update_sigma_gaussian_kernel(k_test, old_sigma, sigma)
+            old_sigma = sigma
+            k_refs.append(k_ref)
+            k_tests.append(k_test)
+
+        # stack every (sigma, fold) fit into ONE batched projected-gradient
+        # run (Python loop overhead once per step, not 25x; per-slice math
+        # unchanged — see _kliep_fit_batch)
+        n_sigma = sigma_widths.shape[0]
+        folds = [(ref_cv_idxs[ref_cv_split != f],
+                  test_cv_idxs[test_cv_split != f],
+                  test_cv_idxs[test_cv_split == f]) for f in range(self.cross_folds)]
+        n_max = max(len(tr_t) for _, tr_t, _ in folds)
+        n_batch = n_sigma * self.cross_folds
+        a_stack = np.zeros((n_batch, n_max, self.kernel_number))
+        b_stack = np.empty((n_batch, self.kernel_number))
+        counts = np.empty(n_batch)
+        for sigma_idx in range(n_sigma):
+            for fold_idx, (tr_r, tr_t, _) in enumerate(folds):
+                pos = sigma_idx * self.cross_folds + fold_idx
+                a_stack[pos, :len(tr_t), :] = k_tests[sigma_idx][tr_t, :]
+                b_stack[pos] = np.mean(k_refs[sigma_idx][tr_r, :], axis=0)
+                counts[pos] = len(tr_t)
+        alphas, _ = _kliep_fit_batch(a_stack, b_stack, counts)
+
+        scores = np.zeros(n_sigma)
+        for sigma_idx in range(n_sigma):
+            for fold_idx, (_, _, te_t) in enumerate(folds):
+                alpha = alphas[sigma_idx * self.cross_folds + fold_idx]
+                held_out = np.maximum(k_tests[sigma_idx][te_t, :] @ alpha, _KLIEP_TINY)
+                scores[sigma_idx] += float(np.mean(np.log(held_out)))
+        return scores / self.cross_folds
+
+    def train(self, reference_samples, test_samples):
+        self.gaussian_centers = self.generate_gaussian_centers(test_samples)
+        if self.cv:
+            sigma_widths = DensityRatioEstimator.compute_gaussian_width_candidates(
+                reference_samples, test_samples)
+            cv_scores = self.cross_validate(reference_samples, test_samples,
+                                            self.gaussian_centers, sigma_widths)
+            self.sigma_width = sigma_widths[int(cv_scores.argmax())]
+
+    def apply(self, reference_samples, test_samples):
+        if self.gaussian_centers is None or self.kernel_number is None:
+            raise Exception('Missing kernel basis function parameters')
+        if not self.sigma_width:
+            raise Exception('Missing model selection parameters')
+        a_matrix = compute_gaussian_kernel(test_samples, self.gaussian_centers,
+                                           self.sigma_width)
+        b_vector = np.mean(compute_gaussian_kernel(reference_samples,
+                                                   self.gaussian_centers,
+                                                   self.sigma_width), axis=0)
+        _, kl_score = _kliep_fit(a_matrix, b_vector)
+        return kl_score
+
+    def __call__(self, reference_samples: np.ndarray, test_samples: np.ndarray):
+        # joint per-row std normalization, matching DensityRatioEstimator
+        all_samples = np.c_[reference_samples, test_samples]
+        std = np.std(all_samples, axis=1) + np.finfo(float).eps
+        reference_samples /= std[:, None]
+        test_samples /= std[:, None]
+        self.train(reference_samples, test_samples)
+        return self.apply(reference_samples, test_samples)
+
+
+class KLIEP(Algorithm):
+    """KLIEP change-point scoring: per step, the KL divergence estimate
+    between the test and reference halves of the trajectory matrix
+    (Kawahara & Sugiyama, SDM 2009).  Same window geometry, symmetric
+    two-pass option, estimation-lag CV reuse, and RNG conventions as
+    :class:`RuLSIF` — scores share the reference's region/offset contract.
+
+    Unlike the Pearson-divergence scores, raw KL estimates can be negative
+    (held-out ratio mass below 1); consumers thresholding at 0 should use
+    ``symmetric=True`` (default), where spurious negatives cancel.
+    """
+
+    def __init__(self, window_length: int = 10, n_windows: int = 50, lag: int = None,
+                 estimation_lag: int = None, scoring_step: int = 1,
+                 n_kernels: int = 100, symmetric: bool = True,
+                 parallel: bool = False) -> None:
+        self.window_length = window_length
+        self.n_windows = n_windows
+        self.lag = lag
+        self.estimation_lag = estimation_lag
+        self.n_kernels = n_kernels
+        self.scoring_step = scoring_step
+        self.symmetric = symmetric
+        self.parallel = parallel  # API parity; Spark parallelizes across series
+        assert self.estimation_lag is None or 1 <= self.estimation_lag, \
+            'The estimation lag needs to be bigger than zero samples.'
+        if not self.lag:
+            self.lag = self.n_windows
+
+    #: steps per batched fit chunk — bounds the stacked CV kernel memory to
+    #: ~(chunk * folds * n_sigma) slices of (n_windows, k) doubles (~50 MB at
+    #: the n_windows=50 default) while amortizing the Python iteration loop
+    #: over thousands of concurrent programs
+    step_batch = 128
+
+    def transform(self, time_series: np.ndarray):
+        assert time_series.ndim == 1, 'Time series needs to be an 1D array.'
+        starting_point = self.window_length + self.n_windows + self.lag
+        assert starting_point < time_series.shape[0], 'The time series is too short to score any points.'
+        time_series = time_series.copy()
+        if self.symmetric:
+            forward = self._transform_batched(time_series, starting_point)
+            backward = self._transform_batched(time_series[::-1], starting_point)
+            return forward + backward[::-1]
+        return self._transform_batched(time_series, starting_point)
+
+    def _transform_batched(self, time_series: np.ndarray, starting_point: int) -> np.ndarray:
+        """Step-batched scoring pass: the same per-step math and global-RNG
+        draw order as ``_transform(..., KLIEPEstimator(...))`` (equality is
+        pytest-asserted), but all scoring steps of a chunk share ONE batched
+        projected-gradient run for their CV fits and one for their final
+        fits — the sst.py step-batching idea applied to an iterative convex
+        solver.  Per-slice trajectories in :func:`_kliep_fit_batch` are
+        independent, so results are bit-identical to the per-step path."""
+        window_length, n_windows = self.window_length, self.n_windows
+        scoring_step, folds = self.scoring_step, 5
+        score = np.zeros_like(time_series)
+        offset = n_windows
+        n_kernels = min(self.n_kernels, n_windows)
+        steps = list(range(starting_point, time_series.shape[0], scoring_step))
+        cv_split = (np.arange(n_windows) * folds) // n_windows
+        sigma_carry = None  # last CV-selected sigma (crosses chunk bounds)
+
+        for chunk_lo in range(0, len(steps), self.step_batch):
+            chunk = steps[chunk_lo:chunk_lo + self.step_batch]
+            n_chunk = len(chunk)
+            # ---- per-step prep (RNG draws in exact estimator order) -------
+            refs = np.empty((n_chunk, window_length, n_windows))
+            tests = np.empty((n_chunk, window_length, n_windows))
+            centers = np.empty((n_chunk, window_length, n_kernels))
+            sigma_cands = np.empty((n_chunk, 5))
+            reestimate = np.zeros(n_chunk, dtype=bool)
+            fold_perms = []
+            for i, idx in enumerate(chunk):
+                hankel = lg.compile_hankel(time_series, idx, window_length, 2 * n_windows)
+                ref, test = hankel[:, :n_windows], hankel[:, n_windows:]
+                std = np.std(np.c_[ref, test], axis=1) + np.finfo(float).eps
+                refs[i] = ref / std[:, None]
+                tests[i] = test / std[:, None]
+                center_idx = np.random.permutation(n_windows)[:n_kernels]
+                centers[i] = tests[i][:, center_idx]
+                step_no = chunk_lo + i
+                reestimate[i] = (not self.estimation_lag
+                                 or (step_no % self.estimation_lag) == 0)
+                # ref-CV and test-CV permutations (dummies on skip steps,
+                # keeping the stream aligned with estimation_lag=None)
+                fold_perms.append((np.random.permutation(n_windows),
+                                   np.random.permutation(n_windows)))
+                sigma_cands[i] = DensityRatioEstimator.compute_gaussian_width_candidates(
+                    refs[i], tests[i])
+
+            # ---- phase 1: batched CV over (re-est step, sigma, fold) ------
+            cv_steps = np.flatnonzero(reestimate)
+            if cv_steps.size:
+                n_tr_max = max(int(np.sum(cv_split != f)) for f in range(folds))
+                n_te_max = max(int(np.sum(cv_split == f)) for f in range(folds))
+                n_cv = cv_steps.size * 5 * folds
+                a_stack = np.zeros((n_cv, n_tr_max, n_kernels))
+                b_stack = np.empty((n_cv, n_kernels))
+                counts = np.empty(n_cv)
+                eval_stack = np.zeros((n_cv, n_te_max, n_kernels))
+                eval_counts = np.empty(n_cv)
+                pos = 0
+                for i in cv_steps:
+                    ref_perm, test_perm = fold_perms[i]
+                    k_ref = compute_gaussian_kernel(refs[i], centers[i], sigma_cands[i][0])
+                    k_test = compute_gaussian_kernel(tests[i], centers[i], sigma_cands[i][0])
+                    old_sigma = sigma_cands[i][0]
+                    for sigma in sigma_cands[i]:
+                        k_ref = update_sigma_gaussian_kernel(k_ref, old_sigma, sigma)
+                        k_test = update_sigma_gaussian_kernel(k_test, old_sigma, sigma)
+                        old_sigma = sigma
+                        for fold in range(folds):
+                            tr_r = ref_perm[cv_split != fold]
+                            tr_t = test_perm[cv_split != fold]
+                            te_t = test_perm[cv_split == fold]
+                            a_stack[pos, :len(tr_t), :] = k_test[tr_t, :]
+                            b_stack[pos] = np.mean(k_ref[tr_r, :], axis=0)
+                            counts[pos] = len(tr_t)
+                            eval_stack[pos, :len(te_t), :] = k_test[te_t, :]
+                            eval_counts[pos] = len(te_t)
+                            pos += 1
+                alphas, _ = _kliep_fit_batch(a_stack, b_stack, counts)
+                held = np.maximum(np.matmul(eval_stack, alphas[:, :, None])[:, :, 0],
+                                  _KLIEP_TINY)
+                te_mask = np.arange(n_te_max)[None, :] < eval_counts[:, None]
+                lcv = (np.sum(np.log(held) * te_mask, axis=1) / eval_counts) \
+                    .reshape(cv_steps.size, 5, folds).mean(axis=2)
+                best_sigma_idx = lcv.argmax(axis=1)
+
+            # ---- sigma assignment (carry forward across skip steps) -------
+            sigmas = np.empty(n_chunk)
+            cv_pos = 0
+            for i in range(n_chunk):
+                if reestimate[i]:
+                    sigma_carry = sigma_cands[i][best_sigma_idx[cv_pos]]
+                    cv_pos += 1
+                sigmas[i] = sigma_carry
+
+            # ---- phase 2: batched final fits over every step --------------
+            a_final = np.empty((n_chunk, n_windows, n_kernels))
+            b_final = np.empty((n_chunk, n_kernels))
+            for i in range(n_chunk):
+                a_final[i] = compute_gaussian_kernel(tests[i], centers[i], sigmas[i])
+                b_final[i] = np.mean(
+                    compute_gaussian_kernel(refs[i], centers[i], sigmas[i]), axis=0)
+            _, kl_scores = _kliep_fit_batch(
+                a_final, b_final, np.full(n_chunk, float(n_windows)))
+
+            for i, idx in enumerate(chunk):
+                score[idx - offset - scoring_step // 2:
+                      idx - offset + (scoring_step + 1) // 2] = kl_scores[i]
+        return score

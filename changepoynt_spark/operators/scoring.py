@@ -30,8 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, MESST, MSST, SST, ZERO,
-                                       MovingWindow, RuLSIF, ULSIF)
+from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, KLIEP, MESST, MSST, SST,
+                                       ZERO, MovingWindow, RuLSIF, ULSIF)
 from changepoynt_spark.kernels.base import SingularSubspaceAlgorithm
 from changepoynt_spark.sources.datagen import QUANT_SCALE
 
@@ -41,6 +41,7 @@ ALGORITHMS = {
     'bocpd': BOCPD,
     'rulsif': RuLSIF,
     'ulsif': ULSIF,
+    'kliep': KLIEP,
     'fluss': FLUSS,
     'zero': ZERO,
     'moving_window': MovingWindow,
@@ -70,7 +71,7 @@ def min_required_length(algorithm: str, params: dict = None) -> int:
     algo = build_algorithm(algorithm, params)
     if isinstance(algo, SingularSubspaceAlgorithm):
         return algo.covered_regions()[0] + 1
-    if isinstance(algo, RuLSIF):  # covers ULSIF
+    if isinstance(algo, (RuLSIF, KLIEP)):  # RuLSIF covers ULSIF
         return algo.window_length + algo.n_windows + algo.lag + 1
     if isinstance(algo, BOCPD):
         return algo.run_length

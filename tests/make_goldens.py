@@ -13,7 +13,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, MESST, MSST, SST,
+from changepoynt_spark.kernels import (BOCPD, ESST, FLUSS, KLIEP, MESST, MSST, SST,
                                        MovingWindow, RuLSIF)
 from changepoynt_spark.sources import signals
 
@@ -59,6 +59,9 @@ CELLS = [
      lambda: signals.streaming_sine_signal(seed=7), None),
     ('rulsif_w4_n8_step8_mean1234_seed13',
      lambda: RuLSIF(window_length=4, n_windows=8, scoring_step=8),
+     lambda: signals.mean_shift_signal(seed=1234)[0], 13),
+    ('kliep_w4_n8_step8_mean1234_seed13',
+     lambda: KLIEP(window_length=4, n_windows=8, scoring_step=8),
      lambda: signals.mean_shift_signal(seed=1234)[0], 13),
 ]
 

@@ -186,9 +186,87 @@ def test_rulsif_estimation_lag_detects_steps(step):
     assert np.array_equal(score, again)
 
 
+# -- KLIEP -------------------------------------------------------------------
+# "Planned" in the reference with no implementation (README.md:172) — this
+# engine implements the real algorithm (Sugiyama 2008 / Kawahara-Sugiyama 2009)
+
+def test_kliep_detects_steps(step):
+    np.random.seed(3455)
+    score = KLIEP(window_length=4, n_windows=8, scoring_step=4).transform(step)
+    assert score.shape == step.shape
+    assert np.isfinite(score).all()
+    peaks = np.argsort(score)[-20:]
+    assert any(abs(int(p) - 300) < 80 or abs(int(p) - 600) < 80 for p in peaks)
+
+
+def test_kliep_seeded_reproducible(step):
+    np.random.seed(3455)
+    a = KLIEP(window_length=4, n_windows=8, scoring_step=8).transform(step)
+    np.random.seed(3455)
+    b = KLIEP(window_length=4, n_windows=8, scoring_step=8).transform(step)
+    assert np.array_equal(a, b)
+
+
+def test_kliep_step_batched_equals_per_step_estimator(step):
+    """The chunked step-batched transform must be bit-identical to the naive
+    per-step KLIEPEstimator loop through the shared ``_transform`` (same RNG
+    draw order: centers, ref-CV, test-CV per step)."""
+    from changepoynt_spark.kernels import density_ratio as dr
+    np.random.seed(5)
+    batched = KLIEP(window_length=4, n_windows=8, scoring_step=4).transform(step)
+    np.random.seed(5)
+    ts = step.copy()
+    starting = 4 + 8 + 8
+    est = dr.KLIEPEstimator(kernel_number=100)
+    forward = dr._transform(ts, starting, 4, 8, 8, 4, est)
+    backward = dr._transform(ts[::-1], starting, 4, 8, 8, 4, est)
+    assert np.array_equal(batched, forward + backward[::-1])
+
+
+def test_kliep_chunk_boundary_invariance(step):
+    """Scores must not depend on the step_batch chunk size (sigma carry-over
+    crosses chunk boundaries)."""
+    np.random.seed(17)
+    det = KLIEP(window_length=4, n_windows=8, scoring_step=4, estimation_lag=8)
+    a = det.transform(step)
+    small = KLIEP(window_length=4, n_windows=8, scoring_step=4, estimation_lag=8)
+    small.step_batch = 7  # deliberately misaligned with estimation_lag
+    np.random.seed(17)
+    b = small.transform(step)
+    assert np.array_equal(a, b)
+
+
+def test_kliep_estimation_lag_rng_stream_alignment(step):
+    """Skip-CV steps consume dummy permutation draws: scores at re-estimation
+    steps bit-match the estimation_lag=None path (non-symmetric so forward
+    step indices map 1:1 to score positions)."""
+    np.random.seed(21)
+    full = KLIEP(window_length=4, n_windows=8, scoring_step=4,
+                 symmetric=False).transform(step)
+    np.random.seed(21)
+    lagged = KLIEP(window_length=4, n_windows=8, scoring_step=4,
+                   estimation_lag=8, symmetric=False).transform(step)
+    start = 4 + 8 + 8
+    reest = [start - 8 + 4 * i for i in range(0, len(step), 8)
+             if start + 4 * i < len(step)]
+    assert all(full[p] == lagged[p] for p in reest)
+    assert not np.array_equal(full, lagged)
+
+
+def test_kliep_symmetric_sums_passes(step):
+    np.random.seed(11)
+    sym = KLIEP(window_length=4, n_windows=8, scoring_step=8).transform(step)
+    np.random.seed(11)
+    fwd = KLIEP(window_length=4, n_windows=8, scoring_step=8,
+                symmetric=False).transform(step)
+    bwd_region = sym - fwd
+    assert np.isfinite(bwd_region).all()
+    assert not np.array_equal(sym, fwd)
+
+
 # -- dead ops (API parity) ----------------------------------------------------
 
-@pytest.mark.parametrize('cls', [FLOSS, CLASP, SubspaceIdentification, KLIEP])
+@pytest.mark.parametrize('cls', [FLOSS, CLASP, SubspaceIdentification])
 def test_dead_algorithms_raise(cls):
     with pytest.raises(NotImplementedError):
         cls(20)

@@ -119,6 +119,22 @@ def test_rulsif_spark_bitmatch_oracle(spark, small_tokens):
         assert np.array_equal(np.asarray(r['score']), oracle[r['doc_id']]), r['doc_id']
 
 
+def test_kliep_spark_bitmatch_oracle(spark, small_tokens):
+    """KLIEP on Spark == driver-side numpy oracle, bit-for-bit (same contract
+    as every other kernel; KLIEP is net-new vs the reference, which lists it
+    as Planned)."""
+    params = {'window_length': 4, 'n_windows': 8, 'scoring_step': 8,
+              'estimation_lag': 4}
+    df = small_tokens.filter("n_tok <= 600")
+    scored = scoring.score_series(df, algorithm='kliep', params=params)
+    rows = scored.select('doc_id', 'score').collect()
+    assert rows
+    oracle = _oracle_scores(df.toPandas(), 'kliep', params)
+    assert set(r['doc_id'] for r in rows) == set(oracle)
+    for r in rows:
+        assert np.array_equal(np.asarray(r['score']), oracle[r['doc_id']]), r['doc_id']
+
+
 @pytest.mark.parametrize('algorithm,params', [
     ('msst', {'window_length': 12, 'n_windows': 12, 'lag': 4, 'rank': 2,
               'method': 'ika'}),
