@@ -1891,10 +1891,12 @@ def oracle_sql() -> dict[str, str]:
                   FROM d)
             SELECT bucket_start, n_points,
                    ROUND(mean, 6) + 0.0 AS mean,
-                   ROUND(m2, 6) + 0.0 AS variance,
-                   ROUND(m3 / sqrt(m2 * m2 * m2), 6) + 0.0 AS skewness,
-                   ROUND(m4 / (m2 * m2) - 3, 6) + 0.0 AS kurtosis
-            FROM m WHERE m2 > 1e-6
+                   CASE WHEN m2 > 1e-6 THEN ROUND(m2, 6) + 0.0 END AS variance,
+                   CASE WHEN m2 > 1e-6
+                        THEN ROUND(m3 / sqrt(m2 * m2 * m2), 6) + 0.0 END AS skewness,
+                   CASE WHEN m2 > 1e-6
+                        THEN ROUND(m4 / (m2 * m2) - 3, 6) + 0.0 END AS kurtosis
+            FROM m
         """,
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n

@@ -130,12 +130,17 @@ def interval_join(points: DataFrame, intervals: DataFrame, on=(),
                                if c not in on + [lo_col, hi_col]])
     bucket = lambda c: (F.unix_micros(F.col(c).cast('timestamp'))
                         / (bucket_seconds * 1_000_000)).cast('long')  # noqa: E731
+    # explicit side aliases + qualified names: when points and intervals
+    # share lineage (self-join), resolution must not lean on Spark's
+    # dataset-id disambiguation heuristic ("trivially true equals" warning)
     iv = intervals.select(
         *on, lo_col, hi_col, *interval_cols,
-        F.explode(F.sequence(bucket(lo_col), bucket(hi_col))).alias('_b'))
-    pt = points.withColumn('_b', bucket(ts_col))
-    cond = [pt['_b'] == iv['_b']] + [pt[k] == iv[k] for k in on]
+        F.explode(F.sequence(bucket(lo_col), bucket(hi_col))).alias('_b')).alias('iv')
+    pt = points.withColumn('_b', bucket(ts_col)).alias('pt')
+    cond = [F.col('pt._b') == F.col('iv._b')] + \
+           [F.col(f'pt.{k}') == F.col(f'iv.{k}') for k in on]
     out = (pt.join(iv, on=cond, how='inner')
-             .where((pt[ts_col] >= iv[lo_col]) & (pt[ts_col] <= iv[hi_col])))
-    return out.select(*[pt[c] for c in points.columns],
-                      *[iv[c] for c in [lo_col, hi_col] + interval_cols])
+             .where((F.col(f'pt.{ts_col}') >= F.col(f'iv.{lo_col}'))
+                    & (F.col(f'pt.{ts_col}') <= F.col(f'iv.{hi_col}'))))
+    return out.select(*[F.col(f'pt.{c}') for c in points.columns],
+                      *[F.col(f'iv.{c}') for c in [lo_col, hi_col] + interval_cols])

@@ -17,58 +17,43 @@ bound (Misra-Gries summaries + exact recount) shuffles only candidates:
 """
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _misra_gries(values: np.ndarray, k: int) -> dict:
-    """Classic MG sketch: at most k counters; any item with frequency
-    > len(values)/ (k+1) is guaranteed present."""
-    counters: dict = {}
-    for x in values:
-        if x in counters:
-            counters[x] += 1
-        elif len(counters) < k:
-            counters[x] = 1
-        else:
-            dead = [key for key in counters if counters[key] == 1]
-            for key in counters:
-                counters[key] -= 1
-            for key in dead:
-                del counters[key]
-    return counters
-
-
 def heavy_hitters(df: DataFrame, item_col: str, k: int = 20,
                   candidate_k: int = 256) -> DataFrame:
     """Exact global top-``k`` items by count, computed with candidate
-    pruning: only ~``candidate_k`` items per partition ever reach an
+    pruning: only O(``candidate_k``) items per partition ever reach an
     exchange.  Output: (item, cnt), ordered (cnt desc, item) — identical to
     the naive full-shuffle top-k when the true top-k are heavier than
-    N/candidate_k (the MG guarantee; make candidate_k >> k)."""
+    N/candidate_k (the MG guarantee; make candidate_k >> k).
+
+    The merge stage keeps EVERY candidate that survives any partition
+    summary (<= 4*candidate_k per partition), preserving the superset
+    guarantee strictly — a top-candidate_k cut of summed lower bounds
+    could in theory evict a true heavy item ranked low by its bounds."""
     items = df.select(F.col(item_col).alias('item'))
 
     def summarize(batches):
-        counters: dict = {}
-        n = 0
+        # fully vectorized Misra-Gries-style fold: value_counts add per
+        # Arrow batch (no per-unique-item Python loop), batched decrement
+        # when the state exceeds 4*candidate_k — subtract the
+        # (candidate_k+1)-th largest count from everyone, drop
+        # non-positives.  Each decrement lowers >= candidate_k+1 counters
+        # equally, so any item with partition frequency > N_p/(candidate_k+1)
+        # survives with a positive lower bound (the classic MG guarantee).
+        acc = pd.Series(dtype='int64')
         for pdf in batches:
-            vals = pdf['item'].to_numpy()
-            n += len(vals)
-            # fold the batch through the shared MG state: exact counts
-            # first (cheap, vectorized), then MG-merge into the state
-            u, c = np.unique(vals, return_counts=True)
-            for item, cnt in zip(u, c):
-                counters[item] = counters.get(item, 0) + int(cnt)
-            if len(counters) > 4 * candidate_k:
-                # MG decrement step, batched: subtract the (candidate_k+1)-th
-                # largest count from everyone; drop non-positives
-                cut = sorted(counters.values(), reverse=True)[candidate_k]
-                counters = {i: c - cut for i, c in counters.items() if c > cut}
-        out = pd.DataFrame({'item': list(counters.keys()),
-                            'lower': [int(v) for v in counters.values()]})
+            counts = pdf['item'].value_counts()
+            acc = counts.copy() if acc.empty else acc.add(counts, fill_value=0)
+            if len(acc) > 4 * candidate_k:
+                cut = acc.nlargest(candidate_k + 1).iloc[-1]
+                acc = acc[acc > cut] - cut
+        out = pd.DataFrame({'item': acc.index,
+                            'lower': acc.to_numpy(dtype='int64')})
         return iter([out])
 
     sketch_schema = T.StructType([
@@ -76,10 +61,7 @@ def heavy_hitters(df: DataFrame, item_col: str, k: int = 20,
         T.StructField('lower', T.LongType()),
     ])
     candidates = (items.mapInPandas(summarize, schema=sketch_schema)
-                       .groupBy('item').agg(F.sum('lower').alias('lower'))
-                       .orderBy(F.col('lower').desc(), 'item')
-                       .limit(candidate_k)
-                       .select('item'))
+                       .select('item').distinct())
     exact = (items.join(F.broadcast(candidates), on='item', how='inner')
                   .groupBy('item').agg(F.count('*').alias('cnt')))
     return exact.orderBy(F.col('cnt').desc(), 'item').limit(k)

@@ -531,8 +531,18 @@ def moments_rollup(df: DataFrame, keys, ts_col: str = 'ts',
     Population moments from DECIMAL-exact power sums (s1..s4): every
     derived statistic is double arithmetic over exact operands in one
     fixed expression shape -> bit-identical cross-engine.  Kurtosis is the
-    EXCESS form (normal = 0).  Degenerate buckets (var <= 0) yield NULL
-    skew/kurtosis rather than dividing by zero."""
+    EXCESS form (normal = 0).  Degenerate buckets (n==1 or near-constant
+    values, m2 <= 1e-6) keep their (keys, bucket_start, n_points, mean)
+    row but emit NULL variance/skewness/kurtosis: below that floor m2 is
+    catastrophic-cancellation noise amplified into the ratios — meaningless
+    on any engine — and the decimal->double conversions differ by 1 ulp
+    between engines, so the noise is not even reproducible.
+
+    Value-range precondition: the DECIMAL(8,4) base means |value| must be
+    < 10^4 (Spark 4 runs ANSI mode, so a wider value THROWS on cast rather
+    than silently truncating).  The narrow base is deliberate: x^4 stays
+    within 38 digits with no precision loss on either engine; a wider base
+    would silently lose precision in Spark and overflow DuckDB."""
     keys = list(keys)
     # DECIMAL(8,4) base on purpose: x^4 then stays within 38 digits with NO
     # precision loss on either engine ((8,4)^4 -> scale 16, ~35 digits);
@@ -557,16 +567,13 @@ def moments_rollup(df: DataFrame, keys, ts_col: str = 'ts',
           - 3 * m * m * m * m)
     skew = m3 / F.sqrt(m2 * m2 * m2)
     kurt = m4 / (m2 * m2) - 3
-    # degenerate buckets (n==1 or constant values) leave m2 at catastrophic-
-    # cancellation noise (~1e-12): skew/kurt there are pure amplified ulps —
-    # meaningless on ANY engine — so they are excluded rather than emitted
-    # as garbage.  The survivors are well-conditioned; round-6 absorbs the
-    # one-ulp decimal->double conversion difference between engines.
-    out = (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
-              .filter(m2 > 1e-6))
+    # well-conditioned buckets only get moment values; round-6 absorbs the
+    # one-ulp decimal->double conversion difference between engines
+    out = agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+    well = m2 > 1e-6
     rnd = lambda c: F.round(c, 6) + F.lit(0.0)   # + 0.0 collapses -0.0  # noqa: E731
     return out.select(*keys, 'bucket_start', 'n_points',
                       rnd(m).alias('mean'),
-                      rnd(m2).alias('variance'),
-                      rnd(skew).alias('skewness'),
-                      rnd(kurt).alias('kurtosis'))
+                      F.when(well, rnd(m2)).alias('variance'),
+                      F.when(well, rnd(skew)).alias('skewness'),
+                      F.when(well, rnd(kurt)).alias('kurtosis'))

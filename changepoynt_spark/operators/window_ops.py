@@ -242,8 +242,11 @@ def score_segments(scores: DataFrame, key_col: str = 'user_id',
     """Segmentation view: consecutive positions between changepoints become
     segments — (key, segment_id, start_pos, end_pos, n_points, mean_score).
     The downstream table every changepoint consumer actually wants (the
-    reference stops at scores).  Segment means use the decimal-quantized
-    sum -> deterministic cross-engine."""
+    reference stops at scores).  ``mean_score`` is a plain double
+    sum/count; for cross-engine-deterministic output the CALLER rounds the
+    mean (the shipped contract query applies round-3 to the non-dyadic
+    mean, never to the near-dyadic addends — see
+    events_changepoint_segments)."""
     cp = detect_changepoints(scores, key_col, pos_col, score_col,
                              threshold, min_distance)
     order = Window.partitionBy(key_col).orderBy(pos_col)

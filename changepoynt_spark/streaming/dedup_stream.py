@@ -36,7 +36,8 @@ def streaming_exact_dedup(stream_df: DataFrame, ts_col: str = 'ts',
 def streaming_lsh_candidates(stream_df, ts_col: str = 'ts',
                              num_hashes: int = 32, bands: int = 8, n: int = 3,
                              id_col: str = 'doc_id',
-                             watermark_delay: str = '10 minutes'):
+                             watermark_delay: str = '10 minutes',
+                             max_pair_gap: str = None):
     """Streaming near-duplicate CANDIDATE pairs: as documents arrive, each
     is banded (MinHash LSH, same signatures as the batch path) and
     stream-stream self-joined on (band, band hash) within the watermark —
@@ -70,11 +71,16 @@ def streaming_lsh_candidates(stream_df, ts_col: str = 'ts',
     left = banded(stream_df, 'l')
     right = banded(stream_df, 'r')
     # SYMMETRIC time bound: id order (l_id < r_id) is independent of
-    # arrival order, so the matching doc may sit on either side in time
+    # arrival order, so the matching doc may sit on either side in time.
+    # The bound tracks the WATERMARK DELAY by default (a pair is emitted
+    # iff some band collides within the watermark horizon — state for
+    # older rows is dropped anyway, so a wider bound would silently miss
+    # pairs); pass max_pair_gap to narrow it deliberately.
+    gap = max_pair_gap or watermark_delay
     cond = F.expr(
-        'l_band = r_band AND l_bh = r_bh AND l_id < r_id '
-        'AND r_ts BETWEEN l_ts - INTERVAL 10 MINUTES '
-        'AND l_ts + INTERVAL 10 MINUTES')
+        f'l_band = r_band AND l_bh = r_bh AND l_id < r_id '
+        f'AND r_ts BETWEEN l_ts - INTERVAL {gap} '
+        f'AND l_ts + INTERVAL {gap}')
     pairs = (left.join(right, cond)
                  .select(F.col('l_id').alias('doc_a'),
                          F.col('r_id').alias('doc_b'),

@@ -486,3 +486,35 @@ def test_rolling_autocorr_detects_persistence_vs_alternation(spark):
     import pandas as pd
     first = out.sort_values('ts').groupby('k').nth(0)
     assert pd.isna(first['autocorr']).all()
+
+
+def test_moments_rollup_degenerate_bucket_yields_null_moments(spark):
+    """Degenerate buckets (constant values / n==1) keep their row —
+    n_points and mean intact — with NULL variance/skewness/kurtosis;
+    well-conditioned buckets get real moments."""
+    import datetime as dt
+    rows = (
+        # hour 0: constant values -> degenerate
+        [(dt.datetime(2026, 1, 1, 0, 0, m), 'a', 5.0) for m in range(10)]
+        # hour 1: single point -> degenerate
+        + [(dt.datetime(2026, 1, 1, 1, 0, 0), 'a', 2.5)]
+        # hour 2: real spread -> well-conditioned
+        + [(dt.datetime(2026, 1, 1, 2, 0, m), 'a', float(v))
+           for m, v in enumerate([1, 9, 2, 8, 3, 7, 4, 6, 5, 50])])
+    df = spark.createDataFrame(rows, 'ts timestamp, user_id string, value double')
+    got = (rollup.moments_rollup(df, ['user_id'], interval='1 hour')
+           .orderBy('bucket_start').toPandas())
+    assert len(got) == 3
+    assert got['n_points'].tolist() == [10, 1, 10]
+    assert got['mean'].tolist() == [5.0, 2.5, 9.5]
+    assert got['variance'].isna().tolist() == [True, True, False]
+    assert got['skewness'].isna().tolist() == [True, True, False]
+    assert got['kurtosis'].isna().tolist() == [True, True, False]
+    # well-conditioned bucket: verify against numpy population moments
+    vals = np.array([1, 9, 2, 8, 3, 7, 4, 6, 5, 50], dtype=float)
+    m2 = ((vals - vals.mean()) ** 2).mean()
+    m3 = ((vals - vals.mean()) ** 3).mean()
+    m4 = ((vals - vals.mean()) ** 4).mean()
+    assert got['variance'].iloc[2] == pytest.approx(m2, abs=1e-5)
+    assert got['skewness'].iloc[2] == pytest.approx(m3 / m2 ** 1.5, abs=1e-5)
+    assert got['kurtosis'].iloc[2] == pytest.approx(m4 / m2 ** 2 - 3, abs=1e-5)

@@ -256,3 +256,41 @@ def test_streaming_lsh_candidates_cover_batch_pairs(spark, tmp_path):
     # streaming candidates ⊇ verified batch pairs (the recall contract);
     # extras are unverified band collisions, filtered downstream
     assert batch_pairs <= got, f'missing {batch_pairs - got}'
+
+
+def test_streaming_lsh_candidates_non_default_watermark(spark, tmp_path):
+    """The pair time bound must TRACK a non-default watermark_delay (it was
+    once hardcoded at +-10 minutes): with a 30-minute watermark and events
+    spread over ~15 minutes, pairs more than 10 minutes apart must still
+    surface."""
+    import datetime as dt
+    from changepoynt_spark.operators import dedup
+    from changepoynt_spark.streaming.dedup_stream import streaming_lsh_candidates
+
+    base = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+    t0 = dt.datetime(2026, 1, 1)
+    docs = base.limit(200).withColumn(
+        'ts', F.expr(f"timestamp'{t0}' + make_interval(0,0,0,0,0,0, (doc_id % 7) * 140)"))
+    path = str(tmp_path / 'docs_stream_wide')
+    docs.repartition(4).write.parquet(path)
+
+    batch_pairs = {(min(a, b), max(a, b)) for a, b in
+                   dedup.minhash_lsh_pairs(spark.read.parquet(path),
+                                           num_hashes=32, bands=8, threshold=0.0)
+                   .select('doc_a', 'doc_b').collect()}
+    gaps = spark.read.parquet(path).select('doc_id', 'ts').toPandas()
+    ts_by_id = dict(zip(gaps['doc_id'], gaps['ts']))
+    wide = {(a, b) for a, b in batch_pairs
+            if abs((ts_by_id[a] - ts_by_id[b]).total_seconds()) > 600}
+    assert wide, 'fixture has no pairs wider than the old hardcoded bound'
+
+    stream = (spark.readStream.schema(spark.read.parquet(path).schema)
+              .option('maxFilesPerTrigger', 1).parquet(path))
+    cands = streaming_lsh_candidates(stream, num_hashes=32, bands=8,
+                                     watermark_delay='30 minutes')
+    q = (cands.writeStream.outputMode('append').format('memory')
+         .queryName('lsh_stream_wide').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r['doc_a'], r['doc_b']) for r in
+           spark.sql('SELECT doc_a, doc_b FROM lsh_stream_wide').collect()}
+    assert batch_pairs <= got, f'missing {batch_pairs - got}'
