@@ -299,6 +299,54 @@ def _lsh_topk_sql(n_planes: int = 6, seed: int = 7, k: int = 10, dim: int = 64) 
     """
 
 
+def _cosine_dups_sql(threshold: float = 0.6, n_planes: int = 6, seed: int = 7,
+                     n_tables: int = 8, dim: int = 64) -> str:
+    """Oracle for the multi-table LSH near-dup pairs: every table's seeded
+    Gaussian planes embedded as double literals (repr round-trips exactly),
+    per-table bucket self-joins unioned (UNION dedups, mirroring
+    dropDuplicates), then the exact cosine verify with the same
+    dot/(norm_a*norm_b) expression shape.  Same literal-planes technique as
+    :func:`_lsh_topk_sql` — both engines fold the dot products sequentially
+    over identical doubles, so buckets and candidates agree exactly."""
+    import numpy as np
+
+    def arr(p):
+        return '[' + ', '.join(repr(float(x)) for x in p) + ']'
+
+    def bucket(col, planes):
+        return ' + '.join(
+            f"(CASE WHEN list_inner_product({col}, {arr(planes[i])}) >= 0 "
+            f"THEN {2 ** i} ELSE 0 END)" for i in range(n_planes))
+
+    table_pairs = []
+    for t in range(n_tables):
+        planes = np.random.default_rng(seed + 104729 * t).standard_normal((n_planes, dim))
+        table_pairs.append(f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM (SELECT vec_id, {bucket('v', planes)} AS bkt FROM e) a
+        JOIN (SELECT vec_id, {bucket('v', planes)} AS bkt FROM e) b
+          ON a.bkt = b.bkt AND a.vec_id < b.vec_id""")
+    cand_union = '\n        UNION\n'.join(table_pairs)
+
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings
+               WHERE sqrt(list_inner_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)))) > 0),
+    cand AS ({cand_union}),
+    verified AS (
+      SELECT cand.vec_a, cand.vec_b,
+             ROUND(list_inner_product(ea.v, eb.v)
+                   / (sqrt(list_inner_product(ea.v, ea.v))
+                      * sqrt(list_inner_product(eb.v, eb.v))), 6) AS cos_sim
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.vec_a
+      JOIN e eb ON eb.vec_id = cand.vec_b)
+    SELECT vec_a, vec_b, cos_sim FROM verified WHERE cos_sim >= {threshold}
+    """
+
+
 def _langid_sql() -> str:
     """SQL form of the trigram language-ID heuristic: non-overlapping
     substring counts via the replace-length trick (equivalent to
@@ -1118,10 +1166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   invariants are asserted in tests/test_packing.py instead.
     # - retention_report: thin count-by-policy over the fused scored rollup
     #   (same blob-bearing path as scored_rollup_compressed).
-    # - embedding_cosine_dups: multi-table LSH candidates depend on plane
-    #   RNG draws; recall >= 0.9 vs brute force is asserted in
-    #   tests/test_similarity_text.py (the single-table LSH top-k and IVF
-    #   variants ARE oracled with literal planes/centroids).
+    # (embedding_cosine_dups moved to the oracled set in round 4: all eight
+    # tables' seeded planes are embedded as SQL literals — the same
+    # technique as embedding_lsh_topk — so candidates AND the cosine verify
+    # agree exactly; the recall >= 0.9 assertion vs brute force remains in
+    # tests/test_similarity_text.py.)
     # - multimodal_*: binary payload plans with honestly-stubbed decode —
     #   shapes/partitioning asserted in tests/test_multimodal.py.
     # (gap_fill_linear_values moved to the oracled set in round 3: the round-2
@@ -1317,7 +1366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf_dir, 'embeddings')
         emb = emb.withColumn('embedding',
                              F.transform('embedding', lambda x: x.cast('double')))
-        return similarity.embedding_cosine_dups(emb, threshold=0.6, n_planes=6)
+        # threshold 0.4: the synthetic embeddings have no planted near-dups
+        # (max pairwise cosine ~0.5), so 0.4 exercises the full
+        # bucket->union->verify path with a non-trivial result set
+        return similarity.embedding_cosine_dups(emb, threshold=0.4, n_planes=6)
 
     def multimodal_frame_plan(spark, sf_dir):
         media = multimodal.synthetic_media_table(spark, n_items=24)
@@ -1942,6 +1994,8 @@ def oracle_sql() -> dict[str, str]:
         'simhash_dup_pairs': _simhash_pairs_sql(max_hamming=6),
         'embedding_knn': _KNN_SQL,
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
+        'embedding_cosine_dups': _cosine_dups_sql(threshold=0.4, n_planes=6,
+                                                  seed=7, n_tables=8),
         'embedding_ivf_topk': _ivf_topk_sql(n_lists=16, nprobe=4, k=10),
         'embedding_quantized_topk': """
             WITH e AS (SELECT vec_id,
