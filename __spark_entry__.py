@@ -1171,8 +1171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # technique as embedding_lsh_topk — so candidates AND the cosine verify
     # agree exactly; the recall >= 0.9 assertion vs brute force remains in
     # tests/test_similarity_text.py.)
-    # - multimodal_*: binary payload plans with honestly-stubbed decode —
-    #   shapes/partitioning asserted in tests/test_multimodal.py.
+    # - multimodal_*: binary-payload plans and features.  Image (PPM) and
+    #   audio (WAV/PCM16) decode are REAL numpy parsers as of round 4 —
+    #   features are content-derived and pytest-asserted against driver-side
+    #   re-decodes; only video decode remains stubbed (no ffmpeg here).
+    #   Rows-only: SQL cannot decode rasters/waveforms.
     # (gap_fill_linear_values moved to the oracled set in round 3: the round-2
     # twin was unsound because RAW double sums made the tier averages
     # order-dependent; with DECIMAL-exact sums cast to double the tier is
@@ -1380,6 +1383,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.resize_plan(media, max_side=256)
 
     def multimodal_features(spark, sf_dir):
+        # REAL content features for image (PPM parse) and audio (WAV/PCM16
+        # parse); video rows use the documented deterministic stub
+        media = multimodal.synthetic_media_table(spark, n_items=24)
+        return multimodal.extract_features(media)
+
+    def multimodal_features(spark, sf_dir):
         media = multimodal.synthetic_media_table(spark, n_items=24)
         feats = multimodal.extract_features(media)
         return feats.select('media_id', 'modality', 'n_bytes',
@@ -1512,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'embedding_cosine_dups': embedding_cosine_dups,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
+        'multimodal_features': multimodal_features,
         'multimodal_features': multimodal_features,
         'gap_fill_linear_values': gap_fill_linear_values,
     }

@@ -1,16 +1,26 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed by Arrow-batched kernels.
+"""Multimodal columns: image/audio/video as binary columns with typed
+metadata, processed by Arrow-batched kernels.
 
-The decode step is STUBBED — image/audio libraries are not available in this
-container — behind :func:`_decode_stub`, which either raises
-NotImplementedError (real mode) or produces a deterministic fake (test mode).
-Everything Spark-side is real and tested: schema, batching, partitioning,
-UDF signatures and output shapes are exactly what a production decoder would
-plug into.
+Image and audio decode are REAL, numpy-only implementations of
+container-free formats:
+
+- :func:`decode_ppm` / :func:`encode_ppm` — binary PPM (P6) and PGM (P5),
+  the canonical headerless-raster interchange format (netpbm),
+- :func:`decode_wav` / :func:`encode_wav` — RIFF/WAVE PCM16, parsed
+  directly from the chunk structure.
+
+:func:`extract_features` therefore computes REAL content features for
+images (per-channel statistics, luminance, gradient energy, quadrant
+means) and audio (RMS/peak/zero-crossings, spectral centroid/bandwidth,
+log band energies).  Video decode alone remains honestly stubbed behind
+:func:`_decode_stub` (no ffmpeg in this environment); its Spark-side
+plumbing — schema, batching, fan-out plans — is identical to the real
+paths and fully tested.
 """
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -21,7 +31,7 @@ from pyspark.sql import types as T
 MEDIA_SCHEMA = T.StructType([
     T.StructField('media_id', T.StringType(), False),
     T.StructField('modality', T.StringType(), False),   # image | audio | video
-    T.StructField('payload', T.BinaryType(), False),    # opaque encoded bytes
+    T.StructField('payload', T.BinaryType(), False),    # encoded bytes
     T.StructField('mime', T.StringType(), True),
     T.StructField('width', T.IntegerType(), True),
     T.StructField('height', T.IntegerType(), True),
@@ -35,29 +45,188 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField('feature', T.ArrayType(T.FloatType()), True),
 ])
 
+FEATURE_DIM = 16
+
+
+# ---------------------------------------------------------------------------
+# image: binary PPM (P6) / PGM (P5)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> binary PPM (P6) / PGM (P5) bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic, h, w = b'P5', *img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic, (h, w) = b'P6', img.shape[:2]
+    else:
+        raise ValueError(f'expected (h, w) or (h, w, 3) uint8, got {img.shape}')
+    return magic + f'\n{w} {h}\n255\n'.encode('ascii') + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8; PGM (P5) -> (h, w) uint8.
+    Handles netpbm whitespace/comment rules in the header."""
+    if payload[:2] not in (b'P5', b'P6'):
+        raise ValueError(f'not a binary PPM/PGM payload (magic {payload[:2]!r})')
+    channels = 3 if payload[:2] == b'P6' else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b'#':                 # comment to EOL
+            while payload[pos:pos + 1] not in (b'\n', b''):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1                                             # single ws after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f'only maxval 255 supported, got {maxval}')
+    n = w * h * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape((h, w, 3) if channels == 3 else (h, w)).copy()
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, ch) int16 -> RIFF/WAVE PCM16 bytes."""
+    x = np.asarray(samples, dtype='<i2')
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    data = x.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack('<HHIIHH', 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (b'WAVE'
+            + b'fmt ' + struct.pack('<I', len(fmt)) + fmt
+            + b'data' + struct.pack('<I', len(data)) + data)
+    return b'RIFF' + struct.pack('<I', len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE PCM16 -> ((n, ch) int16 array, sample_rate).  Walks the
+    chunk list, so extra chunks (LIST/INFO...) are skipped correctly."""
+    if payload[:4] != b'RIFF' or payload[8:12] != b'WAVE':
+        raise ValueError('not a RIFF/WAVE payload')
+    pos, ch, sample_rate, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack('<I', payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b'fmt ':
+            audio_fmt, ch, sample_rate, _, _, bits = struct.unpack('<HHIIHH', body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f'only PCM16 supported (fmt={audio_fmt}, bits={bits})')
+        elif cid == b'data':
+            data = body
+        pos += 8 + size + (size & 1)                     # chunks are word-aligned
+    if ch is None or data is None:
+        raise ValueError('missing fmt/data chunk')
+    x = np.frombuffer(data, dtype='<i2')
+    return x.reshape(-1, ch).copy(), sample_rate
+
+
+# ---------------------------------------------------------------------------
+# content features
+# ---------------------------------------------------------------------------
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """16 real content features from a decoded raster: dims/aspect,
+    per-channel mean/std, luminance mean/std, mean absolute gradient
+    (h+v), and the four quadrant luminance means."""
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    x = img.astype(np.float64)
+    h, w = x.shape[:2]
+    lum = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    grad = 0.0
+    if w > 1:
+        grad += float(np.abs(np.diff(lum, axis=1)).mean())
+    if h > 1:
+        grad += float(np.abs(np.diff(lum, axis=0)).mean())
+    hh, wh = max(h // 2, 1), max(w // 2, 1)
+    quads = [float(lum[:hh, :wh].mean()), float(lum[:hh, wh:].mean() if w > 1 else lum.mean()),
+             float(lum[hh:, :wh].mean() if h > 1 else lum.mean()),
+             float(lum[hh:, wh:].mean() if h > 1 and w > 1 else lum.mean())]
+    feats = [float(w), float(h), w / h,
+             *(float(x[:, :, c].mean()) for c in range(3)),
+             *(float(x[:, :, c].std()) for c in range(3)),
+             float(lum.mean()), float(lum.std()), grad, *quads]
+    return np.asarray(feats, dtype=np.float32)
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
+    """16 real content features from decoded PCM: rate/length/duration,
+    RMS/peak/zero-crossing rate, spectral centroid and bandwidth (Hz), and
+    8 log-power band energies over equal slices of the spectrum."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)                               # mono mixdown
+    n = x.shape[0]
+    x_n = x / 32768.0
+    rms = float(np.sqrt(np.mean(x_n ** 2))) if n else 0.0
+    peak = float(np.max(np.abs(x_n))) if n else 0.0
+    zcr = float(np.mean(np.signbit(x_n[1:]) != np.signbit(x_n[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(x_n)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sample_rate) if n else np.zeros(1)
+    total = float(spec.sum())
+    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    bandwidth = (float(np.sqrt(((freqs - centroid) ** 2 * spec).sum() / total))
+                 if total > 0 else 0.0)
+    bands = np.zeros(8)
+    if spec.size >= 8:
+        for b, chunk in enumerate(np.array_split(spec, 8)):
+            bands[b] = np.log10(1.0 + chunk.sum())
+    feats = [float(sample_rate), float(n), n / sample_rate,
+             rms, peak, zcr, centroid, bandwidth, *bands]
+    return np.asarray(feats, dtype=np.float32)
+
 
 def _decode_stub(payload: bytes, modality: str, deterministic_fake: bool):
-    """Placeholder for a real decoder (PIL/ffmpeg/torchaudio are not in this
-    container).  deterministic_fake=True derives a stable pseudo-decode from
-    the payload bytes so the downstream plumbing is testable end to end."""
+    """Placeholder for modalities without a real decoder here (video needs
+    ffmpeg).  deterministic_fake=True derives a stable pseudo-decode from
+    the payload bytes so downstream plumbing is testable end to end."""
     if not deterministic_fake:
         raise NotImplementedError(
             f'No {modality} decoder available in this environment; install a '
             'decoder and replace _decode_stub.')
     digest = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], 'little'))
-    return rng.standard_normal(16).astype(np.float32)
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 
-def extract_features(df: DataFrame, feature_dim: int = 16,
+def decode_features(payload: bytes, modality: str,
+                    deterministic_fake: bool = True) -> np.ndarray:
+    """Decode one payload and compute its 16 content features.  Image (PPM/
+    PGM) and audio (WAV/PCM16) are REAL decodes; video falls back to
+    :func:`_decode_stub`."""
+    if modality == 'image':
+        return image_features(decode_ppm(payload))
+    if modality == 'audio':
+        return audio_features(*decode_wav(payload))
+    return _decode_stub(payload, modality, deterministic_fake)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def extract_features(df: DataFrame, feature_dim: int = FEATURE_DIM,
                      deterministic_fake: bool = True) -> DataFrame:
     """media table -> per-item feature vectors via mapInPandas (no shuffle;
-    binary payloads stream through Arrow in batches)."""
+    binary payloads stream through Arrow in batches).  Image/audio features
+    are computed from the REAL decoded content; only video uses the stub."""
 
     def kernel(batches):
         for pdf in batches:
             feats = [
-                _decode_stub(bytes(p), m, deterministic_fake).tolist()
+                decode_features(bytes(p), m, deterministic_fake).tolist()
                 for p, m in zip(pdf['payload'], pdf['modality'])]
             yield pd.DataFrame({
                 'media_id': pdf['media_id'],
@@ -67,6 +236,42 @@ def extract_features(df: DataFrame, feature_dim: int = 16,
             })
 
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_image(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample to (out_h, out_w) — the numpy-only resize
+    kernel behind :func:`resize_images` (swap for a real resampler where
+    PIL exists; the operator contract is unchanged)."""
+    h, w = img.shape[:2]
+    yy = (np.arange(out_h) * h) // out_h
+    xx = (np.arange(out_w) * w) // out_w
+    return img[yy][:, xx]
+
+
+def resize_images(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Apply :func:`resize_plan` to the payloads: decode each PPM, resize to
+    the plan's target box, re-encode.  Same zero-shuffle mapInPandas shape
+    as extract_features; output keeps MEDIA_SCHEMA with updated payload and
+    dimensions."""
+
+    def kernel(batches):
+        for pdf in batches:
+            payloads, widths, heights = [], [], []
+            for p, width, height in zip(pdf['payload'], pdf['width'], pdf['height']):
+                img = decode_ppm(bytes(p))
+                scale = min(1.0, float(max_side) / max(width, height))
+                out_w = max(1, int(np.ceil(width * scale)))
+                out_h = max(1, int(np.ceil(height * scale)))
+                payloads.append(encode_ppm(resize_image(img, out_w, out_h)))
+                widths.append(out_w)
+                heights.append(out_h)
+            out = pdf.copy()
+            out['payload'] = payloads
+            out['width'] = pd.array(widths, dtype='int32')
+            out['height'] = pd.array(heights, dtype='int32')
+            yield out
+
+    return df.filter(F.col('modality') == 'image').mapInPandas(kernel, schema=df.schema)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -98,17 +303,37 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def synthetic_media_table(spark, n_items: int = 24, seed: int = 13) -> DataFrame:
-    """Deterministic fake media rows (payload = seeded random bytes) for
-    tests and the driver's rows-only checks."""
+    """Deterministic media rows with REAL payloads where a real decoder
+    exists: images are genuine binary PPMs (seeded gradient+noise rasters),
+    audio is genuine WAV/PCM16 (seeded sine+noise); video payloads remain
+    opaque random bytes (decode honestly stubbed).  Metadata (width/height/
+    duration_ms) is consistent with the actual encoded content."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_items):
         modality = ('image', 'audio', 'video')[i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 128)))
+        if modality == 'image':
+            w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+            ramp = (np.linspace(0, 255, w)[None, :, None]
+                    + np.linspace(0, 64, h)[:, None, None])
+            img = np.clip(ramp + rng.integers(0, 64, size=(h, w, 3)), 0, 255) \
+                .astype(np.uint8)
+            payload, duration = encode_ppm(img), None
+        elif modality == 'audio':
+            sr = int(rng.choice([8000, 16000]))
+            duration = int(rng.integers(250, 3000))
+            n = sr * duration // 1000
+            t = np.arange(n) / sr
+            freq = float(rng.integers(100, 2000))
+            x = (0.5 * np.sin(2 * np.pi * freq * t)
+                 + 0.05 * rng.standard_normal(n))
+            payload = encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16), sr)
+            w = h = None
+        else:
+            payload = rng.bytes(64 + int(rng.integers(0, 128)))
+            w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+            duration = int(rng.integers(1000, 60000))
         rows.append((f'media_{i:06d}', modality, bytearray(payload),
-                     {'image': 'image/png', 'audio': 'audio/wav',
-                      'video': 'video/mp4'}[modality],
-                     int(rng.integers(16, 512)) if modality != 'audio' else None,
-                     int(rng.integers(16, 512)) if modality != 'audio' else None,
-                     int(rng.integers(1000, 60000)) if modality != 'image' else None))
+                     {'image': 'image/x-portable-pixmap', 'audio': 'audio/wav',
+                      'video': 'video/mp4'}[modality], w, h, duration))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
