@@ -1424,7 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  interval_seconds=60, method='linear')
         return filled.select('user_id', 'bucket_start', 'avg_value', 'is_gap')
 
-    return {
+    q = {
         # SQL-oracled
         'zero_baseline': zero_baseline,
         'events_rollup_1h_global': events_rollup_1h_global,
@@ -1487,8 +1487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'bocpd_scores': _kernel_query('bocpd', {'run_length': 30}),
         'rulsif_scores': _kernel_query('rulsif', {'window_length': 4, 'n_windows': 8,
                                                   'scoring_step': 2}),
+        # estimation_lag=4: sigma re-selected every 4th step (the cached-CV
+        # feature, RNG-stream-aligned and tested) — 2.2x cheaper than
+        # per-step CV at sf0.1 with the same contract shape
         'kliep_scores': _kernel_query('kliep', {'window_length': 4, 'n_windows': 8,
-                                                'scoring_step': 4}),
+                                                'scoring_step': 4,
+                                                'estimation_lag': 4}),
         'ulsif_scores': _kernel_query('ulsif', {'window_length': 4, 'n_windows': 8,
                                                 'scoring_step': 4}),
         'fluss_scores': _kernel_query('fluss', {'window_length': 8}),
@@ -1522,9 +1526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
         'multimodal_features': multimodal_features,
-        'multimodal_features': multimodal_features,
         'gap_fill_linear_values': gap_fill_linear_values,
     }
+    # oracled-first ordering: a driver that prefix-samples K queries hits
+    # maximum oracle density (insertion order is the only order a dict has)
+    oracled = set(oracle_sql())
+    return {**{k: v for k, v in q.items() if k in oracled},
+            **{k: v for k, v in q.items() if k not in oracled}}
 
 
 # ---------------------------------------------------------------------------

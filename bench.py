@@ -83,7 +83,14 @@ def run_queries(spark, sf_dir: str) -> dict:
              'embedding_cluster_sizes', 'doc_normalize', 'doc_lexical_diversity',
              'events_rollup_1h_distinct_users', 'doc_hash_embeddings',
              'doc_semantic_topk', 'events_twa_1h', 'events_sketch_users_1d',
-             'corpus_report_by_source', 'events_changepoint_segments', 'corpus_curation_funnel', 'corpus_mixture_epochs', 'doc_chunks', 'doc_search_bm25_indexed', 'embedding_quantized_topk', 'events_anomaly_flags', 'events_autocorr', 'events_score_percentiles', 'events_moments_1d']
+             'corpus_report_by_source', 'events_changepoint_segments',
+             'corpus_curation_funnel', 'corpus_mixture_epochs', 'doc_chunks',
+             'doc_search_bm25_indexed', 'embedding_quantized_topk',
+             'events_anomaly_flags', 'events_autocorr', 'events_score_percentiles',
+             'events_moments_1d',
+             # round 4 additions
+             'kliep_scores', 'embedding_cosine_dups', 'multimodal_features',
+             'doc_top_words_mg', 'events_asof_join']
     qs = entrymod.queries()
     out = {}
     for name in names:
@@ -113,6 +120,13 @@ def main():
     if rolled2 / wall2 > rolled / wall:
         rolled, raw, wall, comp = rolled2, raw2, wall2, comp2
     qtimes = run_queries(spark, SF_DIR)
+    conf = {
+        'master': spark.sparkContext.master,
+        'shuffle_partitions': spark.conf.get('spark.sql.shuffle.partitions'),
+        'aqe': spark.conf.get('spark.sql.adaptive.enabled'),
+        'arrow_batch': spark.conf.get(
+            'spark.sql.execution.arrow.maxRecordsPerBatch', None),
+    }
     spark.stop()
     total_sec = round(wall + sum(v for k, v in qtimes.items() if not k.endswith('_rows')), 3)
     result = {
@@ -135,6 +149,13 @@ def main():
         },
         'rows': {k[:-5]: v for k, v in qtimes.items() if k.endswith('_rows')},
     }
+    # full machine-readable artifact (the driver's BENCH_r{N}.json records a
+    # truncated stdout tail; this file carries EVERY per-query timing + conf)
+    self_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'BENCH_SELF.json')
+    with open(self_path, 'w') as f:
+        json.dump({**result, 'conf': conf, 'wall_clock_unix': round(time.time(), 1)},
+                  f, indent=1, sort_keys=True)
     print(json.dumps(result))
 
 

@@ -544,16 +544,30 @@ def moments_rollup(df: DataFrame, keys, ts_col: str = 'ts',
     within 38 digits with no precision loss on either engine; a wider base
     would silently lose precision in Spark and overflow DuckDB."""
     keys = list(keys)
-    # DECIMAL(8,4) base on purpose: x^4 then stays within 38 digits with NO
-    # precision loss on either engine ((8,4)^4 -> scale 16, ~35 digits);
-    # a wider base silently loses precision in Spark and overflows DuckDB
-    x = F.col(value_col).cast('decimal(8,4)')
     agg = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
-             .agg(F.count(value_col).alias('n_points'),
-                  F.sum(x).alias('_s1'),
-                  F.sum(x * x).cast('decimal(38,8)').alias('_s2'),
-                  F.sum(x * x * x).cast('decimal(38,12)').alias('_s3'),
-                  F.sum(x * x * x * x).cast('decimal(38,16)').alias('_s4')))
+             .agg(*_moments_power_aggs(value_col)))
+    return _moments_finalize(agg.withColumn('bucket_start', F.col('w.start'))
+                                .drop('w'), keys)
+
+
+def _moments_power_aggs(value_col: str):
+    """The four DECIMAL-exact power sums behind the moments tier — shared
+    verbatim by the batch and streaming twins so their outputs bit-match.
+    DECIMAL(8,4) base on purpose: x^4 then stays within 38 digits with NO
+    precision loss on either engine ((8,4)^4 -> scale 16, ~35 digits);
+    a wider base silently loses precision in Spark and overflows DuckDB."""
+    x = F.col(value_col).cast('decimal(8,4)')
+    return [F.count(value_col).alias('n_points'),
+            F.sum(x).alias('_s1'),
+            F.sum(x * x).cast('decimal(38,8)').alias('_s2'),
+            F.sum(x * x * x).cast('decimal(38,12)').alias('_s3'),
+            F.sum(x * x * x * x).cast('decimal(38,16)').alias('_s4')]
+
+
+def _moments_finalize(agg: DataFrame, keys) -> DataFrame:
+    """Derived statistics over the exact power sums (fixed expression
+    shape; see moments_rollup).  ``agg`` must carry bucket_start, n_points
+    and _s1.._s4."""
     n = F.col('n_points').cast('double')
     s1 = F.col('_s1').cast('double')
     s2 = F.col('_s2').cast('double')
@@ -569,10 +583,9 @@ def moments_rollup(df: DataFrame, keys, ts_col: str = 'ts',
     kurt = m4 / (m2 * m2) - 3
     # well-conditioned buckets only get moment values; round-6 absorbs the
     # one-ulp decimal->double conversion difference between engines
-    out = agg.withColumn('bucket_start', F.col('w.start')).drop('w')
     well = m2 > 1e-6
     rnd = lambda c: F.round(c, 6) + F.lit(0.0)   # + 0.0 collapses -0.0  # noqa: E731
-    return out.select(*keys, 'bucket_start', 'n_points',
+    return agg.select(*list(keys), 'bucket_start', 'n_points',
                       rnd(m).alias('mean'),
                       F.when(well, rnd(m2)).alias('variance'),
                       F.when(well, rnd(skew)).alias('skewness'),

@@ -43,6 +43,29 @@ def streaming_rollup(stream_df: DataFrame, keys, ts_col: str = 'ts', value_col: 
                .drop('w'))
 
 
+def streaming_moments_rollup(stream_df: DataFrame, keys, ts_col: str = 'ts',
+                             value_col: str = 'value', interval: str = '1 hour',
+                             watermark_delay: str = '2 minutes') -> DataFrame:
+    """Streaming twin of operators.rollup.moments_rollup: watermarked
+    windowed aggregation of the SAME decimal-exact power sums and the same
+    finalize expressions (both sides import them from rollup.py), so a
+    closed streaming bucket is bit-identical to the batch tier for the same
+    rows — asserted in tests/test_streaming.py.  Power sums are decimals,
+    hence order-insensitive: incremental accumulation cannot drift.  Append
+    mode emits each bucket once when the watermark passes its end; state is
+    one row of (count + 4 decimal sums) per open (keys, bucket)."""
+    from changepoynt_spark.operators.rollup import (_moments_finalize,
+                                                    _moments_power_aggs)
+    keys = list(keys)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(*keys, F.window(ts_col, interval).alias('w'))
+           .agg(*_moments_power_aggs(value_col)))
+    return _moments_finalize(agg.withColumn('bucket_start', F.col('w.start'))
+                                .drop('w'), keys)
+
+
 def streaming_sessionize(stream_df: DataFrame, keys, ts_col: str = 'ts',
                          value_col: str = 'value', gap: str = '30 minutes',
                          watermark_delay: str = '2 minutes') -> DataFrame:

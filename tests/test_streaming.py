@@ -294,3 +294,43 @@ def test_streaming_lsh_candidates_non_default_watermark(spark, tmp_path):
     got = {(r['doc_a'], r['doc_b']) for r in
            spark.sql('SELECT doc_a, doc_b FROM lsh_stream_wide').collect()}
     assert batch_pairs <= got, f'missing {batch_pairs - got}'
+
+
+def test_streaming_moments_rollup_bitmatches_batch(spark, events_dir):
+    """The streaming moments tier shares the batch tier's decimal power-sum
+    and finalize expressions, so closed buckets are bit-identical to the
+    batch moments_rollup over the same rows (including NULL moments on
+    degenerate buckets)."""
+    from changepoynt_spark.operators.rollup import moments_rollup
+    from changepoynt_spark.streaming.rollup_stream import streaming_moments_rollup
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    tier = streaming_moments_rollup(stream, keys=['user_id'], ts_col='ts',
+                                    value_col='value', interval='1 hour',
+                                    watermark_delay='30 minutes')
+    q = (tier.writeStream.outputMode('complete').format('memory')
+         .queryName('moments_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql('SELECT * FROM moments_stream').toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+
+    raw = spark.read.parquet(events_dir) \
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    exp = (moments_rollup(raw, ['user_id'], ts_col='ts', value_col='value',
+                          interval='1 hour')
+           .toPandas().sort_values(['user_id', 'bucket_start'])
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert (got['bucket_start'] == exp['bucket_start']).all()
+    assert (got['n_points'] == exp['n_points']).all()
+    import numpy as np
+    degenerate = 0
+    for col in ('mean', 'variance', 'skewness', 'kurtosis'):
+        g, e = got[col], exp[col]
+        assert (g.isna() == e.isna()).all(), col
+        degenerate += int(g.isna().sum())
+        ga, ea = g.dropna().to_numpy(), e.dropna().to_numpy()
+        assert np.array_equal(ga, ea), col  # BIT-identical, not approx
+    assert degenerate > 0  # the fixture's sparse per-user cells hit the NULL path
