@@ -299,6 +299,33 @@ def _lsh_topk_sql(n_planes: int = 6, seed: int = 7, k: int = 10, dim: int = 64) 
     """
 
 
+def _quality_model_sql(dim: int = 256, seed: int = 31, bias: float = 0.0,
+                       threshold: float = 0.5) -> str:
+    """Oracle for the linear quality model: the SAME seeded weights as
+    integer micro-unit literals, the SAME md5 word-bucket hashing the
+    engine's hash_embed family uses, integer-exact sums, and the identical
+    bias + (sum/1e6)/n -> sigmoid expression chain (round-6 absorbs the exp
+    ulp)."""
+    import numpy as np
+    wq = [int(round(float(w) * 1_000_000))
+          for w in np.random.default_rng(seed).standard_normal(dim)]
+    wlit = '[' + ', '.join(str(v) for v in wq) + ']'
+    return f"""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % {dim} AS INTEGER) AS bkt
+          FROM words),
+    s AS (SELECT doc_id, COUNT(*) AS n_words,
+                 SUM(list_extract({wlit}, bkt + 1)) AS sumq
+          FROM b GROUP BY doc_id),
+    sc AS (SELECT doc_id, n_words,
+                  ROUND(1.0 / (1.0 + exp(-({bias} + (CAST(sumq AS DOUBLE) / 1000000.0)
+                                          / CAST(n_words AS DOUBLE)))), 6) AS quality_score
+           FROM s)
+    SELECT doc_id, n_words, quality_score, quality_score >= {threshold} AS keep FROM sc
+    """
+
+
 def _cosine_dups_sql(threshold: float = 0.6, n_planes: int = 6, seed: int = 7,
                      n_tables: int = 8, dim: int = 64) -> str:
     """Oracle for the multi-table LSH near-dup pairs: every table's seeded
@@ -930,6 +957,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (words.groupBy('w').agg(F.count('*').alias('n'))
                      .orderBy(F.col('n').desc(), 'w').limit(50))
 
+    def doc_quality_model(spark, sf_dir):
+        # learned quality filter: seeded linear model over hashed word
+        # features (the deterministic stand-in for trained weights)
+        import numpy as np
+        w = np.random.default_rng(31).standard_normal(256)
+        return text.quality_score_linear(_read_spread(spark, sf_dir, 'documents'),
+                                         list(w), bias=0.0, threshold=0.5)
+
     def doc_lexical_diversity(spark, sf_dir):
         return text.lexical_diversity(_read(spark, sf_dir, 'documents'))
 
@@ -1456,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_hash_embeddings': doc_hash_embeddings,
         'doc_semantic_topk': doc_semantic_topk,
         'doc_lexical_diversity': doc_lexical_diversity,
+        'doc_quality_model': doc_quality_model,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
@@ -1812,6 +1848,8 @@ def oracle_sql() -> dict[str, str]:
                    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) <> text AS changed
             FROM documents
         """,
+        'doc_quality_model': _quality_model_sql(dim=256, seed=31, bias=0.0,
+                                                threshold=0.5),
         'doc_lexical_diversity': """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             counts AS (SELECT word, COUNT(*) AS c

@@ -629,3 +629,28 @@ def test_quantized_topk_recall_and_integer_determinism(spark, embeddings):
     assert qv.min() >= -127 and qv.max() <= 127 and np.abs(qv).max() == 127
     got2 = similarity.quantized_topk(q, qrow, k=10).toPandas()
     assert got['vec_id'].tolist() == got2['vec_id'].tolist()
+
+
+def test_quality_score_linear_matches_numpy(spark):
+    """Learned quality filter == driver-side numpy computation of the same
+    hashed-linear model (md5 buckets, micro-unit integer sums, sigmoid)."""
+    import hashlib
+    from changepoynt_spark.operators.text import quality_score_linear
+
+    rng = np.random.default_rng(5)
+    weights = list(rng.standard_normal(64))
+    rows = [(1, 'alpha beta gamma alpha'), (2, 'delta'),
+            (3, 'x y z w q r s t u v'), (4, 'alpha alpha alpha')]
+    df = spark.createDataFrame(rows, 'doc_id long, text string')
+    got = quality_score_linear(df, weights, bias=0.25, threshold=0.6) \
+        .toPandas().set_index('doc_id').sort_index()
+
+    wq = np.array([int(round(w * 1_000_000)) for w in weights], dtype=np.int64)
+    for doc_id, text in rows:
+        words = text.split(' ')
+        bks = [int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 64 for w in words]
+        z = 0.25 + (float(wq[bks].sum()) / 1_000_000.0) / len(words)
+        score = round(1.0 / (1.0 + np.exp(-z)), 6)
+        assert got.loc[doc_id, 'n_words'] == len(words)
+        assert got.loc[doc_id, 'quality_score'] == pytest.approx(score, abs=1e-9)
+        assert bool(got.loc[doc_id, 'keep']) == (got.loc[doc_id, 'quality_score'] >= 0.6)
