@@ -962,8 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # features (the deterministic stand-in for trained weights)
         import numpy as np
         w = np.random.default_rng(31).standard_normal(256)
-        return text.quality_score_linear(_read_spread(spark, sf_dir, 'documents'),
-                                         list(w), bias=0.0, threshold=0.5)
+        scored = text.quality_score_linear(_read_spread(spark, sf_dir, 'documents'),
+                                           list(w), bias=0.0, threshold=0.5)
+        return scored.select('doc_id', 'n_words', 'quality_score', 'keep')
 
     def doc_lexical_diversity(spark, sf_dir):
         return text.lexical_diversity(_read(spark, sf_dir, 'documents'))

@@ -588,33 +588,36 @@ def quality_score_linear(df: DataFrame, weights, bias: float = 0.0,
     quality models are linear/hashed precisely so they run as a scan).
 
     ``weights`` is the model (python list, len = feature dim); it becomes a
-    broadcast literal array, so scoring is one exploded projection + one
-    combiner-friendly aggregate — no shuffle beyond the doc-keyed combine,
-    no UDF.  Engine-portable by construction: the word bucket reuses
-    hash_embed's md5 hashing, weights are quantized to integer micro-units
-    (exact sums under any aggregation order), and the only inexact steps —
-    two IEEE divisions and one exp — are identical single expressions on
-    both engines (round-6 absorbs the exp ulp).
+    broadcast literal array, and the per-doc weight sum is a single
+    higher-order ``aggregate`` over the split array — a ZERO-SHUFFLE,
+    stateless scan (so it also runs on streams unchanged, see
+    jobs/ingest_stream_job.py).  Engine-portable by construction: the word
+    bucket reuses hash_embed's md5 hashing, weights are quantized to
+    integer micro-units (exact sums under any order), and the only inexact
+    steps — two IEEE divisions and one exp — are identical single
+    expressions on both engines (round-6 absorbs the exp ulp).
 
-    Output: (id, n_words, quality_score, keep).
+    Output: original columns + (n_words, quality_score, keep).
     """
     dim = len(weights)
     wq = [int(round(float(w) * 1_000_000)) for w in weights]
-    words = F.split(F.col(text_col), ' ')
-    bucket = F.pmod(F.conv(F.substring(F.md5('w'), 1, 8), 16, 10).cast('long'),
-                    F.lit(dim)).cast('int')
     wlit = F.array(*[F.lit(v).cast('long') for v in wq])
-    per_word = (df.select(F.col(id_col), F.explode(words).alias('w'))
-                  .select(id_col, F.element_at(wlit, bucket + 1).alias('_wq')))
-    agg = per_word.groupBy(id_col).agg(F.count('*').alias('n_words'),
-                                       F.sum('_wq').alias('_sum'))
+    words = F.split(F.col(text_col), ' ')
+
+    def word_weight(w):
+        bucket = F.pmod(F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast('long'),
+                        F.lit(dim)).cast('int')
+        return F.element_at(wlit, bucket + 1)
+
+    total = F.aggregate(F.transform(words, word_weight),
+                        F.lit(0).cast('long'), lambda acc, x: acc + x)
+    n = F.size(words)
     z = (F.lit(float(bias))
-         + (F.col('_sum').cast('double') / F.lit(1_000_000.0))
-         / F.col('n_words').cast('double'))
+         + (total.cast('double') / F.lit(1_000_000.0)) / n.cast('double'))
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return (agg.withColumn('quality_score', score)
-               .withColumn('keep', F.col('quality_score') >= F.lit(float(threshold)))
-               .select(id_col, 'n_words', 'quality_score', 'keep'))
+    return (df.withColumn('n_words', n.cast('long'))
+              .withColumn('quality_score', score)
+              .withColumn('keep', F.col('quality_score') >= F.lit(float(threshold))))
 
 
 def corpus_report(df: DataFrame, text_col: str = 'text') -> DataFrame:

@@ -155,3 +155,46 @@ def test_backfill_job_merge_on_read_and_exactly_once(spark, tmp_path):
                       spark=spark)
     got2 = backfill_job.read_tier(spark, table, ['user_id']).toPandas()
     assert norm(got2).equals(norm(want))
+
+
+def test_ingest_stream_job_gates_dedups_and_restarts_exactly_once(spark, tmp_path):
+    """Streaming ingest job end to end: quality gate (stateless scan) ->
+    exact dedup (watermarked state) -> parquet sink.  Output = the quality-
+    passing distinct texts; a checkpoint-resumed re-run with no new input
+    adds zero rows (exactly-once restart)."""
+    import numpy as np
+    import pandas as pd
+    import ingest_stream_job
+    from changepoynt_spark.operators.text import quality_score_linear
+
+    base = pd.Timestamp('2026-01-01 00:00:00')
+    rows = []
+    for i in range(40):
+        # 20 distinct texts, each appearing twice (i and i+20)
+        rows.append((i, f'text number {i % 20} with some words',
+                     (base + pd.Timedelta(seconds=i)).to_pydatetime()))
+    src = str(tmp_path / 'docs_in')
+    spark.createDataFrame(rows, 'doc_id long, text string, ts timestamp') \
+        .repartition(4).write.parquet(src)
+    out, ckpt = str(tmp_path / 'clean'), str(tmp_path / 'ckpt')
+
+    ingest_stream_job.main(['--input', src, '--output', out,
+                            '--checkpoint', ckpt, '--available-now'],
+                           spark=spark)
+    got = spark.read.parquet(out).toPandas()
+
+    # expected: distinct texts that pass the same seeded gate
+    weights = list(np.random.default_rng(31).standard_normal(256))
+    batch = spark.createDataFrame(rows, 'doc_id long, text string, ts timestamp')
+    passing = set(quality_score_linear(batch, weights, threshold=0.5)
+                  .filter('keep').select('text').toPandas()['text'])
+    distinct_passing = passing  # texts, already a set
+    assert set(got['text']) == distinct_passing
+    assert not got['text'].duplicated().any()
+
+    # restart with the same checkpoint and no new files: zero new rows
+    ingest_stream_job.main(['--input', src, '--output', out,
+                            '--checkpoint', ckpt, '--available-now'],
+                           spark=spark)
+    again = spark.read.parquet(out).toPandas()
+    assert len(again) == len(got)
