@@ -994,6 +994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(emb.filter('doc_id <> 0'), qvec, k=10,
                                       id_col='doc_id')
 
+    def events_dd_quantiles_1h(spark, sf_dir):
+        # mergeable log-bucket quantile tier (DDSketch-style): p50/p95/p99
+        # per global hour read from the histogram walk — integer-exact
+        # except one exp per estimate (round-6)
+        tier = rollup.dd_sketch_from_points(_read(spark, sf_dir, 'events'),
+                                            [], interval='1 hour')
+        return rollup.dd_sketch_quantiles(tier, [])
+
     def events_sketch_users_1d(spark, sf_dir):
         # rows-only: Datasketches HLL estimates have no DuckDB twin (its
         # approx_count_distinct is a different sketch).  The strong check is
@@ -1494,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_lexical_diversity': doc_lexical_diversity,
         'doc_quality_model': doc_quality_model,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
+        'events_dd_quantiles_1h': events_dd_quantiles_1h,
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
@@ -1851,6 +1860,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         'doc_quality_model': _quality_model_sql(dim=256, seed=31, bias=0.0,
                                                 threshold=0.5),
+        # DDSketch-style quantile tier: identical log-bucket histogram
+        # (floor(64*ln|v|), sign-split), identical walk order (negatives by
+        # descending bucket, zero, positives ascending) and rank semantics
+        # (first cum >= ceil(q*n)); the walk is integer-exact, the only
+        # doubles are the per-bucket exp estimates (round-6)
+        'events_dd_quantiles_1h': """
+            WITH bk AS (SELECT date_trunc('hour', ts) AS bucket_start,
+                               CASE WHEN value > 0 THEN 1
+                                    WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+                               CASE WHEN value = 0 THEN 0
+                                    ELSE CAST(floor(64 * ln(abs(value))) AS INTEGER)
+                               END AS idx
+                        FROM events),
+            c AS (SELECT bucket_start, sgn, idx, COUNT(*) AS cnt
+                  FROM bk GROUP BY 1, 2, 3),
+            t AS (SELECT bucket_start, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM c GROUP BY 1),
+            o AS (SELECT bucket_start, sgn, idx, cnt,
+                         SUM(cnt) OVER (PARTITION BY bucket_start
+                                        ORDER BY sgn ASC,
+                                                 CASE WHEN sgn < 0 THEN -idx
+                                                      ELSE idx END ASC) AS cum,
+                         CASE WHEN sgn = 0 THEN 0.0
+                              ELSE sgn * exp((idx + 0.5) / 64.0) END AS est
+                  FROM c)
+            SELECT o.bucket_start, t.n AS n_points,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.5 * n)), 6) AS p50,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.95 * n)), 6) AS p95,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.99 * n)), 6) AS p99
+            FROM o JOIN t USING (bucket_start)
+            GROUP BY o.bucket_start, t.n
+        """,
         'doc_lexical_diversity': """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
             counts AS (SELECT word, COUNT(*) AS c

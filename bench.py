@@ -90,7 +90,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'events_moments_1d',
              # round 4 additions
              'kliep_scores', 'embedding_cosine_dups', 'multimodal_features',
-             'doc_top_words_mg', 'events_asof_join', 'doc_quality_model']
+             'doc_top_words_mg', 'events_asof_join', 'doc_quality_model',
+             'events_dd_quantiles_1h']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -456,6 +456,131 @@ def sketch_estimate(df: DataFrame, keys) -> DataFrame:
                      'cnt_points')
 
 
+# number of log-buckets per e-fold: bucket(v) = floor(K * ln|v|), i.e.
+# gamma = e^(1/K) ~ 1.0157 -> worst-case relative quantile error
+# (gamma-1)/(gamma+1) ~ 0.78%
+DDSKETCH_K = 64
+
+
+def _dd_parts(value_col: str):
+    v = F.col(value_col)
+    sgn = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    idx = F.when(v == 0, F.lit(0)).otherwise(
+        F.floor(F.lit(float(DDSKETCH_K)) * F.log(F.abs(v)))).cast('int')
+    return sgn, idx
+
+
+def dd_sketch_from_points(df: DataFrame, keys, ts_col: str = 'ts',
+                          value_col: str = 'value',
+                          interval: str = '1 hour') -> DataFrame:
+    """Base DDSketch-style quantile tier: per (keys, bucket), a log-bucket
+    histogram of the values — (zero_cnt, pos_sketch map<int,long>,
+    neg_sketch map<int,long>, n_points).
+
+    Exact percentiles cannot cascade (you cannot merge two buckets'
+    medians); this sketch CAN — merging is bucket-count addition, which is
+    commutative and exact, so the cascaded tier is identical to sketching
+    raw points directly under ANY partitioning or merge order (the same
+    property the HLL tier has for distinct counts, here for quantiles).
+    Bucket i holds |v| in [e^(i/K), e^((i+1)/K)); any quantile read from
+    the histogram is within a factor e^(1/K) (~0.78% relative error at
+    K=64) of the true order statistic.  Memory per (key, bucket) is
+    O(occupied log-buckets) — bounded by the value dynamic range, not the
+    point count."""
+    keys = list(keys)
+    sgn, idx = _dd_parts(value_col)
+    cnt = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'),
+                      sgn.alias('_sgn'), idx.alias('_idx'))
+             .agg(F.count('*').alias('_cnt')))
+    entry = F.struct(F.col('_idx'), F.col('_cnt'))
+    agg = (cnt.groupBy(*keys, 'w')
+              .agg(F.sum(F.when(F.col('_sgn') == 0, F.col('_cnt'))
+                          .otherwise(F.lit(0))).alias('zero_cnt'),
+                   F.map_from_entries(F.sort_array(F.collect_list(
+                       F.when(F.col('_sgn') == 1, entry)))).alias('pos_sketch'),
+                   F.map_from_entries(F.sort_array(F.collect_list(
+                       F.when(F.col('_sgn') == -1, entry)))).alias('neg_sketch'),
+                   F.sum('_cnt').alias('n_points')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'zero_cnt', 'pos_sketch',
+                       'neg_sketch', 'n_points'))
+
+
+def _dd_merge_map(col: str):
+    """Merge map<int,long> histograms by key-wise addition: explode to
+    entries, re-aggregate.  Returns the exploded (idx, cnt) projection
+    helper used by dd_sketch_merge."""
+    return F.explode_outer(F.map_entries(col))
+
+
+def dd_sketch_merge(df: DataFrame, keys, interval: str = '1 day') -> DataFrame:
+    """Cascade step: finer quantile sketches into coarser buckets by
+    bucket-count addition — the quantile twin of sketch_rollup_merge.
+    Identical to sketching the raw points directly (asserted in tests)."""
+    keys = list(keys)
+    w = F.window('bucket_start', interval).alias('w')
+
+    def side(col):
+        ex = (df.select(*keys, w, _dd_merge_map(col).alias('e'))
+                .groupBy(*keys, 'w', F.col('e.key').alias('_idx'))
+                .agg(F.sum('e.value').alias('_cnt')))
+        return (ex.filter(F.col('_idx').isNotNull())
+                  .groupBy(*keys, 'w')
+                  .agg(F.map_from_entries(F.sort_array(F.collect_list(
+                      F.struct('_idx', '_cnt')))).alias(col)))
+
+    base = (df.groupBy(*keys, w)
+              .agg(F.sum('zero_cnt').alias('zero_cnt'),
+                   F.sum('n_points').alias('n_points')))
+    out = base.join(side('pos_sketch'), [*keys, 'w'], 'left') \
+              .join(side('neg_sketch'), [*keys, 'w'], 'left')
+    empty = F.map_from_entries(F.array().cast('array<struct<_idx:int,_cnt:bigint>>'))
+    return (out.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .withColumn('pos_sketch', F.coalesce('pos_sketch', empty))
+               .withColumn('neg_sketch', F.coalesce('neg_sketch', empty))
+               .select(*keys, 'bucket_start', 'zero_cnt', 'pos_sketch',
+                       'neg_sketch', 'n_points'))
+
+
+def dd_sketch_quantiles(df: DataFrame, keys, qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """Readable view: (keys, bucket_start, n_points, p<q>...) — each
+    quantile estimated by walking the histogram in value order (negatives
+    by descending bucket, zero, positives by ascending bucket) to rank
+    ceil(q*n); the estimate is the bucket's geometric midpoint
+    sign * e^((i+0.5)/K), round-6 (absorbs the 1-ulp exp difference between
+    engines — the walk itself is integer-exact)."""
+    keys = list(keys)
+    k = float(DDSKETCH_K)
+
+    def est(sign):
+        return lambda e: F.struct(
+            (F.lit(sign) * F.exp((e['key'] + F.lit(0.5)) / F.lit(k))).alias('est'),
+            e['value'].alias('cnt'))
+
+    neg = F.reverse(F.transform(F.array_sort(F.map_entries('neg_sketch')),
+                                est(-1.0)))
+    zero = F.array(F.struct(F.lit(0.0).alias('est'),
+                            F.col('zero_cnt').alias('cnt')))
+    pos = F.transform(F.array_sort(F.map_entries('pos_sketch')), est(1.0))
+    entries = F.concat(neg, zero, pos)
+
+    out = df
+    zero_acc = F.struct(F.lit(0).cast('long').alias('cum'),
+                        F.lit(None).cast('double').alias('ans'))
+    for q in qs:
+        rank = F.ceil(F.lit(float(q)) * F.col('n_points')).cast('long')
+        picked = F.aggregate(
+            entries, zero_acc,
+            lambda acc, e: F.struct(
+                (acc['cum'] + e['cnt']).alias('cum'),
+                F.when(acc['ans'].isNull() & (acc['cum'] + e['cnt'] >= rank),
+                       e['est']).otherwise(acc['ans']).alias('ans')),
+            lambda acc: acc['ans'])
+        out = out.withColumn(f'p{int(q * 100)}', F.round(picked, 6))
+    return out.select(*keys, 'bucket_start', 'n_points',
+                      *[f'p{int(q * 100)}' for q in qs])
+
+
 def time_weighted_avg(df: DataFrame, keys, ts_col: str = 'ts',
                       value_col: str = 'value',
                       interval_seconds: int = 3600,

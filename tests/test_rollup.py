@@ -518,3 +518,48 @@ def test_moments_rollup_degenerate_bucket_yields_null_moments(spark):
     assert got['variance'].iloc[2] == pytest.approx(m2, abs=1e-5)
     assert got['skewness'].iloc[2] == pytest.approx(m3 / m2 ** 1.5, abs=1e-5)
     assert got['kurtosis'].iloc[2] == pytest.approx(m4 / m2 ** 2 - 3, abs=1e-5)
+
+
+def test_dd_sketch_quantile_tier_cascades_and_bounds_error(spark, events):
+    """DDSketch-style quantile tier: (a) cascading 1h sketches into 1d by
+    bucket-count addition gives IDENTICAL quantiles to sketching raw points
+    directly; (b) estimates are within the (gamma-1)/(gamma+1) ~ 0.78%
+    relative bound of the exact lower order statistic; (c) the sketch is
+    partition-invariant."""
+    tier_1h = rollup.dd_sketch_from_points(events, [], interval='1 hour')
+    direct_1d = rollup.dd_sketch_from_points(events, [], interval='1 day')
+    casc_1d = rollup.dd_sketch_merge(tier_1h, [], interval='1 day')
+    a = rollup.dd_sketch_quantiles(direct_1d, []).orderBy('bucket_start').toPandas()
+    b = rollup.dd_sketch_quantiles(casc_1d, []).orderBy('bucket_start').toPandas()
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+
+    pdf = events.select(F.date_trunc('day', 'ts').alias('b'), 'value').toPandas()
+    got = a.set_index('bucket_start')
+    for bucket, g in pdf.groupby('b'):
+        v = np.sort(g['value'].to_numpy())
+        for q in (0.5, 0.95, 0.99):
+            exact = v[int(np.ceil(q * len(v))) - 1]
+            est = got.loc[bucket, f'p{int(q * 100)}']
+            assert abs(est - exact) / abs(exact) < 0.0079, (bucket, q)
+
+    one = rollup.dd_sketch_quantiles(
+        rollup.dd_sketch_from_points(events.repartition(1), [], interval='1 day'),
+        []).orderBy('bucket_start').toPandas()
+    assert one.equals(a)
+
+
+def test_dd_sketch_handles_negatives_and_zeros(spark):
+    """Sign-split histograms: negatives walk first (value order), the zero
+    bucket in the middle; quantiles land in the right region."""
+    import datetime as dt
+    vals = [-100.0, -10.0, -1.0, 0.0, 0.0, 1.0, 10.0, 100.0, 1000.0, 10000.0]
+    rows = [(dt.datetime(2026, 1, 1, 0, 0, i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    tier = rollup.dd_sketch_from_points(df, [], interval='1 day')
+    got = rollup.dd_sketch_quantiles(tier, [], qs=(0.1, 0.5, 0.99)).toPandas().iloc[0]
+    assert got['n_points'] == 10
+    assert got['p10'] < 0            # rank 1 -> most negative
+    assert abs(got['p10'] - (-100.0)) / 100.0 < 0.0079
+    assert got['p50'] == 0.0         # rank 5 -> the zero bucket
+    assert abs(got['p99'] - 10000.0) / 10000.0 < 0.0079
