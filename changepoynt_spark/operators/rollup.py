@@ -470,6 +470,41 @@ def _dd_parts(value_col: str):
     return sgn, idx
 
 
+def dd_sketch_rows(df: DataFrame, keys, ts_col: str = 'ts',
+                   value_col: str = 'value',
+                   interval: str = '1 hour') -> DataFrame:
+    """The tier's EXCHANGE ROWS: (keys, bucket_start, _sgn, _idx, _cnt) —
+    one row per occupied log-bucket.  This is the only aggregation the base
+    tier needs (and therefore the only STATEFUL operator on the streaming
+    path, see streaming/rollup_stream.streaming_dd_sketch_rows); the map
+    assembly is a stateless view (:func:`dd_rows_to_sketch`) shared
+    verbatim by the batch and streaming twins."""
+    keys = list(keys)
+    sgn, idx = _dd_parts(value_col)
+    cnt = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'),
+                      sgn.alias('_sgn'), idx.alias('_idx'))
+             .agg(F.count('*').alias('_cnt')))
+    return cnt.withColumn('bucket_start', F.col('w.start')).drop('w')
+
+
+def dd_rows_to_sketch(rows: DataFrame, keys) -> DataFrame:
+    """Assemble exchange rows into the tier schema (keys, bucket_start,
+    zero_cnt, pos_sketch map<int,long>, neg_sketch map<int,long>,
+    n_points)."""
+    keys = list(keys)
+    entry = F.struct(F.col('_idx'), F.col('_cnt'))
+    agg = (rows.groupBy(*keys, 'bucket_start')
+               .agg(F.sum(F.when(F.col('_sgn') == 0, F.col('_cnt'))
+                           .otherwise(F.lit(0))).alias('zero_cnt'),
+                    F.map_from_entries(F.sort_array(F.collect_list(
+                        F.when(F.col('_sgn') == 1, entry)))).alias('pos_sketch'),
+                    F.map_from_entries(F.sort_array(F.collect_list(
+                        F.when(F.col('_sgn') == -1, entry)))).alias('neg_sketch'),
+                    F.sum('_cnt').alias('n_points')))
+    return agg.select(*keys, 'bucket_start', 'zero_cnt', 'pos_sketch',
+                      'neg_sketch', 'n_points')
+
+
 def dd_sketch_from_points(df: DataFrame, keys, ts_col: str = 'ts',
                           value_col: str = 'value',
                           interval: str = '1 hour') -> DataFrame:
@@ -487,23 +522,8 @@ def dd_sketch_from_points(df: DataFrame, keys, ts_col: str = 'ts',
     K=64) of the true order statistic.  Memory per (key, bucket) is
     O(occupied log-buckets) — bounded by the value dynamic range, not the
     point count."""
-    keys = list(keys)
-    sgn, idx = _dd_parts(value_col)
-    cnt = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'),
-                      sgn.alias('_sgn'), idx.alias('_idx'))
-             .agg(F.count('*').alias('_cnt')))
-    entry = F.struct(F.col('_idx'), F.col('_cnt'))
-    agg = (cnt.groupBy(*keys, 'w')
-              .agg(F.sum(F.when(F.col('_sgn') == 0, F.col('_cnt'))
-                          .otherwise(F.lit(0))).alias('zero_cnt'),
-                   F.map_from_entries(F.sort_array(F.collect_list(
-                       F.when(F.col('_sgn') == 1, entry)))).alias('pos_sketch'),
-                   F.map_from_entries(F.sort_array(F.collect_list(
-                       F.when(F.col('_sgn') == -1, entry)))).alias('neg_sketch'),
-                   F.sum('_cnt').alias('n_points')))
-    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
-               .select(*keys, 'bucket_start', 'zero_cnt', 'pos_sketch',
-                       'neg_sketch', 'n_points'))
+    return dd_rows_to_sketch(dd_sketch_rows(df, keys, ts_col, value_col,
+                                            interval), keys)
 
 
 def _dd_merge_map(col: str):

@@ -66,6 +66,29 @@ def streaming_moments_rollup(stream_df: DataFrame, keys, ts_col: str = 'ts',
                                 .drop('w'), keys)
 
 
+def streaming_dd_sketch_rows(stream_df: DataFrame, keys, ts_col: str = 'ts',
+                             value_col: str = 'value', interval: str = '1 hour',
+                             watermark_delay: str = '2 minutes') -> DataFrame:
+    """Streaming base of the quantile-sketch tier: ONE watermarked stateful
+    aggregation emits the tier's exchange rows (keys, bucket_start, _sgn,
+    _idx, _cnt) — the same rows operators.rollup.dd_sketch_rows produces in
+    batch.  Sketch-map assembly (dd_rows_to_sketch) is a stateless batch
+    view over the sink, so chaining a second stateful aggregation is never
+    needed; because the assembly code is shared verbatim, assembled closed
+    buckets bit-match the batch tier (asserted in tests).  State per open
+    (keys, bucket) is one counter per occupied log-bucket."""
+    from changepoynt_spark.operators.rollup import _dd_parts
+    keys = list(keys)
+    sgn, idx = _dd_parts(value_col)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(*keys, F.window(ts_col, interval).alias('w'),
+                    sgn.alias('_sgn'), idx.alias('_idx'))
+           .agg(F.count('*').alias('_cnt')))
+    return agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+
+
 def streaming_sessionize(stream_df: DataFrame, keys, ts_col: str = 'ts',
                          value_col: str = 'value', gap: str = '30 minutes',
                          watermark_delay: str = '2 minutes') -> DataFrame:

@@ -334,3 +334,35 @@ def test_streaming_moments_rollup_bitmatches_batch(spark, events_dir):
         ga, ea = g.dropna().to_numpy(), e.dropna().to_numpy()
         assert np.array_equal(ga, ea), col  # BIT-identical, not approx
     assert degenerate > 0  # the fixture's sparse per-user cells hit the NULL path
+
+
+def test_streaming_dd_sketch_rows_assemble_to_batch_tier(spark, events_dir):
+    """Streaming quantile-sketch exchange rows (one stateful agg), assembled
+    by the SAME batch view, bit-match the batch tier — maps, counts and the
+    derived quantiles."""
+    from changepoynt_spark.operators.rollup import (dd_rows_to_sketch,
+                                                    dd_sketch_from_points,
+                                                    dd_sketch_quantiles)
+    from changepoynt_spark.streaming.rollup_stream import streaming_dd_sketch_rows
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    rows = streaming_dd_sketch_rows(stream, keys=['user_id'], interval='1 hour',
+                                    watermark_delay='30 minutes')
+    q = (rows.writeStream.outputMode('complete').format('memory')
+         .queryName('dd_rows_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assembled = dd_rows_to_sketch(spark.sql('SELECT * FROM dd_rows_stream'),
+                                  ['user_id'])
+    got = (dd_sketch_quantiles(assembled, ['user_id'])
+           .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
+
+    raw = spark.read.parquet(events_dir) \
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    exp = (dd_sketch_quantiles(dd_sketch_from_points(raw, ['user_id'],
+                                                     interval='1 hour'),
+                               ['user_id'])
+           .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
