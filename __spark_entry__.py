@@ -1403,6 +1403,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.contamination_check(_read_spread(spark, sf_dir, 'documents'),
                                         benchmark_ids=[0, 1, 2, 3, 4], n=3)
 
+    def corpus_stratified_sample(spark, sf_dir):
+        # exactly 5 docs per (source, lang) stratum, deterministic by
+        # md5-rank — the count-exact complement of rate-based mixture_sample
+        from changepoynt_spark.operators.packing import stratified_sample_exact
+        out = stratified_sample_exact(_read_spread(spark, sf_dir, 'documents'),
+                                      ['source', 'lang'], n_per_stratum=5)
+        return out.select('doc_id', 'source', 'lang')
+
     def corpus_mixture_sample(spark, sf_dir):
         from changepoynt_spark.operators.packing import mixture_sample
         out = mixture_sample(_read(spark, sf_dir, 'documents'),
@@ -1562,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_pii_scrub': doc_pii_scrub,
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
+        'corpus_stratified_sample': corpus_stratified_sample,
         'events_asof_join': events_asof_join,
         'events_interval_join': events_interval_join,
         'events_sessions': events_sessions,
@@ -1776,6 +1785,15 @@ def oracle_sql() -> dict[str, str]:
         'doc_pii_scrub': _pii_scrub_sql(),
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,
+        'corpus_stratified_sample': """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                         PARTITION BY source, lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat') ASC,
+                                  doc_id ASC) AS rn
+              FROM documents) WHERE rn <= 5
+        """,
         'events_asof_join': _ASOF_JOIN_SQL,
         'events_interval_join': """
             WITH iv AS (SELECT user_id, event_id AS interval_id, ts AS lo,

@@ -156,3 +156,27 @@ def mixture_epochs(df: DataFrame, rates: dict, default_rate: float = 1.0,
     out = df.withColumn('n_copies', n_copies).filter(F.col('n_copies') > 0)
     return (out.withColumn('epoch', F.explode(F.sequence(F.lit(1), F.col('n_copies'))))
                .select(id_col, source_col, 'epoch', 'n_copies'))
+
+
+def stratified_sample_exact(df: DataFrame, strata_cols, n_per_stratum: int,
+                            id_col: str = 'doc_id') -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer iff the stratum is
+    smaller), chosen deterministically: rows are ranked inside each stratum
+    by md5(id || ':strat') — a uniform, engine-portable permutation — and
+    the top n survive.  Unlike rate-based mixture_sample, the output SIZE
+    is exact (eval sets, per-domain caps, balanced probes need counts, not
+    rates); unlike a naive ORDER BY rand() LIMIT, it is reproducible and
+    partitioning-independent.
+
+    One hash-shuffle on the strata (the rank window); no global sort.  Ties
+    are impossible (distinct ids -> distinct digests, and the id itself is
+    the final tiebreak).
+    """
+    from pyspark.sql import Window
+    strata_cols = list(strata_cols)
+    rank_key = F.md5(F.concat(F.col(id_col).cast('string'), F.lit(':strat')))
+    w = Window.partitionBy(*strata_cols).orderBy(rank_key.asc(),
+                                                 F.col(id_col).asc())
+    return (df.withColumn('_rn', F.row_number().over(w))
+              .filter(F.col('_rn') <= n_per_stratum)
+              .drop('_rn'))

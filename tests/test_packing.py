@@ -80,3 +80,23 @@ def test_mixture_epochs_counts_and_determinism(spark):
     # deterministic
     out2 = mixture_epochs(df, rates={'src0': 2.5, 'src1': 0.4}).toPandas()
     assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, out2.values.tolist()))
+
+
+def test_stratified_sample_exact_counts_and_partition_invariance(spark):
+    from changepoynt_spark.operators.packing import stratified_sample_exact
+    docs = spark.read.parquet('/root/testdata/sf0.001/documents.parquet')
+    out = stratified_sample_exact(docs, ['source', 'lang'], n_per_stratum=3)
+    sizes = out.groupBy('source', 'lang').count().toPandas()
+    full = docs.groupBy('source', 'lang').count().toPandas() \
+        .set_index(['source', 'lang'])['count']
+    for _, r in sizes.iterrows():
+        expect = min(3, int(full.loc[(r['source'], r['lang'])]))
+        assert r['count'] == expect, (r['source'], r['lang'])
+    # same strata set as the input
+    assert len(sizes) == len(full)
+    # deterministic under partitioning
+    a = set(out.select('doc_id').toPandas()['doc_id'])
+    b = set(stratified_sample_exact(docs.repartition(17), ['source', 'lang'],
+                                    n_per_stratum=3)
+            .select('doc_id').toPandas()['doc_id'])
+    assert a == b
