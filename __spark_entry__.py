@@ -1286,6 +1286,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = emb.filter('vec_id = 0').select('embedding').first()[0]
         return similarity.lsh_bucket_topk(emb.filter('vec_id <> 0'), qvec, k=10, n_planes=6)
 
+    def embedding_contamination_flags(spark, sf_dir):
+        # semantic decontamination: max cosine to the broadcast benchmark
+        # set (threshold 0.25 ~ the p95 of max-benchmark-cosine in the
+        # synthetic corpus, so both flag outcomes occur)
+        emb = _read(spark, sf_dir, 'embeddings')
+        emb = emb.withColumn('embedding',
+                             F.transform('embedding', lambda x: x.cast('double')))
+        return similarity.embedding_contamination(emb, benchmark_ids=[0, 1, 2],
+                                                  threshold=0.25)
+
     def embedding_knn(spark, sf_dir):
         emb = _read(spark, sf_dir, 'embeddings')
         emb = emb.withColumn('embedding',
@@ -1578,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_percentile_1h': events_percentile_1h,
         'events_ewma': events_ewma,
         'embedding_cosine_dups': embedding_cosine_dups,
+        'embedding_contamination_flags': embedding_contamination_flags,
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
         'multimodal_features': multimodal_features,
@@ -2112,6 +2123,25 @@ def oracle_sql() -> dict[str, str]:
         'embedding_lsh_topk': _lsh_topk_sql(n_planes=6, seed=7, k=10),
         'embedding_cosine_dups': _cosine_dups_sql(threshold=0.4, n_planes=6,
                                                   seed=7, n_tables=8),
+        'embedding_contamination_flags': """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                       FROM embeddings
+                       WHERE sqrt(list_inner_product(
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(embedding, x -> CAST(x AS DOUBLE)))) > 0),
+            q AS (SELECT v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+            c AS (SELECT vec_id, v FROM e WHERE vec_id NOT IN (0, 1, 2)),
+            s AS (SELECT c.vec_id,
+                         ROUND(MAX(list_inner_product(c.v, q.qv)
+                               / (sqrt(list_inner_product(c.v, c.v))
+                                  * sqrt(list_inner_product(q.qv, q.qv)))), 6)
+                             AS max_benchmark_cos
+                  FROM c, q GROUP BY 1)
+            SELECT vec_id, max_benchmark_cos,
+                   max_benchmark_cos >= 0.25 AS contaminated
+            FROM s
+        """,
         'embedding_ivf_topk': _ivf_topk_sql(n_lists=16, nprobe=4, k=10),
         'embedding_quantized_topk': """
             WITH e AS (SELECT vec_id,

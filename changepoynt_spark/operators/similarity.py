@@ -244,6 +244,30 @@ def embedding_cosine_dups(df: DataFrame, threshold: float = 0.95, n_planes: int 
                  .select('vec_a', 'vec_b', 'cos_sim'))
 
 
+def embedding_contamination(df: DataFrame, benchmark_ids, threshold: float = 0.95,
+                            id_col: str = 'vec_id',
+                            vec_col: str = 'embedding') -> DataFrame:
+    """Embedding-level decontamination: flag corpus vectors whose cosine to
+    ANY benchmark vector reaches ``threshold`` — the semantic complement of
+    the n-gram contamination gate (paraphrased benchmark leaks share no
+    13-gram but sit next to the benchmark in embedding space).
+
+    The benchmark set is small by nature, so it rides a broadcast join
+    (the corpus is never shuffled); per corpus row the max benchmark
+    cosine is reduced with a combiner-friendly aggregate.  Output:
+    (id, max_benchmark_cos round-6, contaminated)."""
+    df = _drop_zero_norm(df, vec_col)
+    marks = df.filter(F.col(id_col).isin(list(benchmark_ids))) \
+              .select(F.col(id_col).alias('_qid'), F.col(vec_col).alias('_qv'))
+    corpus = df.filter(~F.col(id_col).isin(list(benchmark_ids)))
+    joined = corpus.join(F.broadcast(marks))
+    sim = _dot(F.col(vec_col), F.col('_qv')) / (_norm(F.col(vec_col)) * _norm(F.col('_qv')))
+    agg = (joined.groupBy(id_col)
+                 .agg(F.round(F.max(sim), 6).alias('max_benchmark_cos')))
+    return agg.withColumn('contaminated',
+                          F.col('max_benchmark_cos') >= F.lit(float(threshold)))
+
+
 def quantize_embeddings(df: DataFrame, id_col: str = 'vec_id',
                         vec_col: str = 'embedding') -> DataFrame:
     """(id, qvec array<int>, max_abs) — symmetric per-vector int8

@@ -654,3 +654,26 @@ def test_quality_score_linear_matches_numpy(spark):
         assert got.loc[doc_id, 'n_words'] == len(words)
         assert got.loc[doc_id, 'quality_score'] == pytest.approx(score, abs=1e-9)
         assert bool(got.loc[doc_id, 'keep']) == (got.loc[doc_id, 'quality_score'] >= 0.6)
+
+
+def test_embedding_contamination_matches_bruteforce(spark):
+    from changepoynt_spark.operators.similarity import embedding_contamination
+    emb = spark.read.parquet('/root/testdata/sf0.001/embeddings.parquet')
+    emb = emb.withColumn('embedding',
+                         F.transform('embedding', lambda x: x.cast('double')))
+    got = embedding_contamination(emb, benchmark_ids=[0, 1, 2], threshold=0.25) \
+        .toPandas().set_index('vec_id')
+    pdf = emb.toPandas()
+    vecs = {int(r['vec_id']): np.asarray(r['embedding'], dtype=float)
+            for _, r in pdf.iterrows()}
+    bench = [vecs[i] / np.linalg.norm(vecs[i]) for i in (0, 1, 2)]
+    checked = 0
+    for vid, v in vecs.items():
+        if vid in (0, 1, 2) or np.linalg.norm(v) == 0:
+            continue
+        m = max(float(np.dot(v / np.linalg.norm(v), b)) for b in bench)
+        assert got.loc[vid, 'max_benchmark_cos'] == pytest.approx(m, abs=2e-6)
+        assert bool(got.loc[vid, 'contaminated']) == \
+            (got.loc[vid, 'max_benchmark_cos'] >= 0.25)
+        checked += 1
+    assert checked > 400
