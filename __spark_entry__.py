@@ -1445,12 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.resize_plan(media, max_side=256)
 
     def multimodal_features(spark, sf_dir):
-        # REAL content features for image (PPM parse) and audio (WAV/PCM16
-        # parse); video rows use the documented deterministic stub
-        media = multimodal.synthetic_media_table(spark, n_items=24)
-        return multimodal.extract_features(media)
-
-    def multimodal_features(spark, sf_dir):
+        # REAL content features for image (PPM parse), audio (WAV/PCM16
+        # parse) and video (AVI/DIB parse); contract shape is the rounded
+        # feature_sum (r4 oracle); full vectors via multimodal_feature_vectors
         media = multimodal.synthetic_media_table(spark, n_items=24)
         feats = multimodal.extract_features(media)
         return feats.select('media_id', 'modality', 'n_bytes',

@@ -82,11 +82,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1                                             # single ws after maxval
+    # netpbm: EXACTLY ONE whitespace character separates maxval from the
+    # raster (a raster byte may itself look like whitespace, so we must not
+    # skip a run).  Validate the separator and the raster length so a
+    # malformed header corrupts loudly, not silently.
+    if not payload[pos:pos + 1].isspace():
+        raise ValueError('missing whitespace separator after maxval')
+    pos += 1
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f'only maxval 255 supported, got {maxval}')
     n = w * h * channels
+    if len(payload) - pos < n:
+        raise ValueError(f'short raster: need {n} bytes, have {len(payload) - pos}')
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     return raster.reshape((h, w, 3) if channels == 3 else (h, w)).copy()
 

@@ -459,6 +459,15 @@ def sketch_estimate(df: DataFrame, keys) -> DataFrame:
 # number of log-buckets per e-fold: bucket(v) = floor(K * ln|v|), i.e.
 # gamma = e^(1/K) ~ 1.0157 -> worst-case relative quantile error
 # (gamma-1)/(gamma+1) ~ 0.78%
+#
+# Cross-engine caveat (residual, extremely rare): the index depends on
+# ln(), and Java Math.log vs libm may disagree by 1 ulp.  A value whose
+# K*ln|v| lands within ~1 ulp of an integer could therefore flip into the
+# neighbouring bucket on another engine — the HISTOGRAM would differ by one
+# count while every quantile estimate stays inside the gamma error bound.
+# The quantile WALK itself is integer-exact; only bucket assignment carries
+# this boundary risk.  If an exact cross-engine histogram guarantee were
+# ever required, derive the index from a decimal-quantized log instead.
 DDSKETCH_K = 64
 
 

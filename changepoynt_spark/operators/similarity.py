@@ -108,14 +108,37 @@ def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, se
     return cosine_topk(candidates, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def deterministic_sample(df: DataFrame, n: int, id_col: str,
+                         buckets: int = 16) -> DataFrame:
+    """~n rows chosen deterministically with NO global sort: rows are
+    bucketed by an md5-derived hash of the id, and the top ceil(n/buckets)
+    per bucket by a SECOND md5 rank survive (the stratified_sample_exact
+    pattern).  One hash exchange + per-bucket local sort — never a range
+    partitioning / global Sort stage.  Partition-invariant: both the bucket
+    and the within-bucket rank are pure functions of the ids present."""
+    from changepoynt_spark.operators.packing import stratified_sample_exact
+    bkey = F.md5(F.concat(F.col(id_col).cast('string'), F.lit(':bkt')))
+    bucket = F.pmod(F.conv(F.substring(bkey, 1, 4), 16, 10).cast('int'),
+                    F.lit(int(buckets)))
+    per = -(-int(n) // int(buckets))
+    return (stratified_sample_exact(df.withColumn('_bkt', bucket), ['_bkt'],
+                                    per, id_col=id_col)
+            .drop('_bkt'))
+
+
 def kmeans_centroids(df: DataFrame, k: int = 16, iters: int = 10, seed: int = 7,
                      sample: int = 10_000, id_col: str = 'vec_id',
                      vec_col: str = 'embedding') -> np.ndarray:
     """Coarse quantizer for the IVF index: Lloyd's k-means on a deterministic
-    sample (ordered by id — at cluster scale substitute a hash-sampled
-    fraction), run driver-side in numpy.  The centroid matrix is small
+    hash-bucketed sample (md5-rank per bucket — NO global sort; the old
+    ``orderBy(id).limit(n)`` cost a full range-partitioned sort at 10^9
+    vectors), run driver-side in numpy.  The centroid matrix is small
     (k x dim) and becomes broadcast literals, exactly like the LSH planes."""
-    pdf = df.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    pdf = deterministic_sample(df.select(id_col, vec_col), sample,
+                               id_col).toPandas()
+    # driver-side sort of <= sample rows: numpy input order must not depend
+    # on task arrival order
+    pdf = pdf.sort_values(id_col, ignore_index=True)
     x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -260,12 +283,16 @@ def embedding_contamination(df: DataFrame, benchmark_ids, threshold: float = 0.9
     marks = df.filter(F.col(id_col).isin(list(benchmark_ids))) \
               .select(F.col(id_col).alias('_qid'), F.col(vec_col).alias('_qv'))
     corpus = df.filter(~F.col(id_col).isin(list(benchmark_ids)))
-    joined = corpus.join(F.broadcast(marks))
+    # LEFT join on lit(True): if benchmark_ids match no rows, every corpus
+    # row survives with a NULL mark (max cosine NULL, contaminated=false)
+    # instead of being silently dropped by an empty inner cross join.
+    joined = corpus.join(F.broadcast(marks), F.lit(True), 'left')
     sim = _dot(F.col(vec_col), F.col('_qv')) / (_norm(F.col(vec_col)) * _norm(F.col('_qv')))
     agg = (joined.groupBy(id_col)
                  .agg(F.round(F.max(sim), 6).alias('max_benchmark_cos')))
     return agg.withColumn('contaminated',
-                          F.col('max_benchmark_cos') >= F.lit(float(threshold)))
+                          F.coalesce(F.col('max_benchmark_cos') >= F.lit(float(threshold)),
+                                     F.lit(False)))
 
 
 def quantize_embeddings(df: DataFrame, id_col: str = 'vec_id',

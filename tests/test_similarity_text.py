@@ -677,3 +677,36 @@ def test_embedding_contamination_matches_bruteforce(spark):
             (got.loc[vid, 'max_benchmark_cos'] >= 0.25)
         checked += 1
     assert checked > 400
+
+
+def test_kmeans_sample_deterministic_and_sortless(spark, embeddings):
+    """Round-5: the k-means sample must be (a) partition-invariant — same
+    centroids no matter how the corpus is partitioned — and (b) free of any
+    global Sort (rangepartitioning) stage; only a hash exchange + per-bucket
+    local sort is allowed."""
+    corpus = embeddings.filter('vec_id <> 0')
+    c1 = similarity.kmeans_centroids(corpus, k=8, iters=5, seed=7, sample=200)
+    c2 = similarity.kmeans_centroids(corpus.repartition(13), k=8, iters=5,
+                                     seed=7, sample=200)
+    np.testing.assert_array_equal(c1, c2)
+
+    plan = similarity.deterministic_sample(
+        corpus.select('vec_id', 'embedding'), 200, 'vec_id') \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert 'rangepartitioning' not in plan.lower(), plan
+    assert 'hashpartitioning' in plan.lower(), plan
+
+
+def test_embedding_contamination_empty_benchmark(spark, embeddings):
+    """Round-5 ADVICE fix: benchmark_ids matching no rows must keep every
+    corpus row with NULL max cosine and contaminated=false, not silently
+    return an empty frame."""
+    corpus = embeddings.filter('vec_id <> 0')
+    got = similarity.embedding_contamination(
+        corpus, benchmark_ids=[-999, -998], threshold=0.5).toPandas()
+    n = corpus.filter(
+        F.aggregate(F.transform('embedding', lambda x: x * x),
+                    F.lit(0.0), lambda a, v: a + v) > 0).count()
+    assert len(got) == n
+    assert got['max_benchmark_cos'].isna().all()
+    assert not got['contaminated'].any()
