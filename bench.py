@@ -38,13 +38,19 @@ def _sf_label(sf_dir: str) -> float:
         return -1.0
 
 
-def headline_pipeline(spark, n_docs: int = N_DOCS, max_len: int = MAX_LEN):
-    """Returns (rolled_points, raw_points, wall_sec, compressed_bytes).
+def headline_pipeline(spark, n_docs: int = N_DOCS, max_len: int = MAX_LEN,
+                      stages: bool = False):
+    """Returns (rolled_points, raw_points, wall_sec, compressed_bytes[, stage_sec]).
 
     Uses the fused zero-shuffle path (changepoynt_spark.operators.fused):
     scores, all three tiers and the Gorilla blocks are produced in one
     mapInPandas pass over the scan partitions (value-identical to the
-    generic cascade — proven in tests/test_fused.py)."""
+    generic cascade — proven in tests/test_fused.py).
+
+    ``stages=True`` additionally returns per-stage CPU seconds summed over
+    all tasks ({'score','bucket','encode','assemble'}, via Spark
+    accumulators inside the kernel) — wall attribution of where the fused
+    pipeline actually spends its time."""
     from pyspark.sql import functions as F
     from changepoynt_spark.operators.fused import score_rollup
     from changepoynt_spark.sources.datagen import tokens_table_distributed
@@ -55,8 +61,13 @@ def headline_pipeline(spark, n_docs: int = N_DOCS, max_len: int = MAX_LEN):
     tokens = tokens.cache()
     raw_points = tokens.agg(F.sum('n_tok')).first()[0]  # materialize input first
 
+    acc = None
+    if stages:
+        acc = {k: spark.sparkContext.accumulator(0.0)
+               for k in ('score', 'bucket', 'encode', 'assemble')}
     start = time.perf_counter()
-    blocks = score_rollup(tokens, algorithm='sst', params=SST_PARAMS, output='blocks')
+    blocks = score_rollup(tokens, algorithm='sst', params=SST_PARAMS,
+                          output='blocks', stage_acc=acc)
     stats = blocks.agg(
         F.sum('n_points').alias('p'),
         F.sum(F.length('ts_blob') + F.length('value_blob')).alias('b')).first()
@@ -64,6 +75,9 @@ def headline_pipeline(spark, n_docs: int = N_DOCS, max_len: int = MAX_LEN):
     comp_bytes = stats['b'] or 0
     wall = time.perf_counter() - start
     tokens.unpersist()
+    if stages:
+        stage_sec = {k: round(v.value, 3) for k, v in acc.items()}
+        return rolled, raw_points, wall, comp_bytes, stage_sec
     return rolled, raw_points, wall, comp_bytes
 
 
@@ -102,6 +116,31 @@ def run_queries(spark, sf_dir: str) -> dict:
     return out
 
 
+def _compression_block() -> dict:
+    """Machine-readable twin of BENCH/COMPRESSION.md: bytes/point per tier
+    for both value codecs (Gorilla XOR vs scaled-int delta-of-delta) and the
+    tier timestamp grids, on deterministic streams shaped like the headline
+    pipeline's rolled tiers (smooth random-walk averages on a regular grid).
+    Pure local numpy — same numbers every round unless a codec changes."""
+    import numpy as np
+    from changepoynt_spark.codecs import (encode_timestamps, encode_values,
+                                          encode_values_scaled)
+    rng = np.random.default_rng(42)
+    n = 20_000
+    walk = np.cumsum(rng.standard_normal(n)) * 0.01 + 5.0
+    quant = np.round(walk, 1)
+    out = {}
+    for tier, step in (('1m', 60), ('1h', 3600), ('1d', 86400)):
+        ts = (1767225600 + np.arange(n, dtype=np.int64) * step) * 1_000_000
+        out[tier] = {
+            'ts_dod_bytes_per_point': round(len(encode_timestamps(ts)) / n, 3),
+            'gorilla_bytes_per_point': round(len(encode_values(walk)) / n, 3),
+            'scaled_int_bytes_per_point':
+                round(len(encode_values_scaled(quant, decimals=1)) / n, 3),
+        }
+    return out
+
+
 def make_session(cpus: int):
     from changepoynt_spark.session import get_spark
     return get_spark(app_name=f'bench-{cpus}', master=f'local[{cpus}]',
@@ -116,11 +155,15 @@ def main():
     # degrades throughput.  hw_probe_sec records a fixed single-thread numpy
     # workload so cross-round records can be normalized for host speed.
     probe_sec = round(_hw_probe_work(None), 3)
-    rolled, raw, wall, comp = headline_pipeline(spark)
-    rolled2, raw2, wall2, comp2 = headline_pipeline(spark)
+    rolled, raw, wall, comp, stage_sec = headline_pipeline(spark, stages=True)
+    # mid-run probe: session H showed a quiet launch probe can lie about the
+    # window the pipeline actually ran in — record one between the two runs
+    probe_mid = round(_hw_probe_work(None), 3)
+    rolled2, raw2, wall2, comp2, stage2 = headline_pipeline(spark, stages=True)
     if rolled2 / wall2 > rolled / wall:
-        rolled, raw, wall, comp = rolled2, raw2, wall2, comp2
+        rolled, raw, wall, comp, stage_sec = rolled2, raw2, wall2, comp2, stage2
     qtimes = run_queries(spark, SF_DIR)
+    probe_post = round(_hw_probe_work(None), 3)
     conf = {
         'master': spark.sparkContext.master,
         'shuffle_partitions': spark.conf.get('spark.sql.shuffle.partitions'),
@@ -147,7 +190,15 @@ def main():
             'cpus': CPUS,
             'n_docs': N_DOCS,
             'hw_probe_sec': probe_sec,
+            'hw_probe_mid_sec': probe_mid,
+            'hw_probe_post_sec': probe_post,
+            # per-stage CPU seconds summed over all tasks (kernel-side
+            # accumulators); stage share = stage / sum(stages)
+            'stage_cpu_sec': stage_sec,
+            'stage_share': {k: round(v / max(sum(stage_sec.values()), 1e-9), 3)
+                            for k, v in stage_sec.items()},
         },
+        'compression': _compression_block(),
         'rows': {k[:-5]: v for k, v in qtimes.items() if k.endswith('_rows')},
     }
     # full machine-readable artifact (the driver's BENCH_r{N}.json records a

@@ -104,12 +104,18 @@ def score_rollup(df: DataFrame, algorithm: str = 'sst', params: dict = None,
                  output: str = 'blocks', dequantize: bool = True,
                  epoch_s: int = DEFAULT_EPOCH_S, tick_seconds: int = 1,
                  block_interval: str = '1d', filter_short: bool = True,
-                 seed_fn=series_seed) -> DataFrame:
+                 seed_fn=series_seed, stage_acc: dict = None) -> DataFrame:
     """One-pass tokens -> scores -> tier rollup -> (rows | gorilla blocks).
 
     ``output='rows'`` emits tier bucket rows (same values as the generic
     rollup cascade); ``output='blocks'`` emits delta-of-delta + Gorilla
     compressed blocks, one per (doc, tier, block_interval window).
+
+    ``stage_acc``: optional dict of Spark DoubleAccumulators keyed
+    'score'/'bucket'/'encode'/'assemble' — the kernel adds its per-batch
+    CPU seconds per stage (one accumulator update per Arrow batch, so the
+    instrumentation itself is O(batches) not O(points)).  Used by bench.py
+    for per-stage wall attribution of the headline pipeline.
     """
     assert output in ('rows', 'blocks')
     params = dict(params or {})
@@ -120,19 +126,25 @@ def score_rollup(df: DataFrame, algorithm: str = 'sst', params: dict = None,
     block_s = TIER_SECONDS[block_interval] if block_interval in TIER_SECONDS else 86400
 
     def kernel(batches):
+        import time as _time
         from changepoynt_spark.codecs import encode_timestamps, encode_values
         for pdf in batches:
+            t_stage = {'score': 0.0, 'bucket': 0.0, 'encode': 0.0, 'assemble': 0.0}
             out = {k: [] for k in ('doc_id', 'source', 'tier', 'bucket', 'cnt', 'sum',
                                    'min', 'max', 'first', 'last',
                                    'n_points', 'ts_blob', 'value_blob')}
             for doc_id, src, toks in zip(pdf['doc_id'].to_numpy(),
                                          pdf['source'].to_numpy(),
                                          pdf['tokens'].to_numpy()):
+                _t0 = _time.perf_counter()
                 ts_vals = np.asarray(toks, dtype=np.float64) / scale
                 np.random.seed(seed_fn(doc_id))
                 algo = build_algorithm(algorithm, params)
                 score = np.asarray(algo.transform(ts_vals), dtype=np.float64)
+                _t1 = _time.perf_counter()
+                t_stage['score'] += _t1 - _t0
                 tiers = _series_tiers(score, tick_seconds)
+                _enc_doc = 0.0
                 for tier, b in tiers.items():
                     step = TIER_SECONDS[tier]
                     bucket_ts = epoch_s + np.arange(b['cnt'].shape[0], dtype=np.int64) * step
@@ -159,16 +171,25 @@ def score_rollup(df: DataFrame, algorithm: str = 'sst', params: dict = None,
                             out['tier'].append(tier)
                             out['bucket'].append(int(bucket_ts[s]))
                             out['n_points'].append(e - s)
-                            out['ts_blob'].append(
-                                encode_timestamps(bucket_ts[s:e] * 1_000_000))
-                            out['value_blob'].append(encode_values(avg[s:e]))
+                            _te = _time.perf_counter()
+                            ts_blob = encode_timestamps(bucket_ts[s:e] * 1_000_000)
+                            value_blob = encode_values(avg[s:e])
+                            _enc_doc += _time.perf_counter() - _te
+                            out['ts_blob'].append(ts_blob)
+                            out['value_blob'].append(value_blob)
+                t_stage['encode'] += _enc_doc
+                t_stage['bucket'] += (_time.perf_counter() - _t1) - _enc_doc
+            _ta = _time.perf_counter()
             if output == 'rows':
                 if not out['doc_id']:
+                    if stage_acc:
+                        for _k, _v in t_stage.items():
+                            stage_acc[_k].add(_v)
                     continue
                 bucket = np.concatenate(out['bucket']) if out['bucket'] else np.array([], dtype=np.int64)
                 sums = np.concatenate(out['sum'])
                 cnts = np.concatenate(out['cnt'])
-                yield pd.DataFrame({
+                res = pd.DataFrame({
                     'doc_id': out['doc_id'],
                     'source': out['source'],
                     'tier': out['tier'],
@@ -183,8 +204,11 @@ def score_rollup(df: DataFrame, algorithm: str = 'sst', params: dict = None,
                 })
             else:
                 if not out['doc_id']:
+                    if stage_acc:
+                        for _k, _v in t_stage.items():
+                            stage_acc[_k].add(_v)
                     continue
-                yield pd.DataFrame({
+                res = pd.DataFrame({
                     'doc_id': out['doc_id'],
                     'source': out['source'],
                     'tier': out['tier'],
@@ -194,6 +218,11 @@ def score_rollup(df: DataFrame, algorithm: str = 'sst', params: dict = None,
                     'ts_blob': out['ts_blob'],
                     'value_blob': out['value_blob'],
                 })
+            t_stage['assemble'] += _time.perf_counter() - _ta
+            if stage_acc:
+                for _k, _v in t_stage.items():
+                    stage_acc[_k].add(_v)
+            yield res
 
     schema = ROWS_SCHEMA if output == 'rows' else BLOCKS_SCHEMA
     return df.mapInPandas(kernel, schema=schema)
