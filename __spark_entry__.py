@@ -1446,13 +1446,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def multimodal_features(spark, sf_dir):
         # REAL content features for image (PPM parse), audio (WAV/PCM16
-        # parse) and video (AVI/DIB parse); contract shape is the rounded
-        # feature_sum (r4 oracle); full vectors via multimodal_feature_vectors
+        # parse) and video (uncompressed AVI/DIB parse — round 5 closed the
+        # last decode stub); contract shape is the rounded feature_sum
         media = multimodal.synthetic_media_table(spark, n_items=24)
         feats = multimodal.extract_features(media)
         return feats.select('media_id', 'modality', 'n_bytes',
                             F.round(F.aggregate('feature', F.lit(0.0),
                                                 lambda a, v: a + v), 4).alias('feature_sum'))
+
+    def multimodal_frame_features(spark, sf_dir):
+        # executable frame sampling: decode each AVI, one row per sampled
+        # frame with that frame's image features (rows-only: binary video
+        # decode is not SQL-expressible)
+        media = multimodal.synthetic_media_table(spark, n_items=24)
+        frames = multimodal.sample_frames(media, every_ms=200)
+        return frames.select('media_id', 'frame_idx', 'frame_ts_ms',
+                             F.round(F.aggregate('feature', F.lit(0.0),
+                                                 lambda a, v: a + v), 4).alias('feature_sum'))
 
     def chunked_moving_window(spark, sf_dir):
         # chunk-with-halo + salted scoring of the per-user series, reassembled
@@ -1589,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'multimodal_frame_plan': multimodal_frame_plan,
         'multimodal_resize_plan': multimodal_resize_plan,
         'multimodal_features': multimodal_features,
+        'multimodal_frame_features': multimodal_frame_features,
         'gap_fill_linear_values': gap_fill_linear_values,
     }
     # oracled-first ordering: a driver that prefix-samples K queries hits

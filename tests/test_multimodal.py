@@ -23,9 +23,65 @@ def test_extract_features_deterministic_and_shaped(spark, media):
     assert (a['n_bytes'] > 0).all()
 
 
-def test_decode_stub_raises_without_fake(spark, media):
-    with pytest.raises(Exception):
-        multimodal.extract_features(media, deterministic_fake=False).count()
+def test_avi_roundtrip_and_guards():
+    """Uncompressed AVI encode/decode is bit-exact; compressed or corrupt
+    payloads raise instead of decoding garbage."""
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(5, 19, 27, 3)).astype(np.uint8)
+    payload = multimodal.encode_avi(frames, fps=25)
+    dec, fps = multimodal.decode_avi(payload)
+    assert fps == 25.0
+    np.testing.assert_array_equal(dec, frames)
+    # odd width exercises the 4-byte DIB row padding
+    odd = rng.integers(0, 256, size=(3, 10, 13, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(multimodal.decode_avi(multimodal.encode_avi(odd, 5))[0], odd)
+    with pytest.raises(ValueError):
+        multimodal.decode_avi(b'RIFF\x00\x00\x00\x00WAVE')
+    # flip biCompression to a nonzero fourcc -> must refuse
+    bad = bytearray(payload)
+    strf_at = payload.index(b'strf')
+    bad[strf_at + 8 + 16:strf_at + 8 + 20] = b'MJPG'
+    with pytest.raises(ValueError, match='BI_RGB'):
+        multimodal.decode_avi(bytes(bad))
+
+
+def test_video_features_are_real_content_features():
+    """A static video has zero motion; a rolling gradient has positive
+    motion energy; geometry/rate/duration come from the real headers."""
+    base = (np.linspace(0, 255, 32)[None, :, None]
+            * np.ones((16, 1, 3))).astype(np.uint8)
+    static = np.stack([base] * 6)
+    moving = np.stack([np.roll(base, 4 * f, axis=1) for f in range(6)])
+    f_static = multimodal.video_features(*multimodal.decode_avi(
+        multimodal.encode_avi(static, fps=10)))
+    f_moving = multimodal.video_features(*multimodal.decode_avi(
+        multimodal.encode_avi(moving, fps=10)))
+    assert (f_static[0], f_static[1], f_static[2], f_static[3]) == (32, 16, 6, 10)
+    assert abs(f_static[4] - 0.6) < 1e-6          # duration = n/fps
+    assert f_static[8] == 0.0                     # zero motion
+    assert f_moving[8] > 1.0                      # real motion energy
+    np.testing.assert_allclose(f_static[5], f_moving[5], rtol=1e-6)  # same pixels overall
+
+
+def test_sample_frames_decodes_real_frames(spark, media):
+    """sample_frames emits one row per sampled frame with that frame's
+    IMAGE features — re-derive driver-side from the same payloads."""
+    got = multimodal.sample_frames(media, every_ms=200).toPandas()
+    src = media.filter("modality = 'video'") \
+               .select('media_id', 'payload').toPandas()
+    assert set(got['media_id']) == set(src['media_id'])
+    checked = 0
+    for _, r in src.iterrows():
+        frames, fps = multimodal.decode_avi(bytes(r['payload']))
+        sub = got[got['media_id'] == r['media_id']].sort_values('frame_idx')
+        assert sub['frame_idx'].iloc[0] == 0
+        assert sub['frame_idx'].max() <= len(frames) - 1
+        for _, rr in sub.iterrows():
+            np.testing.assert_array_equal(
+                np.asarray(rr['feature'], dtype=np.float32),
+                multimodal.image_features(frames[rr['frame_idx']]))
+            checked += 1
+    assert checked >= 8
 
 
 def test_frame_plan_counts_match_durations(spark, media):
@@ -113,21 +169,11 @@ def test_extract_features_decodes_synthetic_payloads_for_real(spark, media):
     src = media.select('media_id', 'modality', 'payload').toPandas()
     checked = 0
     for _, r in src.iterrows():
-        if r['modality'] == 'video':
-            continue
         expect = multimodal.decode_features(bytes(r['payload']), r['modality'])
         np.testing.assert_array_equal(
             np.asarray(got.loc[r['media_id'], 'feature'], dtype=np.float32), expect)
         checked += 1
-    assert checked >= 16  # 8 images + 8 audio in the 24-item fixture
-
-
-def test_extract_features_real_mode_only_video_blocked(spark, media):
-    """deterministic_fake=False now succeeds for image/audio (real decoders)
-    and raises only where no decoder exists (video)."""
-    no_video = media.filter("modality <> 'video'")
-    out = multimodal.extract_features(no_video, deterministic_fake=False).toPandas()
-    assert len(out) == no_video.count()
+    assert checked == 24  # every row, all three modalities, for real
 
 
 def test_resize_images_applies_plan(spark, media):
