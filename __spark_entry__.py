@@ -591,6 +591,109 @@ def _ivf_topk_sql(n_lists: int = 16, nprobe: int = 4, k: int = 10, dim: int = 64
     """
 
 
+def _lttb_sql(n_out: int) -> str:
+    """DuckDB twin of window_ops.lttb_downsample: the sequential
+    bucket-anchor recurrence runs as a RECURSIVE CTE over per-user arrays
+    (scalar list functions only — no aggregates in the recursive term).
+    Bit-exact with the kernel by construction: integer bucket edges
+    1 + (j*(n-2))//(n_out-2), timestamps as int64 microsecond offsets from
+    the series start, values as floor(v*1e6) micro-units, bucket means =
+    CAST(int_sum AS DOUBLE)/cnt, and first-position argmax — the same
+    expression tree the kernel evaluates (see lttb_downsample docstring).
+    Series with n <= n_out pass through whole, exactly like the kernel."""
+    m = n_out - 2
+    return f"""
+    WITH RECURSIVE
+    pts AS (
+      SELECT user_id, ts, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1
+                  AS BIGINT) AS rn,
+             epoch_us(ts) AS tn,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vq
+      FROM events),
+    ser AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             list(tn ORDER BY rn) AS tn0,
+             list(vq ORDER BY rn) AS vqs
+      FROM pts GROUP BY user_id),
+    ser2 AS (
+      SELECT user_id, n, list_transform(tn0, x -> x - tn0[1]) AS tns, vqs
+      FROM ser),
+    walk AS (
+      SELECT user_id, n, tns, vqs,
+             CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS a,
+             [CAST(0 AS BIGINT)] AS chosen
+      FROM ser2 WHERE n > {n_out}
+      UNION ALL
+      SELECT user_id, n, tns, vqs, i + 1, nxt_a, list_append(chosen, nxt_a)
+      FROM (
+        SELECT user_id, n, tns, vqs, i, chosen,
+               lo + list_position(areas, list_aggregate(areas, 'max')) - 1 AS nxt_a
+        FROM (
+          SELECT *,
+                 list_transform(range(lo, hi), p ->
+                   abs(  (tns[a + 1] - avg_t) * (vqs[p + 1] - vqs[a + 1])
+                       - (tns[a + 1] - tns[p + 1]) * (avg_v - vqs[a + 1]))
+                 ) AS areas
+          FROM (
+            SELECT *,
+                   CAST(list_aggregate(tns[nxt_lo + 1:nxt_hi], 'sum') AS DOUBLE)
+                     / (nxt_hi - nxt_lo) AS avg_t,
+                   CAST(list_aggregate(vqs[nxt_lo + 1:nxt_hi], 'sum') AS DOUBLE)
+                     / (nxt_hi - nxt_lo) AS avg_v
+            FROM (
+              SELECT *,
+                     1 + (i * (n - 2)) // {m} AS lo,
+                     1 + ((i + 1) * (n - 2)) // {m} AS hi,
+                     1 + ((i + 1) * (n - 2)) // {m} AS nxt_lo,
+                     CASE WHEN i + 2 < {n_out - 1}
+                          THEN 1 + ((i + 2) * (n - 2)) // {m}
+                          ELSE n END AS nxt_hi
+              FROM walk WHERE i < {m})))))
+    SELECT p.user_id, p.ts, p.value
+    FROM pts p
+    JOIN (
+      SELECT user_id, unnest(list_append(chosen, n - 1)) AS rn
+      FROM walk WHERE i = {m}
+      UNION ALL
+      SELECT user_id, rn FROM pts
+      WHERE user_id IN (SELECT user_id FROM ser WHERE n <= {n_out})
+    ) s USING (user_id, rn)
+    """
+
+
+def _retention_sql() -> str:
+    """DuckDB twin of retention_report: the fused scored rollup's bucket
+    GEOMETRY is purely positional (score length == n_tok == events per
+    user; bucket k of tier step starts at epoch 1767225600 + k*step), so
+    the dry-run retention counts reduce to integer date arithmetic — no
+    score values involved.  min_required_length(moving_window, w=8) = 17
+    filters short series before scoring (operators/scoring.py)."""
+    now_s = 1769904000        # epoch of 2026-02-01 00:00:00 UTC
+    epoch_s = 1767225600      # fused rollup tier epoch (2026-01-01)
+    return f"""
+    WITH n_per AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS L
+      FROM events GROUP BY user_id HAVING count(*) >= 17),
+    tiers(tier, step, max_age_s) AS (VALUES
+      ('1m', 60, 30 * 86400), ('1h', 3600, 180 * 86400), ('1d', 86400, NULL)),
+    buckets AS (
+      SELECT t.tier, t.max_age_s,
+             {epoch_s} + unnest(range(0, (n.L + t.step - 1) // t.step)) * t.step
+               AS bucket_s
+      FROM n_per n CROSS JOIN tiers t)
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(sum(CASE WHEN max_age_s IS NULL
+                          OR bucket_s >= {now_s} - max_age_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept_rows,
+           CAST(count(*) - sum(CASE WHEN max_age_s IS NULL
+                                     OR bucket_s >= {now_s} - max_age_s
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_rows
+    FROM buckets GROUP BY tier
+    """
+
+
 _TOKENIZE_SQL = """
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
@@ -1027,12 +1130,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.withColumn('integral', F.col('integral').cast('string'))
 
     def events_lttb_600(spark, sf_dir):
-        # rows-only: LTTB picks argmax-area points — not SQL-expressible;
-        # shape preservation, determinism, endpoint pinning and pass-through
-        # are pytest-asserted (tests/test_rollup.py)
+        # DuckDB-oracled (round 5): the engine-exact integer-quantized LTTB
+        # selection replays as a recursive CTE (_lttb_sql).  At test SFs the
+        # 66-point series pass through whole (n <= 600), which the oracle
+        # asserts byte-for-byte; events_lttb_20 exercises the triangle math.
         from changepoynt_spark.operators.window_ops import lttb_downsample
         return lttb_downsample(_read(spark, sf_dir, 'events'), ['user_id'],
                                n_out=600)
+
+    def events_lttb_20(spark, sf_dir):
+        # real downsampling at test scale: 66-point series -> 20 shape-
+        # preserving points; chosen indices bit-match the recursive-CTE
+        # oracle (sequential bucket-anchor recurrence on integer-quantized
+        # coordinates — see lttb_downsample's engine-exactness note)
+        from changepoynt_spark.operators.window_ops import lttb_downsample
+        return lttb_downsample(_read(spark, sf_dir, 'events'), ['user_id'],
+                               n_out=20)
 
     def doc_top_words_mg(spark, sf_dir):
         # same answer as doc_top_words, computed the 100 TB way: per-
@@ -1208,18 +1321,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # - doc_pack_stats: bin-packing composition legitimately depends on the
     #   partitioning (per-partition FFD); the exactly-once + budget
     #   invariants are asserted in tests/test_packing.py instead.
-    # - retention_report: thin count-by-policy over the fused scored rollup
-    #   (same blob-bearing path as scored_rollup_compressed).
+    # (retention_report moved to the oracled set in round 5: the fused
+    # rollup's bucket geometry is positional, so the dry-run counts reduce
+    # to integer date arithmetic — no score values involved.)
+    # (events_lttb_600 + events_lttb_20 moved to the oracled set in round 5:
+    # the kernel's selection math is integer-quantized and engine-exact, so
+    # the sequential anchor recurrence replays as a DuckDB recursive CTE.)
     # (embedding_cosine_dups moved to the oracled set in round 4: all eight
     # tables' seeded planes are embedded as SQL literals — the same
     # technique as embedding_lsh_topk — so candidates AND the cosine verify
     # agree exactly; the recall >= 0.9 assertion vs brute force remains in
     # tests/test_similarity_text.py.)
-    # - multimodal_*: binary-payload plans and features.  Image (PPM) and
-    #   audio (WAV/PCM16) decode are REAL numpy parsers as of round 4 —
-    #   features are content-derived and pytest-asserted against driver-side
-    #   re-decodes; only video decode remains stubbed (no ffmpeg here).
-    #   Rows-only: SQL cannot decode rasters/waveforms.
+    # - multimodal_*: binary-payload plans and features.  ALL THREE decodes
+    #   are REAL numpy parsers as of round 5 — image (PPM), audio
+    #   (WAV/PCM16), video (uncompressed RIFF/AVI) — features are
+    #   content-derived and pytest-asserted against driver-side re-decodes.
+    #   Rows-only: SQL cannot decode rasters/waveforms/DIB frames.
     # (gap_fill_linear_values moved to the oracled set in round 3: the round-2
     # twin was unsound because RAW double sums made the tier averages
     # order-dependent; with DECIMAL-exact sums cast to double the tier is
@@ -1531,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
+        'events_lttb_20': events_lttb_20,
         'events_changepoint_segments': events_changepoint_segments,
         'events_anomaly_flags': events_anomaly_flags,
         'events_autocorr': events_autocorr,
@@ -1902,6 +2020,9 @@ def oracle_sql() -> dict[str, str]:
         # descending bucket, zero, positives ascending) and rank semantics
         # (first cum >= ceil(q*n)); the walk is integer-exact, the only
         # doubles are the per-bucket exp estimates (round-6)
+        'events_lttb_600': _lttb_sql(600),
+        'events_lttb_20': _lttb_sql(20),
+        'retention_report': _retention_sql(),
         'events_dd_quantiles_1h': """
             WITH bk AS (SELECT date_trunc('hour', ts) AS bucket_start,
                                CASE WHEN value > 0 THEN 1

@@ -181,6 +181,19 @@ def lttb_downsample(df, keys, ts_col: str = 'ts', value_col: str = 'value',
     assumption as the scoring kernels; chunk first for pathological
     series).  Deterministic: ties in triangle area resolve to the earliest
     point (np.argmax).  First/last points are always kept.
+
+    ENGINE-EXACT by construction (round 5): the selection math runs on
+    integer-quantized coordinates — timestamps as microsecond offsets from
+    the series start (int64; rebasing also keeps bucket sums far from
+    int64 overflow at any realistic bucket size) and values as
+    floor(v * 1e6) micro-units — with INTEGER bucket edges
+    ``1 + (j*(n-2)) // (n_out-2)``.  Bucket means are exact-int sums
+    divided once in double, and every area term is a float op on exactly
+    reproducible inputs, so the chosen indices (and hence the emitted
+    original rows) bit-match any engine that evaluates the same
+    expressions — the DuckDB recursive-CTE oracle for events_lttb_* does.
+    Float-mean LTTB would hinge on summation order (np.mean's pairwise
+    unrolling diverges from sequential SQL sums even at n<=8).
     """
     import numpy as np
     import pandas as pd
@@ -196,19 +209,28 @@ def lttb_downsample(df, keys, ts_col: str = 'ts', value_col: str = 'value',
             return pdf[keys + [ts_col, value_col]]
         t = pdf[ts_col].to_numpy()
         tn = (t.astype('datetime64[us]').astype(np.int64)
-              if np.issubdtype(t.dtype, np.datetime64) else t.astype(np.float64))
-        v = pdf[value_col].to_numpy(dtype=np.float64)
-        # bucket edges over the interior points (first/last pinned)
-        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+              if np.issubdtype(t.dtype, np.datetime64)
+              else np.floor(t.astype(np.float64) * 1e6).astype(np.int64))
+        tn = tn - tn[0]
+        vq = np.floor(pdf[value_col].to_numpy(dtype=np.float64) * 1e6) \
+               .astype(np.int64)
+        # integer bucket edges over the interior points (first/last pinned);
+        # strictly increasing because n > n_out
+        m = n_out - 2
+        edges = 1 + (np.arange(n_out - 1, dtype=np.int64) * (n - 2)) // m
         chosen = [0]
         a = 0
-        for i in range(n_out - 2):
-            lo, hi = edges[i], edges[i + 1]
-            nxt_lo, nxt_hi = edges[i + 1], (edges[i + 2] if i + 2 < n_out - 1 else n)
-            avg_t = tn[nxt_lo:nxt_hi].mean()
-            avg_v = v[nxt_lo:nxt_hi].mean()
-            area = np.abs((tn[a] - avg_t) * (v[lo:hi] - v[a])
-                          - (tn[a] - tn[lo:hi]) * (avg_v - v[a]))
+        for i in range(m):
+            lo, hi = int(edges[i]), int(edges[i + 1])
+            nxt_lo = hi
+            nxt_hi = int(edges[i + 2]) if i + 2 < n_out - 1 else n
+            cnt = nxt_hi - nxt_lo
+            # float(int_sum)/cnt == SQL CAST(sum AS DOUBLE)/cnt: the same
+            # two correctly-rounded steps, in the same order
+            avg_t = float(tn[nxt_lo:nxt_hi].sum()) / cnt
+            avg_v = float(vq[nxt_lo:nxt_hi].sum()) / cnt
+            area = np.abs((tn[a] - avg_t) * (vq[lo:hi] - vq[a])
+                          - (tn[a] - tn[lo:hi]) * (avg_v - vq[a]))
             a = lo + int(np.argmax(area))
             chosen.append(a)
         chosen.append(n - 1)
