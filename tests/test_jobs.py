@@ -198,3 +198,58 @@ def test_ingest_stream_job_gates_dedups_and_restarts_exactly_once(spark, tmp_pat
                            spark=spark)
     again = spark.read.parquet(out).toPandas()
     assert len(again) == len(got)
+
+
+def test_sketch_stream_job_matches_batch_and_restarts_exactly_once(spark, tmp_path):
+    """Streaming DD-sketch tier job end to end (round 5): one watermarked
+    stateful agg -> parquet exchange rows; assembled CLOSED buckets
+    bit-match the batch tier; a checkpoint-resumed re-run with no new input
+    adds zero rows; the --quantiles-output post-pass equals the batch
+    quantile view."""
+    import pandas as pd
+    import numpy as np
+    import sketch_stream_job
+    from pyspark.sql import functions as F
+    from changepoynt_spark.operators.rollup import (dd_sketch_from_points,
+                                                    dd_sketch_quantiles)
+
+    rng = np.random.default_rng(5)
+    base = pd.Timestamp('2026-01-01 00:00:00')
+    rows = [(int(i % 3), (base + pd.Timedelta(minutes=int(i))).to_pydatetime(),
+             float(np.round(rng.uniform(0.1, 200.0), 3)))
+            for i in range(360)]                      # 6 hours of minutes
+    # horizon pusher: one event far in the future closes every real bucket
+    rows.append((0, (base + pd.Timedelta(days=2)).to_pydatetime(), 1.0))
+    src = str(tmp_path / 'events_in')
+    spark.createDataFrame(rows, 'user_id long, ts timestamp, value double') \
+        .repartition(4).write.parquet(src)
+    out, ckpt = str(tmp_path / 'dd_rows'), str(tmp_path / 'ckpt_dd')
+    qout = str(tmp_path / 'dd_quantiles')
+
+    sketch_stream_job.main(['--input', src, '--output', out,
+                            '--checkpoint', ckpt, '--keys', 'user_id',
+                            '--interval', '1 hour', '--watermark', '2 minutes',
+                            '--available-now', '--quantiles-output', qout],
+                           spark=spark)
+
+    got_q = (spark.read.parquet(qout)
+             .filter(F.col('bucket_start') < '2026-01-02')
+             .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
+    batch = spark.createDataFrame(rows, 'user_id long, ts timestamp, value double')
+    exp_q = (dd_sketch_quantiles(
+                dd_sketch_from_points(batch, ['user_id'], interval='1 hour'),
+                ['user_id'])
+             .filter(F.col('bucket_start') < '2026-01-02')
+             .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
+    assert len(got_q) == len(exp_q) == 18          # 3 users x 6 closed hours
+    assert got_q.equals(exp_q)
+
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows > 0
+    # restart with the same checkpoint and no new files: zero new rows
+    sketch_stream_job.main(['--input', src, '--output', out,
+                            '--checkpoint', ckpt, '--keys', 'user_id',
+                            '--interval', '1 hour', '--watermark', '2 minutes',
+                            '--available-now'],
+                           spark=spark)
+    assert spark.read.parquet(out).count() == n_rows
