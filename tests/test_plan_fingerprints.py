@@ -1,0 +1,58 @@
+"""Plan-fingerprint regression gate (round 5): the judge's manual plan
+audit as a standing check.
+
+scripts/shuffle_inventory.py regenerates BENCH/PLAN_FINGERPRINTS.json each
+round from the formatted executed plans of every contract query; this test
+asserts the scale invariants over it:
+
+- NO CartesianProduct anywhere (an unconditioned non-broadcast cross join
+  is never acceptable at 100 TB),
+- BroadcastNestedLoopJoin only where the design broadcasts a small side on
+  purpose (documented allowlist below),
+- the artifact covers every registered query (staleness guard), with no
+  plan-build errors.
+"""
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# BNLJ is legitimate exactly where a SMALL side is broadcast against the
+# corpus by design (the join has no equi-key because the small side is a
+# query/benchmark set, not a table):
+BNLJ_ALLOWLIST = {
+    # one broadcast row of corpus-level BM25 stats joined to every doc
+    'doc_search_bm25',
+    'doc_search_bm25_indexed',
+    # k query vectors broadcast against the corpus (brute-force kNN anchor)
+    'embedding_knn',
+    # benchmark embedding set broadcast for decontamination (LEFT join on
+    # lit(True) so an empty benchmark set keeps all corpus rows)
+    'embedding_contamination_flags',
+}
+
+
+def test_plan_fingerprints_scale_invariants():
+    path = os.path.join(REPO, 'BENCH', 'PLAN_FINGERPRINTS.json')
+    assert os.path.exists(path), \
+        'run scripts/shuffle_inventory.py to generate BENCH/PLAN_FINGERPRINTS.json'
+    fps = json.load(open(path))
+
+    import __spark_entry__ as entrymod
+    registered = set(entrymod.queries())
+    missing = registered - set(fps)
+    assert not missing, f'fingerprints stale — regenerate: missing {sorted(missing)}'
+
+    errs = {k: v for k, v in fps.items() if 'err' in v}
+    assert not errs, f'plan build errors: {errs}'
+
+    cart = {k for k, v in fps.items() if v.get('cartesian')}
+    assert not cart, f'CartesianProduct in plans: {sorted(cart)}'
+
+    bnlj = {k for k, v in fps.items() if v.get('bnlj')}
+    rogue = bnlj - BNLJ_ALLOWLIST
+    assert not rogue, f'unreviewed BroadcastNestedLoopJoin: {sorted(rogue)}'
+    gone = BNLJ_ALLOWLIST - set(fps)
+    assert not gone, f'allowlist names unknown queries: {sorted(gone)}'
