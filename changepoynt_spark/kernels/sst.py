@@ -17,6 +17,7 @@ which is what makes Spark-vs-oracle bit-equality achievable.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Callable
 
@@ -202,8 +203,12 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
     if ends.size == 0:
         np.random.rand(rd)  # keep the RNG stream aligned with the loop path
         return score
-    x0 = np.random.rand(rd)[:, None]
-    x0 /= np.linalg.norm(x0)
+    x0 = np.random.rand(rd)
+    x0 /= math.sqrt(np.dot(x0, x0))
+    # pre-draw the per-step feedback noise in one call: the legacy RNG fills
+    # rand(B, rd) in exactly the order of B successive rand(rd) calls, and
+    # nothing else draws between steps — bit-identical stream
+    noise = np.random.rand(ends.size, rd)
 
     # chunk so the gram batches stay within ~100 MB
     chunk = max(16, int(3e6 / (rd * rd)))
@@ -220,20 +225,24 @@ def _transform_ika_batched(time_series: np.ndarray, start_idx: int, offset: int,
         past_idx = inv[:b]
         future_idx = inv[b:]
 
-        # sequential phase: power method with eigvec feedback (RNG per step)
+        # sequential phase: power method with eigvec feedback.  All ops are
+        # 1-D (dgemv + raw-ufunc reductions): bit-identical to the column-
+        # vector forms (asserted in tests) at a fraction of the numpy
+        # dispatch overhead — this loop is ~99% of headline kernel CPU.
         eigvecs_future = np.empty((b, rd))
+        dot, sqrt = np.dot, math.sqrt
         for i in range(b):
             c2 = g_union[future_idx[i]]
             x = x0
             for _ in range(5):
-                x = c2 @ x
-                x = x / np.max(np.abs(x))
-            x = x / np.linalg.norm(x)
-            y = c2 @ x
-            u = y / np.linalg.norm(y)
-            eigvecs_future[i] = u[:, 0]
-            x0 = u + 1e-3 * np.random.rand(rd)[:, None]
-            x0 /= np.linalg.norm(x0)
+                x = dot(c2, x)
+                x = x / np.abs(x).max()
+            x = x / sqrt(dot(x, x))
+            y = dot(c2, x)
+            u = y / sqrt(dot(y, y))
+            eigvecs_future[i] = u
+            x0 = u + 1e-3 * noise[c0 + i]
+            x0 = x0 / sqrt(dot(x0, x0))
         g_past = g_union[past_idx]
 
         # batched Lanczos on the past grams, seeded with the (unnormalized)

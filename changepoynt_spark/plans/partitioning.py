@@ -71,12 +71,21 @@ def score_series_chunked(df: DataFrame, algorithm: str, params: dict = None,
     The halo is the algorithm's minimum covered region, so every owned
     position of a chunk sees the full context it needs.  Deterministic local
     kernels reproduce unchunked scores exactly; RNG-feedback kernels restart
-    their chain per chunk (documented scale-mode semantics)."""
+    their chain per chunk (documented scale-mode semantics).
+
+    The repartition happens AFTER chunking, keyed by (source, doc_id,
+    chunk_idx): ``explode`` preserves the upstream partitioning, so
+    repartitioning first leaves every chunk of a long doc in ONE task and
+    the whale serializes anyway — measured in BENCH/SCALE_PROBE.md part 2
+    (round 5): pre-chunk salting left a 400k-token doc's 20 chunks in one
+    17 s task; post-chunk hash spreading bounds the max task at one chunk's
+    cost."""
     from changepoynt_spark.operators.scoring import min_required_length, score_series
     halo = min_required_length(algorithm, params)
-    if num_partitions:
-        df = salted_repartition(df, num_partitions)
     chunked = chunk_series(df, max_len=max_len, halo=halo)
+    if num_partitions:
+        chunked = chunked.repartition(
+            num_partitions, F.xxhash64('source', 'doc_id', 'chunk_idx'))
     scored = score_series(chunked, algorithm=algorithm, params=params)
     return reassemble_chunked_scores(scored)
 

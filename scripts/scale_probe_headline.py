@@ -132,14 +132,17 @@ def probe(spark, n_docs: int, workdir: str, run_naive: bool) -> dict:
     out['defused_skew'] = _task_skew(spark, before)
 
     # --- naive: whole-doc tasks, plain hash partitioning ------------------
+    # (same long-format output as the defused path, so walls compare
+    # apples-to-apples: both pay the posexplode)
     if run_naive:
         before = _completed_stage_ids(spark)
         t0 = time.perf_counter()
         naive = score_series(
             tokens.repartition(parts, F.xxhash64('doc_id')),
             algorithm='sst', params=SST_PARAMS)
-        out['naive_scores'] = naive.agg(
-            F.sum(F.size('score'))).first()[0]
+        long = naive.select('doc_id', 'source',
+                            F.posexplode('score').alias('pos', 'score'))
+        out['naive_scores'] = long.count()
         out['naive_wall'] = round(time.perf_counter() - t0, 2)
         out['naive_skew'] = _task_skew(spark, before)
 

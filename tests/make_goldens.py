@@ -9,6 +9,13 @@ from __future__ import annotations
 import os
 import sys
 
+# Same BLAS-threading pin as the root conftest / Spark workers: dgesdd is
+# not bit-stable across OpenBLAS thread counts, so goldens are defined
+# under single-threaded BLAS (must precede the first numpy import).
+for _var in ('OMP_NUM_THREADS', 'OPENBLAS_NUM_THREADS', 'MKL_NUM_THREADS',
+             'VECLIB_MAXIMUM_THREADS', 'NUMEXPR_NUM_THREADS'):
+    os.environ.setdefault(_var, '1')
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -133,6 +133,23 @@ def test_salted_repartition_spreads_heavy_docs(spark):
     assert sizes.max() < 4 * sizes.mean()
 
 
+def test_chunked_scoring_spreads_whale_chunks_across_tasks(spark):
+    """Round-5 scale-probe regression: ``explode`` preserves partitioning, so
+    repartitioning BEFORE chunking left every chunk of a long doc in one
+    task (the whale serialized, 17 s max-task at probe scale).  The fixed
+    composition repartitions on (source, doc_id, chunk_idx) AFTER chunking —
+    a single whale's chunks must land on many partitions."""
+    whale = pd.DataFrame({'doc_id': ['whale'], 'source': ['src0'],
+                          'tokens': [list(range(40_000))], 'n_tok': [40_000]})
+    df = spark.createDataFrame(whale[['doc_id', 'tokens', 'n_tok', 'source']],
+                               schema=datagen.TOKENS_SCHEMA)
+    chunked = partitioning.chunk_series(df, max_len=2_000, halo=101)
+    spread = chunked.repartition(16, F.xxhash64('source', 'doc_id', 'chunk_idx'))
+    parts = (spread.withColumn('p', F.spark_partition_id())
+                   .select('p').distinct().count())
+    assert parts >= 8, f'whale chunks landed on only {parts} partitions'
+
+
 def test_gap_fill_linear_native_bitmatches_np_interp(spark):
     """The window-function linear fill (no Python, spillable at decade-long
     series scale) must reproduce np.interp bit-for-bit, edges included."""
