@@ -346,12 +346,17 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
     t_len = time_series.shape[0]
     score = np.zeros(t_len)
     ends = np.arange(start_idx, t_len, scoring_step)
-    x0 = np.random.rand(rd)[:, None]
-    x0 /= np.linalg.norm(x0)
+    x0 = np.random.rand(rd)
+    x0 /= math.sqrt(np.dot(x0, x0))
     b = ends.size
     if b == 0:
         return score
 
+    noise = None
+    if method == 'svd':
+        # pre-draw the in-loop feedback noise (same stream: rand(B, rd)
+        # fills in the order of B successive rand(rd) calls)
+        noise = np.random.rand(b, rd)
     omegas_fut = omegas_past = None
     if method in ('weighted', 'symmetric'):
         p = randomized_rank - rank
@@ -398,23 +403,27 @@ def _transform_dense_batched(time_series: np.ndarray, start_idx: int, offset: in
                 bwd = 1.0 - np.sum(
                     np.matmul(u_fut.transpose(0, 2, 1), u_past[:, :, :1])[:, :, 0] ** 2, axis=1)
                 scores[sl] = (fwd + bwd) / 2.0
-        else:  # 'svd' hybrid
+        else:  # 'svd' hybrid — same 1-D power loop as _transform_ika_batched
             u_past = np.linalg.svd(h_past, full_matrices=False)[0][:, :, :rank]
             g_fut = np.matmul(h_fut, h_fut.transpose(0, 2, 1))
             bb = g_fut.shape[0]
+            dot, sqrt = np.dot, math.sqrt
             for i in range(bb):
                 c2 = g_fut[i]
                 x = x0
                 for _ in range(5):
-                    x = c2 @ x
-                    x = x / np.max(np.abs(x))
-                x = x / np.linalg.norm(x)
-                y = c2 @ x
-                u = y / np.linalg.norm(y)
-                alpha = u_past[i].T @ u
+                    x = dot(c2, x)
+                    x = x / np.abs(x).max()
+                x = x / sqrt(dot(x, x))
+                y = dot(c2, x)
+                u = y / sqrt(dot(y, y))
+                # score expr stays in the original column-matmul form (its
+                # (r, rd) @ (rd, 1) shapes are outside the verified
+                # dgemv==dgemm bit-equality envelope)
+                alpha = u_past[i].T @ u[:, None]
                 scores[sl][i] = (1.0 - alpha.T @ alpha).item()
-                x0 = u + 1e-3 * np.random.rand(rd)[:, None]
-                x0 /= np.linalg.norm(x0)
+                x0 = u + 1e-3 * noise[c0 + i]
+                x0 = x0 / sqrt(dot(x0, x0))
         del h_fut, h_past
     for i, e in enumerate(ends):
         score[e - offset - scoring_step // 2:e - offset + (scoring_step + 1) // 2] = scores[i]

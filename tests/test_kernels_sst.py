@@ -131,6 +131,40 @@ def test_seeded_stochastic_methods_are_reproducible(step):
         assert np.array_equal(a, b), method
 
 
+def test_batched_paths_bitmatch_the_sequential_loop(step):
+    """The step-batched transforms run the same RNG stream as the per-step
+    reference loop.  The dense methods and the svd hybrid are BIT-equal to
+    the loop (this is the guard for the round-5 1-D power-loop rewrite);
+    ika/rsvd batch their gram/sketch products in a different association
+    order (gram-union / batched hankel svd), so they agree to float noise
+    (<=1e-9 observed) — their exact bits are pinned by the frozen goldens
+    instead."""
+    from changepoynt_spark.kernels import linalg as lg
+    from changepoynt_spark.kernels import normalization
+
+    for method in ('naive', 'naive updated', 'weighted', 'symmetric',
+                   'svd', 'ika', 'rsvd'):
+        algo = ssts.SST(50, rank=2, method=method)
+        np.random.seed(11)
+        batched = algo.transform(step)
+
+        scaled = normalization.min_max_scaling(step, min_val=1.0, max_val=2.0,
+                                               inplace=False)
+        np.random.seed(11)
+        loop = ssts._transform(
+            time_series=scaled, start_idx=algo.covered_regions()[0],
+            offset=algo.compute_offset(), window_length=algo.window_length,
+            n_windows=algo.n_windows, lag=algo.lag,
+            scoring_step=algo.scoring_step,
+            scoring_function=algo.methods[method],
+            hankel_construction_function=lg.compile_hankel,
+            mitigate_offset=algo.mitigate_offset)
+        if method in ('ika', 'rsvd'):
+            np.testing.assert_allclose(batched, loop, atol=1e-8, err_msg=method)
+        else:
+            assert np.array_equal(batched, loop), method
+
+
 def test_scoring_step_smear():
     """scoring_step > 1 writes the same value into the smear slice
     [idx-off-ss//2, idx-off+(ss+1)//2) — reference sst.py:282-283."""
