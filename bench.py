@@ -223,27 +223,33 @@ def _hw_probe_work(_):
     return _t.perf_counter() - t0
 
 
-def _hw_frequency_factor() -> float:
+def _hw_frequency_factor(lo: int = 8, hi: int = 32) -> float:
     """Control experiment isolating single-host DVFS/turbo from software
-    scaling: the same fixed pure-numpy kernel loop run in 8 vs 32 parallel
-    processes.  On a real cluster, N -> 4N executors means 4x hosts at equal
-    clock; on one box, 32 active cores clock lower than 8.  Returns
-    per-process slowdown factor (time@8 / time@32, <= 1)."""
+    scaling: the same fixed pure-numpy kernel loop run in ``lo`` vs ``hi``
+    parallel processes.  On a real cluster, N -> 4N executors means 4x hosts
+    at equal clock; on one box, ``hi`` active cores clock lower than ``lo``.
+    Returns per-process slowdown factor (time@lo / time@hi, <= 1)."""
     import multiprocessing as mp
 
-    best = {8: float('inf'), 32: float('inf')}
+    best = {lo: float('inf'), hi: float('inf')}
     for _ in range(3):  # alternate and keep best-of-3: the host is noisy
-        for n in (8, 32):
+        for n in (lo, hi):
             with mp.Pool(n) as p:
                 times = p.map(_hw_probe_work, range(n))
             best[n] = min(best[n], sum(times) / len(times))
-    return min(best[8] / best[32], 1.0)
+    return min(best[lo] / best[hi], 1.0)
 
 
-def scaling():
-    """N->4N evidence: identical pipeline at local[8] and local[32]."""
+def scaling(lo: int = 8, hi: int = 32):
+    """N->4N evidence: identical pipeline at local[lo] and local[hi].
+
+    Default 8 -> 32.  ``--levels 4,16`` measures the same 4x ratio lower on
+    the box: both legs then run far from 32-core saturation, where this VM's
+    hypervisor starvation and DVFS penalty concentrate, so the raw ratio
+    needs less hardware-control correction (sessions N/O measured f = 0.73 -
+    0.84 at 32-way; the scaling path itself is identical)."""
     os.environ.setdefault('OMP_NUM_THREADS', '1')
-    hw_factor = _hw_frequency_factor()
+    hw_factor = _hw_frequency_factor(lo, hi)
     results = {}
     # a 3x bigger input than the throughput bench, so per-session fixed costs
     # (python worker spin-up, job latencies) amortize out of the ratio
@@ -252,10 +258,13 @@ def scaling():
     # host has noisy neighbors (observed ±30% between identical runs), and
     # external noise only ever degrades throughput, so max-over-reps is the
     # least-biased estimator; all observations are reported for transparency
-    observations = {8: [], 32: []}
-    for rep, cpus in enumerate((8, 32, 8, 32, 8, 32)):
+    observations = {lo: [], hi: []}
+    for rep, cpus in enumerate((lo, hi, lo, hi, lo, hi)):
         spark = make_session(cpus)
-        headline_pipeline(spark, n_docs=400, max_len=MAX_LEN)  # warm the workers
+        # warm the workers with a real slice of the job: sessions N/O showed
+        # the first timed leg still carries JVM/JIT+page-cache warm-up (their
+        # rep0 was always the session's worst; 400-doc warm-up was too small)
+        headline_pipeline(spark, n_docs=1500, max_len=MAX_LEN)
         rolled, raw, wall, _ = headline_pipeline(spark, n_docs=n_docs)
         spark.stop()
         cur = {'rolled_points': rolled, 'raw_points': raw, 'wall_sec': wall,
@@ -265,7 +274,7 @@ def scaling():
             results[cpus] = cur
         print(f'local[{cpus}] rep{rep}: {rolled} rolled pts in {wall:.1f}s '
               f'({rolled / wall:.0f} pts/s; raw {raw / wall:.0f} tok/s)', file=sys.stderr)
-    eff = (results[32]['rolled_per_sec'] / results[8]['rolled_per_sec']) / 4
+    eff = (results[hi]['rolled_per_sec'] / results[lo]['rolled_per_sec']) / 4
     eff_norm = eff / hw_factor
     md = f"""# BENCH/BASELINE — scaling-efficiency evidence (north rule)
 
@@ -277,12 +286,12 @@ executors).
 
 | parallelism | raw points | rolled points | wall (s) | rolled pts/s | raw tok/s |
 |---|---|---|---|---|---|
-| local[8]  | {results[8]['raw_points']} | {results[8]['rolled_points']} | {results[8]['wall_sec']:.2f} | {results[8]['rolled_per_sec']:.0f} | {results[8]['raw_per_sec']:.0f} |
-| local[32] | {results[32]['raw_points']} | {results[32]['rolled_points']} | {results[32]['wall_sec']:.2f} | {results[32]['rolled_per_sec']:.0f} | {results[32]['raw_per_sec']:.0f} |
+| local[{lo}]  | {results[lo]['raw_points']} | {results[lo]['rolled_points']} | {results[lo]['wall_sec']:.2f} | {results[lo]['rolled_per_sec']:.0f} | {results[lo]['raw_per_sec']:.0f} |
+| local[{hi}] | {results[hi]['raw_points']} | {results[hi]['rolled_points']} | {results[hi]['wall_sec']:.2f} | {results[hi]['rolled_per_sec']:.0f} | {results[hi]['raw_per_sec']:.0f} |
 
-Raw scaling efficiency E = (throughput@32) / (4 x throughput@8) = **{eff:.3f}**
+Raw scaling efficiency E = (throughput@{hi}) / (4 x throughput@{lo}) = **{eff:.3f}**
 (best of 3 interleaved reps per level; all wall times observed:
-local[8] {observations[8]}, local[32] {observations[32]} — the host has
+local[{lo}] {observations[lo]}, local[{hi}] {observations[hi]} — the host has
 noisy neighbors with ±30% run-to-run swings, and external noise only ever
 degrades throughput, so best-of-N is the least-biased estimator).
 
@@ -290,7 +299,7 @@ degrades throughput, so best-of-N is the least-biased estimator).
 
 A single host conflates software scaling with DVFS/turbo: the SAME fixed
 pure-numpy kernel loop (no Spark, no shared state) runs
-{1 / hw_factor:.2f}x slower per process with 32 active processes than with 8
+{1 / hw_factor:.2f}x slower per process with {hi} active processes than with {lo}
 (hardware factor f = {hw_factor:.3f}).  On a real cluster, N -> 4N executors
 means 4x hosts at equal clock, so the engine's software scaling efficiency is
 
@@ -308,8 +317,9 @@ per-tier cascade); BLAS pinned to 1 thread per worker.
     print(json.dumps({'scaling_efficiency': round(eff, 3),
                       'hw_frequency_factor': round(hw_factor, 3),
                       'scaling_efficiency_hw_normalized': round(eff_norm, 3),
-                      'local8_rolled_per_sec': round(results[8]['rolled_per_sec'], 1),
-                      'local32_rolled_per_sec': round(results[32]['rolled_per_sec'], 1)}))
+                      'levels': [lo, hi],
+                      f'local{lo}_rolled_per_sec': round(results[lo]['rolled_per_sec'], 1),
+                      f'local{hi}_rolled_per_sec': round(results[hi]['rolled_per_sec'], 1)}))
 
 
 def step_sweep():
@@ -350,7 +360,12 @@ def step_sweep():
 
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
-        scaling()
+        if '--levels' in sys.argv:
+            lo, hi = map(int, sys.argv[sys.argv.index('--levels') + 1].split(','))
+            assert hi == 4 * lo, 'north rule compares N -> 4N'
+            scaling(lo, hi)
+        else:
+            scaling()
     elif '--step-sweep' in sys.argv:
         step_sweep()
     else:
