@@ -265,6 +265,105 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rank FROM r WHERE
 """
 
 
+def _sax_sql(alphabet: int = 4, keyed: bool = True) -> str:
+    """Oracle for the SAX tier: the same DECIMAL-exact frame/series power
+    sums (intermediate powers on DuckDB's int128 path, as for the moments
+    oracle), the same fixed-shape double expressions for paa/mean/var/z,
+    and the same stdlib-computed breakpoints embedded as repr literals —
+    symbols classify the ROUNDED z on both engines.  ``keyed=False``
+    symbolizes the single GLOBAL series (the moments-query pattern for the
+    sparse per-user fixture)."""
+    from changepoynt_spark.operators.rollup import sax_breakpoints
+
+    bps = sax_breakpoints(alphabet)
+    sym = ('CASE '
+           + ' '.join(f"WHEN z < {float(bp)!r} THEN '{chr(97 + i)}'"
+                      for i, bp in enumerate(bps))
+           + f" ELSE '{chr(97 + len(bps))}' END")
+    ksel = 'user_id, ' if keyed else ''
+    kf = 'f.user_id, ' if keyed else ''
+    kgrp_f = 'GROUP BY 1, 2' if keyed else 'GROUP BY 1'
+    kgrp_s = 'GROUP BY user_id' if keyed else ''
+    join_s = ('JOIN s ON f.user_id = s.user_id' if keyed
+              else 'CROSS JOIN s')
+    return f"""
+    WITH f AS (
+      SELECT {ksel}date_trunc('hour', ts) AS frame_start,
+             COUNT(value) AS n_points,
+             CAST(SUM(CAST(value AS DECIMAL(8,4))) AS DECIMAL(28,4)) AS f1,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(8,4))
+                           * CAST(value AS DECIMAL(8,4))
+                           AS DECIMAL(24,8)))
+                  AS DECIMAL(38,8)) AS f2
+      FROM events {kgrp_f}),
+    s AS (SELECT {ksel}SUM(n_points) AS n,
+                 CAST(SUM(f1) AS DECIMAL(28,4)) AS s1,
+                 CAST(SUM(f2) AS DECIMAL(38,8)) AS s2
+          FROM f {kgrp_s}),
+    d AS (SELECT {kf}f.frame_start, f.n_points,
+                 CAST(f.f1 AS DOUBLE) / CAST(f.n_points AS DOUBLE) AS paa,
+                 CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE) AS mean,
+                 CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)) AS var
+          FROM f {join_s}),
+    zz AS (SELECT {ksel}frame_start, n_points, paa, var,
+                  ROUND((paa - mean) / sqrt(var), 6) + 0.0 AS z
+           FROM d)
+    SELECT {ksel}frame_start, n_points,
+           ROUND(paa, 6) + 0.0 AS paa,
+           CASE WHEN var > 1e-6 THEN z END AS z,
+           CASE WHEN var > 1e-6 THEN {sym} END AS symbol
+    FROM zz
+    """
+
+
+def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
+                   keyed: bool = False) -> str:
+    """Oracle for the sliding SAX words: the SAX tier oracle as a CTE, then
+    the same w-frame window (windowed string_agg consumes rows in frame
+    order in DuckDB, matching Spark's ordered-window collect_list), with
+    the same completeness + contiguity gate."""
+    ksel = 'user_id, ' if keyed else ''
+    part = 'PARTITION BY user_id ' if keyed else ''
+    return f"""
+    WITH sax AS ({_sax_sql(alphabet, keyed=keyed)}),
+    words AS (
+      SELECT {ksel}frame_start,
+             string_agg(symbol, '') OVER win AS word,
+             COUNT(symbol) OVER win AS n_sym,
+             MAX(frame_start) OVER win AS last_start
+      FROM sax
+      WINDOW win AS ({part}ORDER BY frame_start
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING))
+    SELECT {ksel}frame_start, word FROM words
+    WHERE n_sym = {w}
+      AND epoch(last_start) - epoch(frame_start) = {(w - 1) * frame_sec}
+    """
+
+
+_UNIGRAM_PPL_SQL = """
+    WITH inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM inst GROUP BY doc_id, w),
+    cnt AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY w),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    lp AS (SELECT w, CAST(ROUND(ln(CAST(c AS DOUBLE)) - ln(CAST(n AS DOUBLE)),
+                                6) AS DECIMAL(18,6)) AS lp
+           FROM cnt, tot),
+    pd AS (SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_words,
+                  CAST(SUM(CAST(t.tf AS DECIMAL(18,0)) * l.lp)
+                       AS DECIMAL(38,6)) AS s
+           FROM tf t JOIN lp l ON t.w = l.w GROUP BY t.doc_id)
+    SELECT doc_id, n_words,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE), 6) + 0.0
+             AS avg_logprob,
+           ROUND(exp(-(CAST(s AS DOUBLE) / CAST(n_words AS DOUBLE))), 6)
+             AS perplexity
+    FROM pd
+"""
+
+
 def _lsh_topk_sql(n_planes: int = 6, seed: int = 7, k: int = 10, dim: int = 64) -> str:
     """Oracle for the hyperplane-LSH top-k: the SAME seeded Gaussian planes,
     embedded as double literals (repr round-trips exactly), bucket the
@@ -1253,6 +1352,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rollup.moments_rollup(_read(spark, sf_dir, 'events'),
                                      [], interval='1 day')
 
+    def events_sax_1h(spark, sf_dir):
+        # SAX symbolization: per-user series -> hourly PAA frames -> letters
+        # (time series become token strings; Lin/Keogh 2003).  DECIMAL-exact
+        # frame/series sums -> cross-engine-identical z and symbols.
+        return rollup.sax_rollup(_read(spark, sf_dir, 'events'), ['user_id'],
+                                 interval='1 hour', alphabet=4)
+
+    def events_sax_words_1h(spark, sf_dir):
+        # sliding 4-frame SAX words (motif tokens) over the hourly symbol
+        # sequence; complete contiguous windows only.  GLOBAL series, the
+        # moments-query pattern: per-user hourly frames are sparse in the
+        # fixture, so per-user contiguous 4-frame runs barely exist
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), [],
+                                interval='1 hour', alphabet=4)
+        return rollup.sax_words(sax, [], w=4, frame_sec=3600)
+
+    def doc_unigram_ppl(spark, sf_dir):
+        # CCNet-style perplexity triage under the corpus's own unigram LM;
+        # per-word logprobs round-6-quantized to DECIMAL once (vocab-sized),
+        # per-doc totals exact decimal sums -> order-independent
+        return text.unigram_logprob(_read_spread(spark, sf_dir, 'documents'))
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1654,6 +1775,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_autocorr': events_autocorr,
         'events_score_percentiles': events_score_percentiles,
         'events_moments_1d': events_moments_1d,
+        'events_sax_1h': events_sax_1h,
+        'events_sax_words_1h': events_sax_words_1h,
+        'doc_unigram_ppl': doc_unigram_ppl,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -2206,6 +2330,10 @@ def oracle_sql() -> dict[str, str]:
                         THEN ROUND(m4 / (m2 * m2) - 3, 6) + 0.0 END AS kurtosis
             FROM m
         """,
+        'events_sax_1h': _sax_sql(alphabet=4),
+        'events_sax_words_1h': _sax_words_sql(alphabet=4, w=4, frame_sec=3600,
+                                              keyed=False),
+        'doc_unigram_ppl': _UNIGRAM_PPL_SQL,
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

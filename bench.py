@@ -105,7 +105,10 @@ def run_queries(spark, sf_dir: str) -> dict:
              # round 4 additions
              'kliep_scores', 'embedding_cosine_dups', 'multimodal_features',
              'doc_top_words_mg', 'events_asof_join', 'doc_quality_model',
-             'events_dd_quantiles_1h']
+             'events_dd_quantiles_1h',
+             # round 5 additions
+             'events_lttb_600', 'retention_report', 'events_sax_1h',
+             'events_sax_words_1h', 'doc_unigram_ppl']
     qs = entrymod.queries()
     out = {}
     for name in names:

@@ -744,3 +744,109 @@ def _moments_finalize(agg: DataFrame, keys) -> DataFrame:
                       F.when(well, rnd(m2)).alias('variance'),
                       F.when(well, rnd(skew)).alias('skewness'),
                       F.when(well, rnd(kurt)).alias('kurtosis'))
+
+
+def sax_breakpoints(alphabet: int) -> list:
+    """Standard-normal equiprobable breakpoints for a SAX alphabet of size
+    ``a`` (Lin/Keogh 2003): the a-1 quantiles at i/a.  Computed with the
+    stdlib inverse normal CDF (Wichura AS241 — pure deterministic Python),
+    so the driver and any oracle generator embed the identical doubles."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [nd.inv_cdf(i / alphabet) for i in range(1, alphabet)]
+
+
+def sax_rollup(df: DataFrame, keys, ts_col: str = 'ts',
+               value_col: str = 'value', interval: str = '1 hour',
+               alphabet: int = 4) -> DataFrame:
+    """SAX symbolization (Lin/Keogh 2003): each series is PAA-reduced to
+    one mean per ``interval`` frame, z-scored against the WHOLE series'
+    mean/std, and mapped to a letter by equiprobable standard-normal
+    breakpoints — time series become token strings, so the text-side
+    machinery (n-gram dedup, BM25, heavy hitters, language-model scoring)
+    applies verbatim to telemetry.  The reference has no symbolic layer;
+    this is north-rule surface for the tokens x timeseries axis.
+
+    Cross-engine exactness (the moments-tier discipline): frame sums and
+    the per-series power sums are DECIMAL-exact — the series stats are the
+    exact cascade SUM of the frame sums, so any partitioning and either
+    engine produce identical operands — and every derived double (paa, z)
+    is one fixed-shape expression rounded to 6 decimals.  The SYMBOL is
+    chosen from the ROUNDED z, so both engines classify the same value
+    against the same literal breakpoints.  Near-constant series
+    (variance <= 1e-6, the moments floor) emit NULL z/symbol: below the
+    floor z is cancellation noise and not reproducible anywhere.
+
+    DECIMAL(8,4) base => |value| < 10^4 precondition, as for the moments
+    tier (ANSI mode throws on overflow rather than truncating).
+
+    Scale shape: ONE shuffle on (keys, frame) for the PAA tier; the series
+    stats reduce the (far smaller) frame tier with map-side combine over
+    key-partitioned rows; the stats join back key-keyed.  No Python.
+
+    Output: (keys, frame_start, n_points, paa, z, symbol).
+    """
+    keys = list(keys)
+    x = F.col(value_col).cast('decimal(8,4)')
+    frames = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
+                .agg(F.count(value_col).alias('n_points'),
+                     F.sum(x).cast('decimal(28,4)').alias('_f1'),
+                     F.sum(x * x).cast('decimal(38,8)').alias('_f2'))
+                .withColumn('frame_start', F.col('w.start'))
+                .drop('w'))
+    stats = (frames.groupBy(*keys)
+                   .agg(F.sum('n_points').alias('_n'),
+                        F.sum('_f1').cast('decimal(28,4)').alias('_s1'),
+                        F.sum('_f2').cast('decimal(38,8)').alias('_s2')))
+    # keys=[] means ONE global series: the stats reduce to a single
+    # broadcast row (an empty join key would be a cartesian error)
+    j = (frames.crossJoin(F.broadcast(stats)) if not keys
+         else frames.join(stats, on=keys))
+    n = F.col('_n').cast('double')
+    s1 = F.col('_s1').cast('double')
+    s2 = F.col('_s2').cast('double')
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    paa = F.col('_f1').cast('double') / F.col('n_points').cast('double')
+    z = F.round((paa - mean) / F.sqrt(var), 6) + F.lit(0.0)
+    well = var > 1e-6
+    sym = F.lit(chr(97 + alphabet - 1))
+    for i, bp in reversed(list(enumerate(sax_breakpoints(alphabet)))):
+        sym = F.when(z < F.lit(float(bp)), F.lit(chr(97 + i))).otherwise(sym)
+    return j.select(*keys, 'frame_start', 'n_points',
+                    (F.round(paa, 6) + F.lit(0.0)).alias('paa'),
+                    F.when(well, z).alias('z'),
+                    F.when(well, sym).alias('symbol'))
+
+
+def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600) -> DataFrame:
+    """Sliding SAX words: the ``w``-frame symbol n-grams (Lin/Keogh 2003's
+    'words') over each series' symbol sequence — the discrete tokens that
+    motif counting, novelty detection, and the text-side machinery (heavy
+    hitters, n-gram dedup) consume directly.  Only COMPLETE words over
+    CONTIGUOUS frames are emitted: a window must hold ``w`` non-NULL
+    symbols spanning exactly (w-1) x ``frame_sec`` seconds (sparse series
+    produce gaps; a word across a gap is not a motif).
+
+    One partition-local window pass over the (already tiny) frame tier —
+    no extra shuffle beyond the tier's own key partitioning.  Window
+    aggregates consume rows in frame order on both engines, so the word
+    strings are deterministic.
+
+    Output: (keys, frame_start, word).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    win = (Window.partitionBy(*keys).orderBy('frame_start')
+                 .rowsBetween(Window.currentRow, w - 1))
+    word = F.concat_ws('', F.collect_list('symbol').over(win))
+    n_sym = F.count('symbol').over(win)
+    last = F.max('frame_start').over(win)
+    span = F.unix_timestamp(last) - F.unix_timestamp(F.col('frame_start'))
+    return (sax.select(*keys, 'frame_start', word.alias('word'),
+                       n_sym.alias('_n'), span.alias('_span'))
+               .filter((F.col('_n') == w)
+                       & (F.col('_span') == (w - 1) * frame_sec))
+               .drop('_n', '_span'))

@@ -537,6 +537,60 @@ def lexical_diversity(df: DataFrame, id_col: str = 'doc_id',
         (F.col('n_hapax') / F.col('n_words')).alias('hapax_frac'))
 
 
+def unigram_logprob(df: DataFrame, id_col: str = 'doc_id',
+                    text_col: str = 'text') -> DataFrame:
+    """Perplexity-style quality scoring (the CCNet/KenLM filtering shape,
+    Wenzek 2020, collapsed to a unigram LM): per document, the mean
+    log-probability of its words under the corpus's own unigram
+    distribution, and the corresponding perplexity exp(-avg_logprob).
+    Boilerplate-heavy and templated docs score high-probability (low
+    perplexity); OCR noise / gibberish scores low — the standard
+    pretrain-corpus triage signal when a trained LM isn't available as a
+    scan-side asset.
+
+    Cross-engine exactness discipline (the moments-tier pattern): each
+    DISTINCT word's logprob ln(c_w) - ln(N) is rounded to 6 decimals and
+    quantized to DECIMAL(18,6) ONCE (vocab-sized work), the per-doc total
+    is then an EXACT decimal sum of tf * lp — order-independent on any
+    partitioning — and the only inexact steps are the two final
+    single-expression divisions/exp, absorbed by round-6.  (ln() itself can
+    differ in the last ulp between engines; a word whose logprob sits
+    within that ulp of a 0.5e-6 rounding boundary could flip — the same
+    documented residual class as the DD-sketch ln bucketing.)
+
+    Scale shape: tf per (doc, word) is one combiner-friendly shuffle; the
+    vocabulary reduction to word counts reuses those rows (far smaller than
+    word instances); N rides a broadcast; the logprob join is word-keyed on
+    vocab-sized sides; the final doc aggregate is the only other shuffle.
+    No Python in the hot path.
+
+    Output: (id, n_words, avg_logprob, perplexity), round-6 doubles.
+    """
+    words = F.split(F.col(text_col), ' ')
+    # materialize the (doc, word, tf) table once: it feeds BOTH the vocab
+    # reduction and the per-doc scoring join (without this the scan+explode
+    # subtree appears in every consuming branch of the plan)
+    tf = (df.select(F.col(id_col), F.explode(words).alias('w'))
+            .groupBy(id_col, 'w').agg(F.count('*').alias('tf'))
+            .localCheckpoint(eager=True))
+    counts = tf.groupBy('w').agg(F.sum('tf').cast('long').alias('c'))
+    total = counts.agg(F.sum('c').cast('long').alias('n'))
+    lp = (counts.crossJoin(F.broadcast(total))
+                .select('w', F.round(F.log(F.col('c').cast('double'))
+                                     - F.log(F.col('n').cast('double')), 6)
+                             .cast('decimal(18,6)').alias('lp')))
+    per_doc = (tf.join(lp, on='w')
+                 .groupBy(id_col)
+                 .agg(F.sum('tf').cast('long').alias('n_words'),
+                      F.sum(F.col('tf').cast('decimal(18,0)') * F.col('lp'))
+                       .cast('decimal(38,6)').alias('_s')))
+    avg = F.col('_s').cast('double') / F.col('n_words').cast('double')
+    return per_doc.select(
+        id_col, 'n_words',
+        (F.round(avg, 6) + F.lit(0.0)).alias('avg_logprob'),
+        F.round(F.exp(-avg), 6).alias('perplexity'))
+
+
 def hash_embed(df: DataFrame, dim: int = 64, id_col: str = 'doc_id',
                text_col: str = 'text', normalize: bool = True) -> DataFrame:
     """Feature-hashing (hashing-trick) text embedder: word w adds sign(w)

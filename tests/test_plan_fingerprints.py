@@ -31,6 +31,11 @@ BNLJ_ALLOWLIST = {
     # benchmark embedding set broadcast for decontamination (LEFT join on
     # lit(True) so an empty benchmark set keeps all corpus rows)
     'embedding_contamination_flags',
+    # one broadcast row (corpus token total N) joined to the vocab counts
+    'doc_unigram_ppl',
+    # one broadcast row (GLOBAL series mean/var stats) joined to the frame
+    # tier (keys=[] SAX: an empty join key would be a cartesian error)
+    'events_sax_words_1h',
 }
 
 

@@ -580,3 +580,104 @@ def test_dd_sketch_handles_negatives_and_zeros(spark):
     assert abs(got['p10'] - (-100.0)) / 100.0 < 0.0079
     assert got['p50'] == 0.0         # rank 5 -> the zero bucket
     assert abs(got['p99'] - 10000.0) / 10000.0 < 0.0079
+
+
+def test_sax_rollup_symbols_and_znorm(spark):
+    """SAX: hourly PAA frames z-scored against the whole series and mapped
+    to equiprobable letters; numpy recomputation agrees; constant series
+    emit NULL z/symbol."""
+    import datetime as dt
+    # series 'a': strongly varying hour means 0..5 -> spans all 4 letters;
+    # series 'b': constant -> degenerate (NULL symbol)
+    rows = []
+    hour_means = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    for h, mu in enumerate(hour_means):
+        for m in range(4):
+            rows.append((dt.datetime(2026, 1, 1, h, m), 'a', mu + (m - 1.5)))
+    for h in range(3):
+        rows.append((dt.datetime(2026, 1, 1, h, 0), 'b', 7.0))
+    df = spark.createDataFrame(rows, 'ts timestamp, user_id string, value double')
+    got = (rollup.sax_rollup(df, ['user_id'], interval='1 hour', alphabet=4)
+           .orderBy('user_id', 'frame_start').toPandas())
+    a = got[got.user_id == 'a']
+    assert a['n_points'].tolist() == [4] * 6
+    assert a['paa'].tolist() == hour_means
+    # numpy recomputation of z over the whole series
+    vals = np.array([mu + (m - 1.5) for mu in hour_means for m in range(4)])
+    z_np = (np.array(hour_means) - vals.mean()) / vals.std()
+    assert np.allclose(a['z'].to_numpy(), z_np, atol=1e-5)
+    # symbols: monotone means -> non-decreasing letters covering a..d
+    assert a['symbol'].tolist() == sorted(a['symbol'].tolist())
+    assert a['symbol'].iloc[0] == 'a' and a['symbol'].iloc[-1] == 'd'
+    b = got[got.user_id == 'b']
+    assert b['z'].isna().all() and b['symbol'].isna().all()
+    assert b['paa'].tolist() == [7.0] * 3
+
+
+def test_sax_rollup_partition_invariance(spark):
+    """Decimal-exact sums make paa/z/symbol identical under any input
+    partitioning (the cross-engine/cross-run reproducibility contract)."""
+    import datetime as dt
+    rng = np.random.default_rng(11)
+    rows = [(dt.datetime(2026, 1, 1, int(h), int(m)), f'u{u}',
+             float(round(rng.normal(50, 20), 2)))
+            for u in range(3) for h in range(8) for m in range(0, 60, 7)]
+    df = spark.createDataFrame(rows, 'ts timestamp, user_id string, value double')
+    out1 = (rollup.sax_rollup(df.coalesce(1), ['user_id'], interval='1 hour')
+            .orderBy('user_id', 'frame_start').toPandas())
+    out8 = (rollup.sax_rollup(df.repartition(8), ['user_id'], interval='1 hour')
+            .orderBy('user_id', 'frame_start').toPandas())
+    assert out1.astype(str).equals(out8.astype(str))
+
+
+def test_sax_breakpoints_table(spark):
+    """Breakpoints are the standard-normal equiprobable quantiles (the
+    published SAX table values for a=3..5)."""
+    assert np.allclose(rollup.sax_breakpoints(3), [-0.4307273, 0.4307273], atol=1e-6)
+    assert np.allclose(rollup.sax_breakpoints(4), [-0.6744898, 0.0, 0.6744898], atol=1e-6)
+    assert np.allclose(rollup.sax_breakpoints(5),
+                       [-0.8416212, -0.2533471, 0.2533471, 0.8416212], atol=1e-6)
+
+
+def test_sax_words_assembly_and_gap_gate(spark):
+    """Sliding w-frame words follow frame order; windows crossing a gap or
+    containing a NULL symbol are suppressed."""
+    import datetime as dt
+    rows = []
+    # 6 contiguous hours with strongly varying means, then a 2h gap, then 2 more
+    means = [10, 60, 20, 50, 30, 40, 15, 55]
+    hours = [0, 1, 2, 3, 4, 5, 8, 9]
+    for h, mu in zip(hours, means):
+        for m in range(4):
+            rows.append((dt.datetime(2026, 1, 1, h, m), 'a', float(mu + m)))
+    df = spark.createDataFrame(rows, 'ts timestamp, user_id string, value double')
+    sax = rollup.sax_rollup(df, ['user_id'], interval='1 hour', alphabet=4)
+    words = (rollup.sax_words(sax, ['user_id'], w=3, frame_sec=3600)
+             .orderBy('frame_start').toPandas())
+    # contiguous 3-frame windows: starts at hours 0..3 only (4 and 5 would
+    # cross the gap; 8 has too few following frames)
+    assert len(words) == 4
+    assert [t.hour for t in words['frame_start']] == [0, 1, 2, 3]
+    sym = {t.hour: s for t, s in
+           zip(*(sax.orderBy('frame_start').toPandas()[c]
+                 for c in ('frame_start', 'symbol')))}
+    for _, r in words.iterrows():
+        h = r['frame_start'].hour
+        assert r['word'] == sym[h] + sym[h + 1] + sym[h + 2]
+
+
+def test_sax_rollup_global_series(spark):
+    """keys=[] symbolizes ONE global series (broadcast stats, no cartesian
+    error); z-scores match the per-value numpy computation."""
+    import datetime as dt
+    rows = [(dt.datetime(2026, 1, 1, h, m), float(10 * h + m))
+            for h in range(4) for m in range(3)]
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    got = (rollup.sax_rollup(df, [], interval='1 hour', alphabet=4)
+           .orderBy('frame_start').toPandas())
+    assert len(got) == 4
+    vals = np.array([10 * h + m for h in range(4) for m in range(3)], dtype=float)
+    paa = np.array([vals[3 * h:3 * h + 3].mean() for h in range(4)])
+    z = (paa - vals.mean()) / vals.std()
+    assert np.allclose(got['z'].to_numpy(), z, atol=1e-5)
+    assert got['symbol'].tolist() == ['a', 'b', 'c', 'd']

@@ -710,3 +710,37 @@ def test_embedding_contamination_empty_benchmark(spark, embeddings):
     assert len(got) == n
     assert got['max_benchmark_cos'].isna().all()
     assert not got['contaminated'].any()
+
+
+def test_unigram_logprob_tiny_corpus(spark):
+    """Hand-checked unigram LM: logprobs under the corpus's own word
+    distribution, per-word round-6 quantization then exact decimal sums."""
+    import math
+    docs = [(1, 'a a b'), (2, 'a c')]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    got = text.unigram_logprob(df).orderBy('doc_id').toPandas()
+    # corpus: a:3 b:1 c:1, N=5
+    lp = {w: round(math.log(c) - math.log(5), 6) for w, c in
+          {'a': 3, 'b': 1, 'c': 1}.items()}
+    exp1 = (2 * lp['a'] + lp['b']) / 3
+    exp2 = (lp['a'] + lp['c']) / 2
+    assert got['n_words'].tolist() == [3, 2]
+    assert got['avg_logprob'].iloc[0] == pytest.approx(exp1, abs=1e-6)
+    assert got['avg_logprob'].iloc[1] == pytest.approx(exp2, abs=1e-6)
+    assert got['perplexity'].iloc[0] == pytest.approx(math.exp(-exp1), abs=1e-4)
+    # doc 2 contains the rare word c -> higher perplexity than doc 1? both
+    # have one rare word; doc 1 amortizes it over more high-prob tokens
+    assert got['perplexity'].iloc[0] < got['perplexity'].iloc[1]
+
+
+def test_unigram_logprob_partition_invariance(spark):
+    """Exact decimal per-doc sums: identical output under any input
+    partitioning."""
+    rng = np.random.default_rng(5)
+    vocab = ['tok%d' % i for i in range(30)]
+    docs = [(i, ' '.join(rng.choice(vocab, size=int(rng.integers(3, 40)))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, 'doc_id long, text string')
+    a = text.unigram_logprob(df.coalesce(1)).orderBy('doc_id').toPandas()
+    b = text.unigram_logprob(df.repartition(8)).orderBy('doc_id').toPandas()
+    assert a.astype(str).equals(b.astype(str))
