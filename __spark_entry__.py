@@ -342,6 +342,46 @@ def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     """
 
 
+def _dsir_sql(target_sources, dim: int = 64) -> str:
+    """Oracle for the DSIR importance weights: the same md5 hash buckets
+    (the proven hash_embed/quality-model bucket form), the same add-one
+    smoothed log-ratio rounded to 6 decimals and quantized to DECIMAL per
+    bucket, exact decimal doc sums, same fixed-shape finals."""
+    targets = ', '.join(f"'{s}'" for s in target_sources)
+    return f"""
+    WITH inst AS (
+      SELECT doc_id, source IN ({targets}) AS t,
+             CAST(CAST('0x' || substring(md5(w), 1, 8) AS BIGINT)
+                  % {dim} AS INTEGER) AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+    tf AS (SELECT doc_id, t, b, COUNT(*) AS tf FROM inst GROUP BY 1, 2, 3),
+    raw AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS rc FROM tf GROUP BY b),
+    tgt AS (SELECT b, CAST(SUM(tf) AS BIGINT) AS tc FROM tf WHERE t GROUP BY b),
+    bw AS (SELECT raw.b, raw.rc, COALESCE(tgt.tc, 0) AS tc
+           FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+    tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn,
+                   CAST(SUM(tc) AS BIGINT) AS tn FROM bw),
+    lw AS (SELECT b,
+                  CAST(ROUND(ln(CAST(tc + 1 AS DOUBLE))
+                             - ln(CAST(tn + {dim} AS DOUBLE))
+                             - ln(CAST(rc + 1 AS DOUBLE))
+                             + ln(CAST(rn + {dim} AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) AS lw
+           FROM bw, tot),
+    pd AS (SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_feats,
+                  CAST(SUM(CAST(tf.tf AS DECIMAL(18,0)) * lw.lw)
+                       AS DECIMAL(38,6)) AS s
+           FROM tf JOIN lw ON tf.b = lw.b GROUP BY 1)
+    SELECT doc_id, n_feats,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE), 6) + 0.0
+             AS avg_logweight,
+           ROUND(exp(CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE)), 6)
+             AS weight
+    FROM pd
+    """
+
+
 _UNIGRAM_PPL_SQL = """
     WITH inst AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                   FROM documents),
@@ -1374,6 +1414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-doc totals exact decimal sums -> order-independent
         return text.unigram_logprob(_read_spread(spark, sf_dir, 'documents'))
 
+    def doc_dsir_weights(spark, sf_dir):
+        # DSIR importance resampling weights toward the src0-2 slice as the
+        # target distribution (hashed unigram features, add-one smoothing)
+        return text.dsir_importance(_read_spread(spark, sf_dir, 'documents'),
+                                    ('src0', 'src1', 'src2'), dim=64)
+
     def doc_normalize(spark, sf_dir):
         return text.normalize_text(_read(spark, sf_dir, 'documents'))
 
@@ -1778,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sax_1h': events_sax_1h,
         'events_sax_words_1h': events_sax_words_1h,
         'doc_unigram_ppl': doc_unigram_ppl,
+        'doc_dsir_weights': doc_dsir_weights,
         'sst_changepoint_segments': sst_changepoint_segments,
         'doc_repetition_stats': doc_repetition_stats,
         'doc_search_bm25': doc_search_bm25,
@@ -2334,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         'events_sax_words_1h': _sax_words_sql(alphabet=4, w=4, frame_sec=3600,
                                               keyed=False),
         'doc_unigram_ppl': _UNIGRAM_PPL_SQL,
+        'doc_dsir_weights': _dsir_sql(('src0', 'src1', 'src2'), dim=64),
         'doc_top_words_mg': """
             SELECT w, COUNT(*) AS n
             FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

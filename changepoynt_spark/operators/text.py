@@ -591,6 +591,64 @@ def unigram_logprob(df: DataFrame, id_col: str = 'doc_id',
         F.round(F.exp(-avg), 6).alias('perplexity'))
 
 
+def dsir_importance(df: DataFrame, target_sources, dim: int = 64,
+                    id_col: str = 'doc_id', text_col: str = 'text',
+                    source_col: str = 'source') -> DataFrame:
+    """DSIR-style importance weights (Xie 2023, collapsed to hashed unigram
+    features): per document, the mean log importance ratio of its words
+    between the TARGET distribution (docs whose ``source_col`` is in
+    ``target_sources`` — the high-quality/domain slice you want more of)
+    and the RAW corpus distribution, with add-one smoothing over ``dim``
+    hashed buckets.  exp(avg) is the per-doc resampling weight: docs whose
+    word mix looks like the target up-weight, off-domain docs down-weight —
+    the standard data-selection primitive when a trained scorer isn't
+    available.
+
+    Exactness discipline as :func:`unigram_logprob`: each BUCKET's log
+    ratio is rounded to 6 decimals and quantized to DECIMAL once
+    (dim-sized work), per-doc totals are exact decimal sums, and the final
+    divisions/exp are single fixed-shape expressions under round-6.
+
+    Scale shape: one explode shuffle to (doc, bucket) term frequencies
+    (materialized once — it feeds the bucket reduction AND the scoring
+    join), bucket stats are dim-sized broadcasts, the doc aggregate is the
+    only other shuffle.  No Python in the hot path.
+
+    Output: (id, n_feats, avg_logweight, weight), round-6 doubles.
+    """
+    words = F.split(F.col(text_col), ' ')
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col('w')), 1, 8), 16, 10)
+                     .cast('long'), F.lit(dim)).cast('int')
+    is_t = F.col(source_col).isin(list(target_sources))
+    tf = (df.select(F.col(id_col), is_t.alias('_t'), F.explode(words).alias('w'))
+            .withColumn('b', bucket)
+            .groupBy(id_col, '_t', 'b').agg(F.count('*').alias('tf'))
+            .localCheckpoint(eager=True))
+    raw = tf.groupBy('b').agg(F.sum('tf').cast('long').alias('rc'))
+    tgt = tf.filter('_t').groupBy('b').agg(F.sum('tf').cast('long').alias('tc'))
+    bw = (raw.join(tgt, on='b', how='left')
+             .withColumn('tc', F.coalesce('tc', F.lit(0))))
+    tot = bw.agg(F.sum('rc').cast('long').alias('rn'),
+                 F.sum('tc').cast('long').alias('tn'))
+    lw = (bw.crossJoin(F.broadcast(tot))
+            .select('b', F.round(
+                F.log((F.col('tc') + 1).cast('double'))
+                - F.log((F.col('tn') + dim).cast('double'))
+                - F.log((F.col('rc') + 1).cast('double'))
+                + F.log((F.col('rn') + dim).cast('double')), 6)
+                .cast('decimal(18,6)').alias('lw')))
+    per_doc = (tf.join(F.broadcast(lw), on='b')
+                 .groupBy(id_col)
+                 .agg(F.sum('tf').cast('long').alias('n_feats'),
+                      F.sum(F.col('tf').cast('decimal(18,0)') * F.col('lw'))
+                       .cast('decimal(38,6)').alias('_s')))
+    avg = F.col('_s').cast('double') / F.col('n_feats').cast('double')
+    return per_doc.select(
+        id_col, 'n_feats',
+        (F.round(avg, 6) + F.lit(0.0)).alias('avg_logweight'),
+        F.round(F.exp(avg), 6).alias('weight'))
+
+
 def hash_embed(df: DataFrame, dim: int = 64, id_col: str = 'doc_id',
                text_col: str = 'text', normalize: bool = True) -> DataFrame:
     """Feature-hashing (hashing-trick) text embedder: word w adds sign(w)
