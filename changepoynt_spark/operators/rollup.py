@@ -788,21 +788,49 @@ def sax_rollup(df: DataFrame, keys, ts_col: str = 'ts',
     Output: (keys, frame_start, n_points, paa, z, symbol).
     """
     keys = list(keys)
-    x = F.col(value_col).cast('decimal(8,4)')
     frames = (df.groupBy(*keys, F.window(ts_col, interval).alias('w'))
-                .agg(F.count(value_col).alias('n_points'),
-                     F.sum(x).cast('decimal(28,4)').alias('_f1'),
-                     F.sum(x * x).cast('decimal(38,8)').alias('_f2'))
+                .agg(*_sax_frame_aggs(value_col))
                 .withColumn('frame_start', F.col('w.start'))
                 .drop('w'))
+    return sax_finalize(frames, keys, alphabet=alphabet)
+
+
+def _sax_frame_aggs(value_col: str):
+    """The PAA frame tier's DECIMAL-exact sums — shared verbatim by the
+    batch and streaming twins so their frame rows bit-match (the moments
+    `_moments_power_aggs` pattern)."""
+    x = F.col(value_col).cast('decimal(8,4)')
+    return [F.count(value_col).alias('n_points'),
+            F.sum(x).cast('decimal(28,4)').alias('_f1'),
+            F.sum(x * x).cast('decimal(38,8)').alias('_f2')]
+
+
+def sax_finalize(frames: DataFrame, keys, alphabet: int = 4) -> DataFrame:
+    """Symbolization over the (tiny) frame tier: series stats as the exact
+    cascade SUM of the frame sums, then fixed-shape z + letter per frame.
+    A stateless batch view — the streaming twin emits frame rows and this
+    SAME code symbolizes them from the sink (the dd_rows_to_sketch
+    pattern), so stream-assembled symbols bit-match batch."""
+    keys = list(keys)
     stats = (frames.groupBy(*keys)
                    .agg(F.sum('n_points').alias('_n'),
                         F.sum('_f1').cast('decimal(28,4)').alias('_s1'),
                         F.sum('_f2').cast('decimal(38,8)').alias('_s2')))
     # keys=[] means ONE global series: the stats reduce to a single
-    # broadcast row (an empty join key would be a cartesian error)
-    j = (frames.crossJoin(F.broadcast(stats)) if not keys
-         else frames.join(stats, on=keys))
+    # broadcast row (an empty join key would be a cartesian error).
+    # Keyed path: stats derives FROM frames, so a bare on=keys self-join
+    # hits conflicting-attribute resolution when the frame tier arrives
+    # through a sink view (the streaming finalize path); renaming the
+    # stats-side keys mints fresh attribute ids and sidesteps it
+    if not keys:
+        j = frames.crossJoin(F.broadcast(stats))
+    else:
+        stats = stats.select(*[F.col(k).alias(f'_sk{i}')
+                               for i, k in enumerate(keys)],
+                             '_n', '_s1', '_s2')
+        cond = [frames[k] == stats[f'_sk{i}'] for i, k in enumerate(keys)]
+        j = (frames.join(stats, cond)
+                   .drop(*[f'_sk{i}' for i in range(len(keys))]))
     n = F.col('_n').cast('double')
     s1 = F.col('_s1').cast('double')
     s2 = F.col('_s2').cast('double')

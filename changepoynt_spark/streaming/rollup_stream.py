@@ -89,6 +89,28 @@ def streaming_dd_sketch_rows(stream_df: DataFrame, keys, ts_col: str = 'ts',
     return agg.withColumn('bucket_start', F.col('w.start')).drop('w')
 
 
+def streaming_sax_frames(stream_df: DataFrame, keys, ts_col: str = 'ts',
+                         value_col: str = 'value', interval: str = '1 hour',
+                         watermark_delay: str = '2 minutes') -> DataFrame:
+    """Streaming base of the SAX symbolic tier: ONE watermarked stateful
+    aggregation emits the PAA frame rows (keys, frame_start, n_points,
+    decimal _f1/_f2) — the same rows operators.rollup.sax_rollup produces in
+    batch (shared ``_sax_frame_aggs``).  Symbolization needs WHOLE-series
+    stats, so it is a stateless batch view over the sink
+    (operators.rollup.sax_finalize — the dd_rows_to_sketch pattern); because
+    the finalize code is shared verbatim and the sums are decimals,
+    stream-assembled symbols bit-match batch (asserted in tests).  State per
+    open (keys, frame) is one count + two decimal sums."""
+    from changepoynt_spark.operators.rollup import _sax_frame_aggs
+    keys = list(keys)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(*keys, F.window(ts_col, interval).alias('w'))
+           .agg(*_sax_frame_aggs(value_col)))
+    return agg.withColumn('frame_start', F.col('w.start')).drop('w')
+
+
 def streaming_sessionize(stream_df: DataFrame, keys, ts_col: str = 'ts',
                          value_col: str = 'value', gap: str = '30 minutes',
                          watermark_delay: str = '2 minutes') -> DataFrame:

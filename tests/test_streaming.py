@@ -366,3 +366,29 @@ def test_streaming_dd_sketch_rows_assemble_to_batch_tier(spark, events_dir):
            .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
+
+
+def test_streaming_sax_frames_finalize_to_batch_tier(spark, events_dir):
+    """Streaming SAX frame rows (one stateful agg), symbolized by the SAME
+    batch finalize view, bit-match the batch symbolic tier."""
+    from changepoynt_spark.operators.rollup import sax_finalize, sax_rollup
+    from changepoynt_spark.streaming.rollup_stream import streaming_sax_frames
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    frames = streaming_sax_frames(stream, keys=['user_id'], interval='1 hour',
+                                  watermark_delay='30 minutes')
+    q = (frames.writeStream.outputMode('complete').format('memory')
+         .queryName('sax_frames_stream').trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (sax_finalize(spark.sql('SELECT * FROM sax_frames_stream'),
+                        ['user_id'], alphabet=4)
+           .orderBy('user_id', 'frame_start').toPandas().reset_index(drop=True))
+
+    raw = spark.read.parquet(events_dir) \
+        .withColumn('ts', F.col('ts').cast('timestamp'))
+    exp = (sax_rollup(raw, ['user_id'], interval='1 hour', alphabet=4)
+           .orderBy('user_id', 'frame_start').toPandas().reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got.equals(exp)
