@@ -342,6 +342,22 @@ def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     """
 
 
+def _sax_discords_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
+                      k: int = 20) -> str:
+    """Oracle for the HOT-SAX discord candidates: the words oracle as a
+    CTE, global word counts, the same deterministic total order."""
+    return f"""
+    WITH w AS ({_sax_words_sql(alphabet, w, frame_sec, keyed=False)}),
+    c AS (SELECT word, COUNT(*) AS word_count FROM w GROUP BY word),
+    r AS (SELECT w.frame_start, w.word, c.word_count,
+                 row_number() OVER (ORDER BY c.word_count ASC,
+                                    w.frame_start ASC, w.word ASC) AS rnk
+          FROM w JOIN c ON w.word = c.word)
+    SELECT frame_start, word, word_count, CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
 def _dsir_sql(target_sources, dim: int = 64) -> str:
     """Oracle for the DSIR importance weights: the same md5 hash buckets
     (the proven hash_embed/quality-model bucket form), the same add-one
@@ -1408,6 +1424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 interval='1 hour', alphabet=4)
         return rollup.sax_words(sax, [], w=4, frame_sec=3600)
 
+    def events_sax_discords(spark, sf_dir):
+        # HOT SAX candidate ordering: the k globally rarest SAX words mark
+        # the most anomalous stretches of the series (Keogh 2005's outer
+        # loop, exposed as the operator)
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), [],
+                                interval='1 hour', alphabet=4)
+        words = rollup.sax_words(sax, [], w=4, frame_sec=3600)
+        return rollup.sax_discords(words, [], k=20)
+
     def doc_unigram_ppl(spark, sf_dir):
         # CCNet-style perplexity triage under the corpus's own unigram LM;
         # per-word logprobs round-6-quantized to DECIMAL once (vocab-sized),
@@ -1823,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_moments_1d': events_moments_1d,
         'events_sax_1h': events_sax_1h,
         'events_sax_words_1h': events_sax_words_1h,
+        'events_sax_discords': events_sax_discords,
         'doc_unigram_ppl': doc_unigram_ppl,
         'doc_dsir_weights': doc_dsir_weights,
         'sst_changepoint_segments': sst_changepoint_segments,
@@ -2380,6 +2406,8 @@ def oracle_sql() -> dict[str, str]:
         'events_sax_1h': _sax_sql(alphabet=4),
         'events_sax_words_1h': _sax_words_sql(alphabet=4, w=4, frame_sec=3600,
                                               keyed=False),
+        'events_sax_discords': _sax_discords_sql(alphabet=4, w=4,
+                                                 frame_sec=3600, k=20),
         'doc_unigram_ppl': _UNIGRAM_PPL_SQL,
         'doc_dsir_weights': _dsir_sql(('src0', 'src1', 'src2'), dim=64),
         'doc_top_words_mg': """

@@ -878,3 +878,31 @@ def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600) -> DataFr
                .filter((F.col('_n') == w)
                        & (F.col('_span') == (w - 1) * frame_sec))
                .drop('_n', '_span'))
+
+
+def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
+    """Discord candidates over the SAX word stream — HOT SAX's candidate
+    ordering heuristic (Keogh/Lin/Fu 2005): the rarest words first.  A word
+    whose symbol pattern almost never recurs in the corpus marks the most
+    anomalous stretch of the series; ranking by global word frequency is
+    exactly the outer-loop ordering HOT SAX uses to find true discords
+    early, exposed here as the operator (the exact-distance inner loop is a
+    kernel-side concern).
+
+    The word vocabulary is bounded by alphabet^w (256 at a=4, w=4), so the
+    count table always BROADCASTS; the rank is one window over the (tiny)
+    word tier.  Deterministic total order: (count asc, frame_start, word).
+
+    Output: (keys, frame_start, word, word_count, rank) for rank <= k.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    counts = words.groupBy('word').agg(F.count('*').alias('word_count'))
+    j = words.join(F.broadcast(counts), on='word')
+    w = (Window.partitionBy(*keys)
+               .orderBy(F.col('word_count').asc(), F.col('frame_start').asc(),
+                        F.col('word').asc()))
+    return (j.withColumn('rank', F.row_number().over(w))
+             .filter(F.col('rank') <= k)
+             .select(*keys, 'frame_start', 'word', 'word_count', 'rank'))

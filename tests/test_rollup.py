@@ -681,3 +681,29 @@ def test_sax_rollup_global_series(spark):
     z = (paa - vals.mean()) / vals.std()
     assert np.allclose(got['z'].to_numpy(), z, atol=1e-5)
     assert got['symbol'].tolist() == ['a', 'b', 'c', 'd']
+
+
+def test_sax_discords_rarest_first(spark):
+    """Discord candidates rank globally rarest words first with the
+    deterministic (count, frame_start, word) total order; a planted
+    anomalous stretch surfaces at rank 1."""
+    import datetime as dt
+    rows = []
+    # 16 hours of a repeating low/high pattern, one anomalous spike hour
+    pattern = [10.0, 60.0] * 8
+    pattern[9] = 200.0   # hour 9 breaks the motif
+    for h, mu in enumerate(pattern):
+        for m in range(4):
+            rows.append((dt.datetime(2026, 1, 1, h, m), mu + 0.1 * m))
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    sax = rollup.sax_rollup(df, [], interval='1 hour', alphabet=4)
+    words = rollup.sax_words(sax, [], w=3, frame_sec=3600)
+    got = rollup.sax_discords(words, [], k=5).toPandas()
+    assert got['rank'].tolist() == [1, 2, 3, 4, 5]
+    # ranks follow the count order
+    assert got['word_count'].is_monotonic_increasing
+    # the rank-1..3 words cover the anomalous hour (words touching hour 9
+    # start at hours 7-9); the planted spike's words are unique
+    assert got['word_count'].iloc[0] == 1
+    top_hours = {t.hour for t in got['frame_start'][:3]}
+    assert top_hours & {7, 8, 9}
