@@ -253,3 +253,55 @@ def test_sketch_stream_job_matches_batch_and_restarts_exactly_once(spark, tmp_pa
                             '--available-now'],
                            spark=spark)
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_sax_stream_job_matches_batch_and_restarts_exactly_once(spark, tmp_path):
+    """Streaming SAX frame-tier job end to end (round 5): one watermarked
+    stateful agg -> parquet frame rows; the --symbols-output post-pass
+    (sax_finalize over the sink) bit-matches the batch symbolic tier over
+    the closed frames' rows; a checkpoint-resumed re-run with no new input
+    adds zero rows."""
+    import pandas as pd
+    import numpy as np
+    import sax_stream_job
+    from changepoynt_spark.operators.rollup import sax_rollup
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp('2026-01-01 00:00:00')
+    rows = [(int(i % 3), (base + pd.Timedelta(minutes=int(i))).to_pydatetime(),
+             float(np.round(rng.uniform(10.0, 90.0), 2)))
+            for i in range(360)]                      # 6 hours of minutes
+    # horizon pusher: one far-future event closes every real bucket; its own
+    # frame stays open and never reaches the sink
+    pusher = (0, (base + pd.Timedelta(days=2)).to_pydatetime(), 1.0)
+    src = str(tmp_path / 'events_in_sax')
+    spark.createDataFrame(rows + [pusher],
+                          'user_id long, ts timestamp, value double') \
+        .repartition(4).write.parquet(src)
+    out, ckpt = str(tmp_path / 'sax_frames'), str(tmp_path / 'ckpt_sax')
+    sout = str(tmp_path / 'sax_symbols')
+
+    sax_stream_job.main(['--input', src, '--output', out,
+                         '--checkpoint', ckpt, '--keys', 'user_id',
+                         '--interval', '1 hour', '--watermark', '2 minutes',
+                         '--available-now', '--symbols-output', sout],
+                        spark=spark)
+
+    got = (spark.read.parquet(sout)
+           .orderBy('user_id', 'frame_start').toPandas().reset_index(drop=True))
+    # batch twin over exactly the closed frames' rows (the pusher's frame
+    # never closed, so its row is excluded from the stream's series stats)
+    batch = spark.createDataFrame(rows, 'user_id long, ts timestamp, value double')
+    exp = (sax_rollup(batch, ['user_id'], interval='1 hour', alphabet=4)
+           .orderBy('user_id', 'frame_start').toPandas().reset_index(drop=True))
+    assert len(got) == len(exp) == 18              # 3 users x 6 closed hours
+    assert got.equals(exp)
+
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows > 0
+    sax_stream_job.main(['--input', src, '--output', out,
+                         '--checkpoint', ckpt, '--keys', 'user_id',
+                         '--interval', '1 hour', '--watermark', '2 minutes',
+                         '--available-now'],
+                        spark=spark)
+    assert spark.read.parquet(out).count() == n_rows
