@@ -265,7 +265,7 @@ SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INTEGER) AS rank FROM r WHERE
 """
 
 
-def _sax_sql(alphabet: int = 4, keyed: bool = True) -> str:
+def _sax_sql(alphabet: int = 4, keyed: bool = True, key: str = 'user_id') -> str:
     """Oracle for the SAX tier: the same DECIMAL-exact frame/series power
     sums (intermediate powers on DuckDB's int128 path, as for the moments
     oracle), the same fixed-shape double expressions for paa/mean/var/z,
@@ -280,11 +280,11 @@ def _sax_sql(alphabet: int = 4, keyed: bool = True) -> str:
            + ' '.join(f"WHEN z < {float(bp)!r} THEN '{chr(97 + i)}'"
                       for i, bp in enumerate(bps))
            + f" ELSE '{chr(97 + len(bps))}' END")
-    ksel = 'user_id, ' if keyed else ''
-    kf = 'f.user_id, ' if keyed else ''
+    ksel = f'{key}, ' if keyed else ''
+    kf = f'f.{key}, ' if keyed else ''
     kgrp_f = 'GROUP BY 1, 2' if keyed else 'GROUP BY 1'
-    kgrp_s = 'GROUP BY user_id' if keyed else ''
-    join_s = ('JOIN s ON f.user_id = s.user_id' if keyed
+    kgrp_s = f'GROUP BY {key}' if keyed else ''
+    join_s = (f'JOIN s ON f.{key} = s.{key}' if keyed
               else 'CROSS JOIN s')
     return f"""
     WITH f AS (
@@ -319,15 +319,15 @@ def _sax_sql(alphabet: int = 4, keyed: bool = True) -> str:
 
 
 def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
-                   keyed: bool = False) -> str:
+                   keyed: bool = False, key: str = 'user_id') -> str:
     """Oracle for the sliding SAX words: the SAX tier oracle as a CTE, then
     the same w-frame window (windowed string_agg consumes rows in frame
     order in DuckDB, matching Spark's ordered-window collect_list), with
     the same completeness + contiguity gate."""
-    ksel = 'user_id, ' if keyed else ''
-    part = 'PARTITION BY user_id ' if keyed else ''
+    ksel = f'{key}, ' if keyed else ''
+    part = f'PARTITION BY {key} ' if keyed else ''
     return f"""
-    WITH sax AS ({_sax_sql(alphabet, keyed=keyed)}),
+    WITH sax AS ({_sax_sql(alphabet, keyed=keyed, key=key)}),
     words AS (
       SELECT {ksel}frame_start,
              string_agg(symbol, '') OVER win AS word,
@@ -339,6 +339,31 @@ def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     SELECT {ksel}frame_start, word FROM words
     WHERE n_sym = {w}
       AND epoch(last_start) - epoch(frame_start) = {(w - 1) * frame_sec}
+    """
+
+
+def _sax_series_dups_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
+                         key: str = 'event_type',
+                         threshold: float = 0.0) -> str:
+    """Oracle for the SAX series near-dup pairs: the keyed words oracle as a
+    CTE, distinct word sets per series, inverted-index self-join for the
+    intersection (joining raw words — Spark's xxhash64 postings are
+    injective on the bounded SAX vocabulary), per-series set sizes for the
+    union, same round-6 ratio and threshold."""
+    words = _sax_words_sql(alphabet, w, frame_sec, keyed=True, key=key)
+    return f"""
+    WITH wds AS ({words}),
+    sets AS (SELECT DISTINCT {key} AS id, word FROM wds),
+    inter AS (SELECT a.id AS series_a, b.id AS series_b, COUNT(*) AS i
+              FROM sets a JOIN sets b ON a.word = b.word AND a.id < b.id
+              GROUP BY 1, 2),
+    cnt AS (SELECT id, COUNT(*) AS n FROM sets GROUP BY id)
+    SELECT series_a, series_b,
+           ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.id = inter.series_a
+    JOIN cnt cb ON cb.id = inter.series_b
+    WHERE ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) >= {threshold}
     """
 
 
@@ -1433,6 +1458,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         words = rollup.sax_words(sax, [], w=4, frame_sec=3600)
         return rollup.sax_discords(words, [], k=20)
 
+    def events_sax_type_dups(spark, sf_dir):
+        # near-duplicate SERIES by SAX-word-set Jaccard ('which streams
+        # tell the same story') — event_type series are dense per hour, so
+        # the word sets are substantial at fixture scale
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), ['event_type'],
+                                interval='1 hour', alphabet=4)
+        words = rollup.sax_words(sax, ['event_type'], w=4, frame_sec=3600)
+        return rollup.sax_series_dups(words, 'event_type', threshold=0.0)
+
     def doc_unigram_ppl(spark, sf_dir):
         # CCNet-style perplexity triage under the corpus's own unigram LM;
         # per-word logprobs round-6-quantized to DECIMAL once (vocab-sized),
@@ -1849,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sax_1h': events_sax_1h,
         'events_sax_words_1h': events_sax_words_1h,
         'events_sax_discords': events_sax_discords,
+        'events_sax_type_dups': events_sax_type_dups,
         'doc_unigram_ppl': doc_unigram_ppl,
         'doc_dsir_weights': doc_dsir_weights,
         'sst_changepoint_segments': sst_changepoint_segments,
@@ -2408,6 +2443,10 @@ def oracle_sql() -> dict[str, str]:
                                               keyed=False),
         'events_sax_discords': _sax_discords_sql(alphabet=4, w=4,
                                                  frame_sec=3600, k=20),
+        'events_sax_type_dups': _sax_series_dups_sql(alphabet=4, w=4,
+                                                     frame_sec=3600,
+                                                     key='event_type',
+                                                     threshold=0.0),
         'doc_unigram_ppl': _UNIGRAM_PPL_SQL,
         'doc_dsir_weights': _dsir_sql(('src0', 'src1', 'src2'), dim=64),
         'doc_top_words_mg': """

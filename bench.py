@@ -108,7 +108,8 @@ def run_queries(spark, sf_dir: str) -> dict:
              'events_dd_quantiles_1h',
              # round 5 additions
              'events_lttb_600', 'retention_report', 'events_sax_1h',
-             'events_sax_words_1h', 'events_sax_discords', 'doc_unigram_ppl',
+             'events_sax_words_1h', 'events_sax_discords', 'events_sax_type_dups',
+             'doc_unigram_ppl',
              'doc_dsir_weights']
     qs = entrymod.queries()
     out = {}

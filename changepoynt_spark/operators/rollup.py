@@ -906,3 +906,44 @@ def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
     return (j.withColumn('rank', F.row_number().over(w))
              .filter(F.col('rank') <= k)
              .select(*keys, 'frame_start', 'word', 'word_count', 'rank'))
+
+
+def sax_series_dups(words: DataFrame, key: str, threshold: float = 0.0,
+                    df_cap: int = None) -> DataFrame:
+    """(series_a, series_b, jaccard) — near-duplicate SERIES by the Jaccard
+    of their SAX word sets: two sensors/streams whose symbolized dynamics
+    share most motif tokens are redundant (the telemetry analogue of n-gram
+    document dedup; 'which of my million gauges tell the same story').
+
+    The dedup.ngram_jaccard_pairs design verbatim, over words instead of
+    shingles: inverted word index (int64-hashed postings), self-join with
+    series_a < series_b gives |A ∩ B| as the match count; |A ∪ B| from
+    broadcast per-series set sizes.  ``df_cap`` drops words present in more
+    than df_cap series before the self-join (the SAX vocabulary is bounded
+    by alphabet^w, so ubiquitous words — flat stretches every series visits
+    — are exactly the boilerplate-shingle failure mode the dedup probe
+    diagnosed at 40x).
+    """
+    sets = words.select(F.col(key).alias('_id'), 'word').distinct()
+    inv = sets.select('_id', F.xxhash64('word').alias('_w'))
+    if df_cap is not None:
+        hot = (inv.groupBy('_w').agg(F.count('*').alias('_df'))
+                  .filter(F.col('_df') > df_cap).select('_w'))
+        inv = inv.join(F.broadcast(hot), '_w', 'left_anti')
+    counts = sets.groupBy('_id').agg(F.count('*').alias('_n')) \
+                 .localCheckpoint(eager=True)
+    inter = (inv.alias('a').join(inv.alias('b'),
+                                 (F.col('a._w') == F.col('b._w')) &
+                                 (F.col('a._id') < F.col('b._id')))
+                .groupBy(F.col('a._id').alias('series_a'),
+                         F.col('b._id').alias('series_b'))
+                .agg(F.count('*').alias('_inter')))
+    ca = counts.select(F.col('_id').alias('series_a'), F.col('_n').alias('_na'))
+    cb = counts.select(F.col('_id').alias('series_b'), F.col('_n').alias('_nb'))
+    joined = inter.join(F.broadcast(ca), 'series_a') \
+                  .join(F.broadcast(cb), 'series_b')
+    jac = F.round(F.col('_inter')
+                  / (F.col('_na') + F.col('_nb') - F.col('_inter')), 6)
+    return (joined.withColumn('jaccard', jac)
+                  .filter(F.col('jaccard') >= threshold)
+                  .select('series_a', 'series_b', 'jaccard'))

@@ -707,3 +707,33 @@ def test_sax_discords_rarest_first(spark):
     assert got['word_count'].iloc[0] == 1
     top_hours = {t.hour for t in got['frame_start'][:3]}
     assert top_hours & {7, 8, 9}
+
+
+def test_sax_series_dups_planted_twin(spark):
+    """Two series with identical dynamics share their whole SAX word set
+    (jaccard 1.0); an unrelated series scores lower; df_cap drops
+    ubiquitous words before the self-join."""
+    import datetime as dt
+    rng = np.random.default_rng(23)
+    mus = rng.uniform(10, 90, 24)
+    rows = []
+    for h in range(24):
+        for m in range(4):
+            v = float(mus[h] + 0.1 * m)
+            rows.append((dt.datetime(2026, 1, 1, h, m), 's1', v))
+            rows.append((dt.datetime(2026, 1, 1, h, m), 's2', v))   # twin
+            rows.append((dt.datetime(2026, 1, 1, h, m), 's3',
+                         float(rng.uniform(10, 90))))               # unrelated
+    df = spark.createDataFrame(rows, 'ts timestamp, user_id string, value double')
+    sax = rollup.sax_rollup(df, ['user_id'], interval='1 hour', alphabet=4)
+    words = rollup.sax_words(sax, ['user_id'], w=3, frame_sec=3600)
+    got = (rollup.sax_series_dups(words, 'user_id', threshold=0.0)
+           .orderBy('series_a', 'series_b').toPandas())
+    pair = {(a, b): j for a, b, j in got.itertuples(index=False)}
+    assert pair[('s1', 's2')] == 1.0
+    assert pair.get(('s1', 's3'), 0.0) < 1.0
+    assert pair.get(('s2', 's3'), 0.0) == pair.get(('s1', 's3'), 0.0)
+    # df_cap=1 drops every word shared by >1 series -> twins lose all their
+    # (shared) words and no pair survives with jaccard > 0
+    capped = rollup.sax_series_dups(words, 'user_id', threshold=0.5, df_cap=1)
+    assert capped.count() == 0
