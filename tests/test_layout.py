@@ -91,3 +91,34 @@ def test_zorder_narrows_file_ranges_on_both_dims(spark, sf_dir, tmp_path):
     assert z_tw < 0.5 * g_tw, (z_tw, g_tw)
     # row counts preserved
     assert spark.read.parquet(zp).count() == ev.count()
+
+
+def test_engine_zip_in_sync_with_package_source():
+    """engine.zip (the spark-submit --py-files artifact) must byte-match the
+    checked-out package: every .py under changepoynt_spark/ present and
+    identical, nothing extra.  Regenerate with scripts/package.sh — this
+    gate exists because the zip silently went stale twice in round 5 when
+    operators were added after a rebuild."""
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(repo, 'engine.zip')
+    assert os.path.exists(zpath), 'engine.zip missing — run scripts/package.sh'
+    z = zipfile.ZipFile(zpath)
+    names = set(z.namelist())
+    on_disk = set()
+    for root, _, files in os.walk(os.path.join(repo, 'changepoynt_spark')):
+        if '__pycache__' in root:
+            continue
+        for f in files:
+            if f.endswith('.py'):
+                p = os.path.join(root, f)
+                on_disk.add(os.path.relpath(p, repo))
+    assert on_disk == names, (
+        f'stale engine.zip: missing {sorted(on_disk - names)[:5]}, '
+        f'extra {sorted(names - on_disk)[:5]} — run scripts/package.sh')
+    for n in sorted(names):
+        with open(os.path.join(repo, n), 'rb') as f:
+            assert z.read(n) == f.read(), \
+                f'stale engine.zip entry {n} — run scripts/package.sh'
