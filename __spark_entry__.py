@@ -319,14 +319,17 @@ def _sax_sql(alphabet: int = 4, keyed: bool = True, key: str = 'user_id') -> str
 
 
 def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
-                   keyed: bool = False, key: str = 'user_id') -> str:
+                   keyed: bool = False, key: str = 'user_id',
+                   numerosity: bool = False) -> str:
     """Oracle for the sliding SAX words: the SAX tier oracle as a CTE, then
     the same w-frame window (windowed string_agg consumes rows in frame
     order in DuckDB, matching Spark's ordered-window collect_list), with
-    the same completeness + contiguity gate."""
+    the same completeness + contiguity gate.  ``numerosity`` adds
+    Lin/Keogh numerosity reduction as a lag filter over the EMITTED word
+    stream — same two-stage order as the Spark operator."""
     ksel = f'{key}, ' if keyed else ''
     part = f'PARTITION BY {key} ' if keyed else ''
-    return f"""
+    base = f"""
     WITH sax AS ({_sax_sql(alphabet, keyed=keyed, key=key)}),
     words AS (
       SELECT {ksel}frame_start,
@@ -339,6 +342,16 @@ def _sax_words_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     SELECT {ksel}frame_start, word FROM words
     WHERE n_sym = {w}
       AND epoch(last_start) - epoch(frame_start) = {(w - 1) * frame_sec}
+    """
+    if not numerosity:
+        return base
+    return f"""
+    WITH emitted AS ({base}),
+    lagged AS (SELECT {ksel}frame_start, word,
+                      lag(word) OVER ({part}ORDER BY frame_start) AS prev
+               FROM emitted)
+    SELECT {ksel}frame_start, word FROM lagged
+    WHERE prev IS NULL OR word <> prev
     """
 
 
@@ -1449,6 +1462,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 interval='1 hour', alphabet=4)
         return rollup.sax_words(sax, [], w=4, frame_sec=3600)
 
+    def events_sax_words_nr_1h(spark, sf_dir):
+        # numerosity-reduced word stream (Lin/Keogh 2003 §4): consecutive
+        # identical words collapse to first occurrence, so flat stretches
+        # stop dominating downstream word-set operators
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), [],
+                                interval='1 hour', alphabet=4)
+        return rollup.sax_words(sax, [], w=4, frame_sec=3600, numerosity=True)
+
     def events_sax_discords(spark, sf_dir):
         # HOT SAX candidate ordering: the k globally rarest SAX words mark
         # the most anomalous stretches of the series (Keogh 2005's outer
@@ -1498,20 +1519,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         packs = packing.pack_sequences(toks, budget=2048)
         return packs.select('pack_id', 'n_docs', 'total_tok', 'oversize')
 
+    def doc_dedup_ranges(spark, sf_dir):
+        # exact-substring dedup (Lee et al. 2022): MAXIMAL cross-document
+        # duplicated word ranges per doc, via duplicated-window postings +
+        # gaps-and-islands merge — the one dedup modality between whole-doc
+        # and fixed-n-gram granularity
+        return dedup.dedup_ranges(_read_spread(spark, sf_dir, 'documents'),
+                                  n=10, min_docs=2)
+
     def doc_dup_clusters(spark, sf_dir):
         # connected components over the exact n-gram Jaccard pair graph:
-        # cluster_id = smallest reachable doc id (canonical representative)
-        pairs = dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
-                                          n=3, threshold=0.5, df_cap=50)
-        return dedup.dup_clusters(pairs)
-
-    def doc_dup_clusters_star(spark, sf_dir):
-        # same pair graph, star-contraction CC (O(log^2) rounds vs
-        # diameter) — must produce the identical clustering, and the same
-        # recursive-CTE oracle proves it cross-engine
+        # cluster_id = smallest reachable doc id (canonical representative).
+        # CONTRACT DEFAULT IS THE STAR-CONTRACTION VARIANT (round 6,
+        # VERDICT r5 next-round #4): O(log^2 n) rounds on any graph where
+        # min-label propagation needs diameter rounds, and empirically the
+        # stabler wall (propagation was the suite's most GC-sensitive query)
         pairs = dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
                                           n=3, threshold=0.5, df_cap=50)
         return dedup.dup_clusters_star(pairs)
+
+    def doc_dup_clusters_prop(spark, sf_dir):
+        # same pair graph, min-label propagation CC (the former contract
+        # default; diameter-bounded rounds) — must produce the identical
+        # clustering, and the same recursive-CTE oracle proves it
+        # cross-engine
+        pairs = dedup.ngram_jaccard_pairs(_read_spread(spark, sf_dir, 'documents'),
+                                          n=3, threshold=0.5, df_cap=50)
+        return dedup.dup_clusters(pairs)
 
     def doc_simhash(spark, sf_dir):
         return dedup.simhash(_read_spread(spark, sf_dir, 'documents'),
@@ -1856,8 +1890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_repeated_passages': doc_repeated_passages,
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
+        'doc_dedup_ranges': doc_dedup_ranges,
         'doc_dup_clusters': doc_dup_clusters,
-        'doc_dup_clusters_star': doc_dup_clusters_star,
+        'doc_dup_clusters_prop': doc_dup_clusters_prop,
         'doc_split_counts': doc_split_counts,
         'doc_top_words': doc_top_words,
         'doc_top_words_mg': doc_top_words_mg,
@@ -1882,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_moments_1d': events_moments_1d,
         'events_sax_1h': events_sax_1h,
         'events_sax_words_1h': events_sax_words_1h,
+        'events_sax_words_nr_1h': events_sax_words_nr_1h,
         'events_sax_discords': events_sax_discords,
         'events_sax_type_dups': events_sax_type_dups,
         'doc_unigram_ppl': doc_unigram_ppl,
@@ -2227,8 +2263,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(delta) AS DOUBLE) / 3600 AS rate_per_sec
             FROM e GROUP BY 1, 2 HAVING COUNT(delta) > 0
         """,
+        'doc_dedup_ranges': """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            p AS (SELECT doc_id, i AS s, i + 9 AS e,
+                         CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')),
+                                                1, 15) AS BIGINT) AS h
+                  FROM w, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+            m AS (SELECT p.doc_id, p.s, p.e FROM p JOIN d USING (h)),
+            x AS (SELECT doc_id, s, e,
+                         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM m),
+            y AS (SELECT doc_id, s, e,
+                         CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS f
+                  FROM x),
+            z AS (SELECT doc_id, s, e,
+                         SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM y)
+            SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+                   CAST(MAX(e) AS BIGINT) AS range_end,
+                   CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_positions,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM z GROUP BY doc_id, isl
+        """,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
-        'doc_dup_clusters_star': _DUP_CLUSTERS_SQL,
+        'doc_dup_clusters_prop': _DUP_CLUSTERS_SQL,
         'doc_split_counts': """
             SELECT CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                              AS BIGINT) % 100 < 10
@@ -2441,6 +2504,9 @@ def oracle_sql() -> dict[str, str]:
         'events_sax_1h': _sax_sql(alphabet=4),
         'events_sax_words_1h': _sax_words_sql(alphabet=4, w=4, frame_sec=3600,
                                               keyed=False),
+        'events_sax_words_nr_1h': _sax_words_sql(alphabet=4, w=4,
+                                                 frame_sec=3600, keyed=False,
+                                                 numerosity=True),
         'events_sax_discords': _sax_discords_sql(alphabet=4, w=4,
                                                  frame_sec=3600, k=20),
         'events_sax_type_dups': _sax_series_dups_sql(alphabet=4, w=4,

@@ -378,6 +378,95 @@ def repeated_passages(df: DataFrame, n: int = 10, stride: int = 1, min_docs: int
             .filter(F.col('n_docs') >= min_docs))
 
 
+def passage_postings(df: DataFrame, n: int = 10, id_col: str = 'doc_id',
+                     text_col: str = 'text') -> DataFrame:
+    """(doc_id, start_pos, passage_hash) — every n-word window WITH its
+    1-based word start position (the positional variant of
+    :func:`passage_hashes`, same md5-60-bit hash formula so the two
+    operators' hashes are join-compatible)."""
+    if n < 1:
+        raise ValueError('n must be >= 1')
+    words = F.split(F.col(text_col), ' ')
+    m = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(words, k + 1, m) for k in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat_ws(' ', *[s[str(k)] for k in range(n)]))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast('long'))
+    return (df.filter(F.size(words) >= n)
+              .select(F.col(id_col).alias(id_col),
+                      F.posexplode(hashes).alias('pos0', 'passage_hash'))
+              .select(id_col, (F.col('pos0') + 1).alias('start_pos'),
+                      'passage_hash'))
+
+
+def dedup_ranges(df: DataFrame, n: int = 10, min_docs: int = 2,
+                 id_col: str = 'doc_id', text_col: str = 'text') -> DataFrame:
+    """MAXIMAL cross-document duplicated word ranges per document — the
+    exact-substring dedup modality of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"), realized as the window-
+    hash + island-merge composition instead of a monolithic suffix array:
+    a position is covered iff some n-word window containing it appears in
+    >= ``min_docs`` DISTINCT documents; maximal runs of covered positions
+    are the ranges.  Any duplicated span of length L >= n is recovered with
+    its EXACT boundaries (all L-n+1 of its windows are duplicated, and
+    their interval union is precisely [span_start, span_end]); spans
+    shorter than n are below the resolution floor, exactly like the
+    suffix-array method's minimum match length.
+
+    Scale shape (the suffix-array equivalent a single machine builds is
+    impossible at 100 TB; this is the shuffle-bounded form):
+    - postings (passage_hash int64, start_pos int64, doc) ride ONE exchange
+      keyed by hash for the dup filter — count-distinct is Spark's standard
+      two-phase partial aggregate, and the duplicated-hash set joins back
+      as an ids-only semi join (AQE broadcasts it when small).  No self-
+      join anywhere: a boilerplate passage shared by k docs costs k posting
+      rows, never k^2 pair rows, so no df_cap is needed (unlike
+      ngram_jaccard_pairs the output is per-DOC ranges, not per-PAIR).
+    - island merge is ONE exchange keyed by doc + a partition-local window
+      (running max of interval end, gaps-and-islands), group sizes bounded
+      by document length.
+
+    Output: (doc_id, range_start, range_end, n_positions, n_windows), word
+    positions 1-based inclusive.  n_windows counts the duplicated windows
+    merged into the range (= n_positions - n + 1 when coverage is solid).
+
+    Reference:  the reference repo has no corpus operators; provenance is
+    the paper + operators/dedup.py's repeated_passages (same hash formula).
+    """
+    from pyspark.sql import Window
+
+    if min_docs < 2:
+        raise ValueError('min_docs must be >= 2 (cross-document ranges)')
+    postings = passage_postings(df, n=n, id_col=id_col, text_col=text_col)
+    dup_hashes = (postings.groupBy('passage_hash')
+                          .agg(F.countDistinct(id_col).alias('_nd'))
+                          .filter(F.col('_nd') >= min_docs)
+                          .select('passage_hash'))
+    hits = (postings.join(dup_hashes, 'passage_hash', 'left_semi')
+                    .select(id_col, F.col('start_pos').alias('s'),
+                            (F.col('start_pos') + n - 1).alias('e')))
+    # gaps-and-islands: a window starts a new island iff its start exceeds
+    # the running max end of all earlier windows + 1 (adjacent coverage
+    # [s,e],[e+1,...] merges — covered positions are contiguous)
+    by_doc = Window.partitionBy(id_col).orderBy('s')
+    prev_max = F.max('e').over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        '_new', F.when(prev_max.isNull() | (F.col('s') > prev_max + 1), 1)
+                 .otherwise(0))
+    islands = flagged.withColumn(
+        '_isl', F.sum('_new').over(by_doc.rowsBetween(Window.unboundedPreceding, 0)))
+    return (islands.groupBy(id_col, '_isl')
+                   .agg(F.min('s').alias('range_start'),
+                        F.max('e').alias('range_end'),
+                        F.count('*').alias('n_windows'))
+                   .select(id_col,
+                           F.col('range_start').cast('long').alias('range_start'),
+                           F.col('range_end').cast('long').alias('range_end'),
+                           (F.col('range_end') - F.col('range_start') + 1)
+                           .cast('long').alias('n_positions'),
+                           F.col('n_windows').cast('long').alias('n_windows')))
+
+
 def dup_clusters_star(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
                       max_iterations: int = 30) -> DataFrame:
     """(doc_id, cluster_id) — connected components via alternating

@@ -848,7 +848,8 @@ def sax_finalize(frames: DataFrame, keys, alphabet: int = 4) -> DataFrame:
                     F.when(well, sym).alias('symbol'))
 
 
-def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600) -> DataFrame:
+def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600,
+              numerosity: bool = False) -> DataFrame:
     """Sliding SAX words: the ``w``-frame symbol n-grams (Lin/Keogh 2003's
     'words') over each series' symbol sequence — the discrete tokens that
     motif counting, novelty detection, and the text-side machinery (heavy
@@ -856,6 +857,15 @@ def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600) -> DataFr
     CONTIGUOUS frames are emitted: a window must hold ``w`` non-NULL
     symbols spanning exactly (w-1) x ``frame_sec`` seconds (sparse series
     produce gaps; a word across a gap is not a motif).
+
+    ``numerosity=True`` applies Lin/Keogh 2003 §4's numerosity reduction:
+    consecutive IDENTICAL words in the per-series word stream collapse to
+    their first occurrence.  Long flat stretches symbolize to runs of the
+    same word, which otherwise dominate word-set operators downstream
+    (sax_series_dups Jaccard saturates, sax_discords counts skew); the
+    reduction is the standard motif-mining fix.  It is one more
+    partition-local window pass (lag over the already-emitted word stream),
+    pure SQL on both engines.
 
     One partition-local window pass over the (already tiny) frame tier —
     no extra shuffle beyond the tier's own key partitioning.  Window
@@ -873,11 +883,22 @@ def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600) -> DataFr
     n_sym = F.count('symbol').over(win)
     last = F.max('frame_start').over(win)
     span = F.unix_timestamp(last) - F.unix_timestamp(F.col('frame_start'))
-    return (sax.select(*keys, 'frame_start', word.alias('word'),
-                       n_sym.alias('_n'), span.alias('_span'))
-               .filter((F.col('_n') == w)
-                       & (F.col('_span') == (w - 1) * frame_sec))
-               .drop('_n', '_span'))
+    words = (sax.select(*keys, 'frame_start', word.alias('word'),
+                        n_sym.alias('_n'), span.alias('_span'))
+                .filter((F.col('_n') == w)
+                        & (F.col('_span') == (w - 1) * frame_sec))
+                .drop('_n', '_span'))
+    if numerosity:
+        # drop word[i] when word[i] == word[i-1] in the EMITTED stream (the
+        # lag runs after the completeness filter — reduction is over the
+        # word sequence, not the frame sequence)
+        lag_win = Window.partitionBy(*keys).orderBy('frame_start')
+        prev = F.lag('word').over(lag_win)
+        words = (words.withColumn('_prev', prev)
+                      .filter(F.col('_prev').isNull()
+                              | (F.col('word') != F.col('_prev')))
+                      .drop('_prev'))
+    return words
 
 
 def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
@@ -890,19 +911,37 @@ def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
     kernel-side concern).
 
     The word vocabulary is bounded by alphabet^w (256 at a=4, w=4), so the
-    count table always BROADCASTS; the rank is one window over the (tiny)
-    word tier.  Deterministic total order: (count asc, frame_start, word).
+    count table always BROADCASTS.  Deterministic total order:
+    (count asc, frame_start, word).
 
     Output: (keys, frame_start, word, word_count, rank) for rank <= k.
+    ``word_count`` is the GLOBAL frequency of the word across the whole
+    input (groupBy('word') ignores ``keys``) while the rank window is
+    per-key: with keys supplied, a series' discord rank is driven by how
+    rare its words are corpus-wide — HOT SAX's "rarest in the corpus"
+    ordering applied within each series.  Pass a pre-filtered single-series
+    ``words`` frame if per-series frequencies are wanted instead.
+
+    keys=[]: ranking a global stream by row_number over an unpartitioned
+    window would funnel the whole word tier through one task; instead the
+    top-k is taken with orderBy().limit(k) — Spark's TakeOrderedAndProject,
+    a per-partition heap + driver merge, no single-partition shuffle of the
+    tier — and only the <= k survivors get the rank window (their plan node
+    is already single-partition by construction, bounded by k not by data).
     """
     from pyspark.sql import Window
 
     keys = list(keys)
     counts = words.groupBy('word').agg(F.count('*').alias('word_count'))
     j = words.join(F.broadcast(counts), on='word')
-    w = (Window.partitionBy(*keys)
-               .orderBy(F.col('word_count').asc(), F.col('frame_start').asc(),
-                        F.col('word').asc()))
+    order = [F.col('word_count').asc(), F.col('frame_start').asc(),
+             F.col('word').asc()]
+    if not keys:
+        topk = j.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return (topk.withColumn('rank', F.row_number().over(w))
+                    .select('frame_start', 'word', 'word_count', 'rank'))
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (j.withColumn('rank', F.row_number().over(w))
              .filter(F.col('rank') <= k)
              .select(*keys, 'frame_start', 'word', 'word_count', 'rank'))

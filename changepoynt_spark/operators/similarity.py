@@ -82,7 +82,17 @@ def _hyperplane_buckets_udf(planes_stack: np.ndarray):
     judge-measured round 2).  The numpy accumulation folds dim-sequentially
     from 0.0, reproducing aggregate(zip_with(...)) == DuckDB
     list_inner_product bit-for-bit, so bucket ids — and therefore the
-    DuckDB literal-planes oracles — are unchanged."""
+    DuckDB literal-planes oracles — are unchanged.
+
+    Non-finite embeddings are OUT OF CONTRACT (like zero-norm vectors in
+    ``_drop_zero_norm``): a NaN/Inf component makes the dot product NaN and
+    numpy's ``dots >= 0`` evaluates NaN as False, i.e. a NaN plane buckets
+    as bit 0 — whereas SQL ``CASE WHEN dot >= 0`` engines may differ on NaN
+    ordering (Spark sorts NaN above all numbers).  Callers feeding
+    uncleaned data should filter non-finite vectors first; the chosen
+    convention here is the numpy one (bit 0), stable across this kernel and
+    the DuckDB literal-planes oracle's list_inner_product (also NaN >= 0 =
+    false there)."""
     from pyspark.sql import types as T
 
     planes = np.ascontiguousarray(np.asarray(planes_stack, dtype=np.float64))
@@ -140,7 +150,12 @@ def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, se
     qlit = F.array(*[F.lit(b).cast('long') for b in qbuckets])
     matches_any = F.exists(F.zip_with(buckets, qlit, lambda b, qb: b == qb),
                            lambda m: m)
-    candidates = df.filter(matches_any)
+    # dropDuplicates guards against duplicate-id corpora: the pre-round-5
+    # per-table union path deduplicated ids as a side effect of its final
+    # dropDuplicates, and without it a repeated id would consume multiple
+    # top-k slots.  The exchange it adds covers only the candidate rows
+    # (~L/2^b of the corpus), not the scan.
+    candidates = df.filter(matches_any).dropDuplicates([id_col])
     return cosine_topk(candidates, q, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -12,6 +12,18 @@ session factory's contract: an explicit user override propagates to both.
 
 Must run before `import numpy` anywhere in the test session: OpenBLAS reads
 the env only at library load time.
+
+BLAS-BUILD ASSUMPTION (part of the golden contract): the frozen goldens and
+the Spark==oracle bit-equality tests are defined under THIS host's BLAS
+(numpy's bundled OpenBLAS, single-threaded).  The round-5 kernel rewrite
+routes hot loops through BLAS ddot/dgemv (math.sqrt(np.dot(x,x)),
+np.dot(mat, vec)); those primitives can differ in the last ulp across BLAS
+builds/architectures (dgemv vs dgemm kernels, pairwise vs sequential ufunc
+reduction).  On a different OpenBLAS/MKL build a golden mismatch is
+therefore a re-freeze event, not a code bug — the detecting tests are
+tests/test_goldens.py and
+tests/test_kernels_sst.py::test_batched_paths_bitmatch_the_sequential_loop.
+Record the build (`numpy.show_config()`) when re-freezing.
 """
 import os
 

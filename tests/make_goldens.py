@@ -12,6 +12,18 @@ import sys
 # Same BLAS-threading pin as the root conftest / Spark workers: dgesdd is
 # not bit-stable across OpenBLAS thread counts, so goldens are defined
 # under single-threaded BLAS (must precede the first numpy import).
+#
+# Re-freeze ledger (environment re-freezes vs behavior changes):
+# - round 5 (commit abeaf12): ONLY sst_naive_w50_r2_step3x300.npy was
+#   regenerated, and only because this thread pin landed — the old golden
+#   was frozen under multi-threaded dgesdd (1 ulp at 3/900 positions).
+#   Every other golden predates the pin unchanged, so they double as
+#   evidence that the round-5 kernel rewrite (1-D power loops, batched
+#   grams) is bit-identical to the originally frozen behavior.
+# - rounds 1-4: goldens regenerated only when the CELL definition itself
+#   changed (new fixtures/cells); see git log -- tests/goldens.
+# Goldens additionally assume this host's BLAS build (see conftest.py:
+# ddot/dgemv last-ulp portability note).
 for _var in ('OMP_NUM_THREADS', 'OPENBLAS_NUM_THREADS', 'MKL_NUM_THREADS',
              'VECLIB_MAXIMUM_THREADS', 'NUMEXPR_NUM_THREADS'):
     os.environ.setdefault(_var, '1')

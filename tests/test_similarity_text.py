@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from changepoynt_spark.operators import similarity, text
+from changepoynt_spark.operators import dedup, similarity, text
 
 
 @pytest.fixture(scope='module')
@@ -780,3 +780,91 @@ def test_dsir_importance_partition_invariance(spark):
     b = (text.dsir_importance(df.repartition(8), ('src0',), dim=32)
          .orderBy('doc_id').toPandas())
     assert a.astype(str).equals(b.astype(str))
+
+
+def test_dedup_ranges_planted_span_exact_boundaries(spark):
+    """Lee-2022 exact-substring dedup: a 200-word span planted into 3 docs
+    at different offsets is recovered with EXACT word boundaries in every
+    host doc; private text contributes no range."""
+    rng = np.random.default_rng(41)
+
+    def noise(k, tag):
+        return [f'{tag}{rng.integers(0, 10 ** 9)}' for _ in range(k)]
+
+    span = [f'shared{i}' for i in range(200)]
+    docs = []
+    offsets = {'d1': 17, 'd2': 0, 'd3': 333}
+    for doc, off in offsets.items():
+        words = noise(off, doc) + span + noise(50, doc + 'tail')
+        docs.append((doc, ' '.join(words)))
+    # a 4th doc with no shared content
+    docs.append(('d4', ' '.join(noise(300, 'private'))))
+    df = spark.createDataFrame(docs, 'doc_id string, text string')
+    got = (dedup.dedup_ranges(df, n=10, min_docs=2)
+           .orderBy('doc_id', 'range_start').toPandas())
+    assert got['doc_id'].tolist() == ['d1', 'd2', 'd3']
+    for _, r in got.iterrows():
+        off = offsets[r['doc_id']]
+        assert r['range_start'] == off + 1           # 1-based inclusive
+        assert r['range_end'] == off + 200
+        assert r['n_positions'] == 200
+        assert r['n_windows'] == 200 - 10 + 1        # solid coverage
+
+
+def test_dedup_ranges_merges_overlap_and_respects_floor(spark):
+    """Two planted spans that OVERLAP in one doc merge into a single
+    maximal range; a shared span shorter than n stays below the resolution
+    floor and emits nothing."""
+    a = [f'alpha{i}' for i in range(30)]
+    b = [f'beta{i}' for i in range(30)]
+    short = [f'tiny{i}' for i in range(8)]          # < n=10
+    rng = np.random.default_rng(43)
+    noise = lambda k, t: [f'{t}{rng.integers(0, 10 ** 9)}' for _ in range(k)]
+    # host: a at 1..30, b at 21..50 (overlap 21..30) -> one range 1..50
+    host = a[:20] + a[20:] + b[10:]
+    assert host == a + b[10:]
+    docs = [
+        ('h', ' '.join(host + noise(20, 'h'))),
+        ('pa', ' '.join(noise(5, 'pa') + a + noise(5, 'paz'))),
+        ('pb', ' '.join(noise(9, 'pb') + b + noise(9, 'pbz'))),
+        ('s1', ' '.join(noise(40, 's1') + short + noise(40, 's1z'))),
+        ('s2', ' '.join(noise(40, 's2') + short + noise(40, 's2z'))),
+    ]
+    df = spark.createDataFrame(docs, 'doc_id string, text string')
+    got = (dedup.dedup_ranges(df, n=10, min_docs=2)
+           .orderBy('doc_id', 'range_start').toPandas())
+    by_doc = {d: g for d, g in got.groupby('doc_id')}
+    # the short shared span emits nothing anywhere
+    assert 's1' not in by_doc and 's2' not in by_doc
+    # host: a covers 1..30, b covers 21..50 -> merged maximal range 1..50
+    h = by_doc['h']
+    assert len(h) == 1
+    assert (h.iloc[0]['range_start'], h.iloc[0]['range_end']) == (1, 50)
+    # donors recover their own spans exactly
+    pa = by_doc['pa'].iloc[0]
+    assert (pa['range_start'], pa['range_end']) == (6, 35)
+    # pb's SHARED portion is only b[10:] (the host never saw b[:10]), which
+    # sits at pb positions 20..39 — the operator reports shared ranges, not
+    # the donor's whole span
+    pb = by_doc['pb'].iloc[0]
+    assert (pb['range_start'], pb['range_end']) == (20, 39)
+
+
+def test_dedup_ranges_partition_invariance_and_guard(spark):
+    """Ranges are a pure function of the corpus — identical under any input
+    partitioning; min_docs < 2 is rejected (within-doc repeats are
+    repetition_stats' job, not cross-doc dedup)."""
+    rng = np.random.default_rng(47)
+    span = [f's{i}' for i in range(25)]
+    docs = [(f'd{j}', ' '.join(
+        [f'n{j}_{rng.integers(0, 10 ** 9)}' for _ in range(j * 3)] + span))
+        for j in range(6)]
+    df = spark.createDataFrame(docs, 'doc_id string, text string')
+    one = (dedup.dedup_ranges(df.coalesce(1), n=10, min_docs=2)
+           .orderBy('doc_id', 'range_start').toPandas())
+    eight = (dedup.dedup_ranges(df.repartition(8), n=10, min_docs=2)
+             .orderBy('doc_id', 'range_start').toPandas())
+    assert one.equals(eight)
+    assert len(one) == 6
+    with pytest.raises(ValueError):
+        dedup.dedup_ranges(df, n=10, min_docs=1)
