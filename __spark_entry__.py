@@ -901,6 +901,65 @@ FROM toks
 """
 
 
+def _bpe_sql(n_merges: int = 16, final: str = 'merges') -> str:
+    """Unrolled DuckDB twin of operators/bpe.py: the SAME greedy
+    ordered-replace BPE — n_merges chained (pair-count argmax -> literal
+    replace) rounds over the word-count table, then (final='tokens') the
+    learned replaces applied to each document's delimited char stream.
+    ``AS MATERIALIZED`` is load-bearing: without it DuckDB inlines the
+    chained CTEs and the plan doubles per round (2^n blowup)."""
+    sep, eow = 'chr(31)', 'chr(23)'
+    parts = [
+        "wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM"
+        " (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " GROUP BY word)",
+        f"r0 AS MATERIALIZED (SELECT word, cnt, regexp_replace(word || {eow},"
+        f" '(.)', '\\1' || {sep}, 'gs') AS repr FROM wc)"]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""m{k} AS MATERIALIZED (
+  SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt,
+      unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS lhs,
+      unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS rhs
+    FROM (SELECT cnt, list_filter(string_split(repr, {sep}), x -> x <> '')
+            AS syms FROM r{k - 1}))
+  GROUP BY lhs, rhs ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT word, cnt, replace(repr,"
+            f" (SELECT lhs || {sep} || rhs FROM m{k}),"
+            f" (SELECT lhs || rhs FROM m{k})) AS repr FROM r{k - 1})")
+    sql = 'WITH ' + ',\n'.join(parts)
+    if final == 'merges':
+        sel = '\nUNION ALL\n'.join(
+            f"SELECT {k} AS merge_rank, lhs, rhs, lhs || rhs AS merged,"
+            f" pair_count FROM m{k}" for k in range(1, n_merges + 1))
+        return sql + '\nSELECT * FROM (' + sel + ') ORDER BY merge_rank'
+    applied = f"regexp_replace(replace(text || ' ', ' ', {eow}), '(.)'," \
+              f" '\\1' || {sep}, 'gs')"
+    for k in range(1, n_merges + 1):
+        applied = (f"replace({applied}, (SELECT lhs || {sep} || rhs"
+                   f" FROM m{k}), (SELECT lhs || rhs FROM m{k}))")
+    tok_id = ("CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 50257")
+    return sql + f""",
+stream AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text,
+                  {applied} AS applied FROM documents),
+syms AS (SELECT doc_id, source, text, applied,
+                list_filter(string_split(applied, {sep}), x -> x <> '')
+                  AS toks FROM stream)
+SELECT doc_id,
+       len(toks) AS n_bpe,
+       CAST(list_sum(list_transform(toks, t -> {tok_id})) AS BIGINT)
+         AS tok_sum,
+       CAST('0x' || substring(md5(toks[1]), 1, 8) AS BIGINT) % 50257
+         AS tok_first,
+       CAST('0x' || substring(md5(toks[-1]), 1, 8) AS BIGINT) % 50257
+         AS tok_last,
+       (replace(replace(applied, {sep}, ''), {eow}, ' ') = text || ' ')
+         AS roundtrip,
+       source
+FROM syms"""
+
+
 def _pii_scrub_sql() -> str:
     """Identical regexes (Java-regex ∩ RE2 common subset) and identical
     sequential replacement order as text.pii_scrub; DuckDB regexp_replace
@@ -1700,6 +1759,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at('tokens', -1).alias('tok_last'),
             'source')
 
+    def doc_bpe_merges(spark, sf_dir):
+        # BPE merge learning (Sennrich-2016/Gage-1994, greedy ordered-replace
+        # form): n_merges rounds of pair-count argmax over the CACHED
+        # vocabulary-bounded word table — the corpus is scanned exactly once.
+        # The ORACLE re-learns the same table via unrolled chained DuckDB
+        # CTEs, so the learning itself (not just application) is checked.
+        from changepoynt_spark.operators import bpe
+        return bpe.bpe_merges(_read(spark, sf_dir, 'documents'), n_merges=16)
+
+    def doc_bpe_tokens(spark, sf_dir):
+        # learned-BPE tokenization; sum/first/last pin the token-id stream
+        # (the doc_tokenize pattern) and `roundtrip` pins byte-exact
+        # detokenization, all in one zero-shuffle application scan
+        from changepoynt_spark.operators import bpe
+        docs = _read_spread(spark, sf_dir, 'documents')
+        merges = bpe.learn_bpe_merges(docs, n_merges=16)
+        t = bpe.bpe_tokenize(docs, merges=merges, with_roundtrip=True)
+        return t.select(
+            'doc_id',
+            'n_bpe',
+            F.aggregate('token_ids', F.lit(0).cast('long'),
+                        lambda a, x: a + x).alias('tok_sum'),
+            F.element_at('token_ids', 1).alias('tok_first'),
+            F.element_at('token_ids', -1).alias('tok_last'),
+            'roundtrip',
+            'source')
+
     def events_sessions(spark, sf_dir):
         from changepoynt_spark.operators.window_ops import session_stats
         return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
@@ -1970,6 +2056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_language_id': doc_language_id,
         'doc_fingerprints': doc_fingerprints,
         'doc_tokenize': doc_tokenize,
+        'doc_bpe_merges': doc_bpe_merges,
+        'doc_bpe_tokens': doc_bpe_tokens,
         'doc_pii_scrub': doc_pii_scrub,
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
@@ -2187,6 +2275,8 @@ def oracle_sql() -> dict[str, str]:
         'doc_simhash': _simhash_sql(),
         'doc_fingerprints': _fingerprints_sql(),
         'doc_tokenize': _TOKENIZE_SQL,
+        'doc_bpe_merges': _bpe_sql(16, 'merges'),
+        'doc_bpe_tokens': _bpe_sql(16, 'tokens'),
         'doc_pii_scrub': _pii_scrub_sql(),
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,

@@ -1,0 +1,208 @@
+"""BPE tokenization with merges LEARNED from the corpus — the real-pipeline
+upgrade over the whitespace+hash tokenizer in operators/text.py.
+
+Algorithm (greedy ordered-replace BPE):
+
+* Every word (plus a trailing end-of-word marker ``EOW``) starts as its
+  character sequence, materialized as a ``SEP``-delimited string
+  ("h<SEP>i<SEP><EOW>").  ``SEP``/``EOW`` are control characters
+  (0x1f/0x17) that are OUT OF CONTRACT in input text.
+* Learning: ``n_merges`` rounds of (count adjacent symbol pairs over the
+  distinct-WORD table weighted by word frequency) -> (pick the argmax pair,
+  ties broken by (count DESC, lhs ASC, rhs ASC)) -> (apply the merge as a
+  literal string replace ``lhs<SEP>rhs -> lhsrhs``).
+* Application: build the whole document as one delimited symbol stream
+  (spaces become ``EOW`` symbols), apply the K learned replaces in rank
+  order, split on ``SEP``.  Because learning is per-word and ``EOW`` only
+  ever appears as a symbol's final character, no learned pattern can span a
+  word boundary, so the stream application is exactly the per-word
+  application — without a per-word explode.
+
+``replace`` here is literal non-overlapping left-to-right substring
+replacement that RESUMES AFTER each replacement — Spark's ``F.replace``
+(UTF8String.replace), DuckDB's ``replace``, and Python's ``str.replace``
+all agree, including on runs: applying (l,l) to "l<SEP>l<SEP>l<SEP>l"
+yields "ll<SEP>ll", which is exactly exhaustive greedy pair merging
+(tests/test_bpe.py pins the three-engine agreement).  This makes the whole
+tokenizer — learning AND application — expressible identically in Spark
+expressions and in (unrolled) DuckDB SQL, so the driver oracle checks the
+learned merge table itself, the token stream, and the byte-exact
+detokenization round trip.
+
+Variant note: chaining literal replaces is NOT bit-identical to
+subword-nmt's token-list algorithm in one corner: an earlier-rank merge
+output can expose a later-rank pattern across its own boundary (symbols
+[a, bc] match pattern "a<SEP>b" because 'b' is a prefix of the SYMBOL
+'bc').  Both engines do the same thing, segmentation stays deterministic,
+and round-trip losslessness is structural (replaces only ever delete
+separators, never characters).
+
+Scale shape (the 100 TB story):
+
+* the corpus is touched ONCE for learning (word explode -> count, one
+  shuffle with map-side combine); every learning round afterwards runs on
+  the cached distinct-word table, which is vocabulary-bounded (tens of
+  millions of rows at worst), not corpus-bounded.
+* per round: one narrow map (chained replaces from the cached base) + one
+  pair-count aggregate + an argmax take(1) — the only driver-side data is
+  ONE ROW per round.
+* application is a zero-shuffle whole-stage-codegen scan: the merge table
+  rides into the plan as K literal replace expressions (a few hundred
+  bytes), never a join.
+
+Reference: the reference repo (Lucew/changepoynt) has no tokenizer; this
+operator exists for the north-rule training-data pipeline (pre-tokenized
+sequences).  Provenance: Sennrich et al. 2016 (BPE), Gage 1994.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from changepoynt_spark.sources.datagen import VOCAB
+
+SEP = '\x1f'   # symbol separator (unit separator)
+EOW = '\x17'   # end-of-word marker symbol (ETB)
+
+
+def _delimited(col, per_word: bool):
+    """Char-level SEP-delimited symbol stream.  ``per_word``: col is a bare
+    word (append one EOW); else col is full document text (every space
+    becomes an EOW symbol, plus one trailing EOW for the last word).
+    '(?s)' so stray newlines are split like any char on both regex engines;
+    the produced string carries a trailing SEP — harmless for matching,
+    dropped by the empty-token filter after the final split."""
+    if per_word:
+        s = F.concat(col, F.lit(EOW))
+    else:
+        s = F.replace(F.concat(col, F.lit(' ')), F.lit(' '), F.lit(EOW))
+    return F.regexp_replace(s, '(?s)(.)', '$1' + SEP)
+
+
+def _apply_merges(repr_col, merges):
+    for m in merges:
+        lhs, rhs = m['lhs'], m['rhs']
+        repr_col = F.replace(repr_col, F.lit(lhs + SEP + rhs), F.lit(lhs + rhs))
+    return repr_col
+
+
+def _symbols(repr_col):
+    return F.filter(F.split(repr_col, SEP), lambda t: t != F.lit(''))
+
+
+MERGE_SCHEMA = T.StructType([
+    T.StructField('merge_rank', T.IntegerType(), False),
+    T.StructField('lhs', T.StringType(), False),
+    T.StructField('rhs', T.StringType(), False),
+    T.StructField('merged', T.StringType(), False),
+    T.StructField('pair_count', T.LongType(), False),
+])
+
+
+def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
+                     text_col: str = 'text') -> list:
+    """Learn ``n_merges`` BPE merges from the corpus.  Returns a list of
+    dicts (merge_rank 1-based, lhs, rhs, merged, pair_count) in application
+    order.  Stops early if the corpus runs out of adjacent pairs.
+
+    Each round's pair count is an aggregate a SQL engine can replicate, so
+    the learned table itself is oracle-checkable (the doc_bpe_merges
+    contract query unrolls the rounds as chained DuckDB CTEs)."""
+    if n_merges < 1:
+        raise ValueError('n_merges must be >= 1')
+    wc = (df.select(F.explode(F.split(F.col(text_col), ' ')).alias('word'))
+            .groupBy('word').agg(F.count('*').alias('cnt')))
+    wc = wc.persist()
+    try:
+        base = _delimited(F.col('word'), per_word=True)
+        merges: list = []
+        for rank in range(1, n_merges + 1):
+            syms = _symbols(_apply_merges(base, merges))
+            pairs = F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias('lhs'),
+                        F.element_at(syms, i + 1).alias('rhs'))))
+            best = (wc.select('cnt', F.explode(pairs).alias('p'))
+                      .groupBy('p.lhs', 'p.rhs')
+                      .agg(F.sum('cnt').alias('pair_count'))
+                      .orderBy(F.col('pair_count').desc(),
+                               F.col('lhs').asc(), F.col('rhs').asc())
+                      .take(1))
+            if not best:
+                break
+            row = best[0]
+            merges.append({'merge_rank': rank, 'lhs': row['lhs'],
+                           'rhs': row['rhs'],
+                           'merged': row['lhs'] + row['rhs'],
+                           'pair_count': int(row['pair_count'])})
+        return merges
+    finally:
+        wc.unpersist()
+
+
+def bpe_merges(df: DataFrame, n_merges: int = 16,
+               text_col: str = 'text') -> DataFrame:
+    """The learned merge table as a DataFrame (merge_rank, lhs, rhs, merged,
+    pair_count) — the contract-query face of :func:`learn_bpe_merges`."""
+    spark = df.sparkSession
+    merges = learn_bpe_merges(df, n_merges=n_merges, text_col=text_col)
+    return spark.createDataFrame(
+        [(m['merge_rank'], m['lhs'], m['rhs'], m['merged'], m['pair_count'])
+         for m in merges], MERGE_SCHEMA)
+
+
+def bpe_tokenize(df: DataFrame, merges=None, n_merges: int = 16,
+                 id_col: str = 'doc_id', text_col: str = 'text',
+                 vocab: int = VOCAB, with_roundtrip: bool = False) -> DataFrame:
+    """documents -> (doc_id, tokens array<string>, token_ids array<int>,
+    n_bpe int, source): greedy ordered-replace BPE over the learned (or
+    supplied) merge table.  token_ids use the engine-portable md5 formula
+    of text.tokenize_documents(hash_fn='md5') so the id stream is
+    cross-engine checkable.  Zero-shuffle map: merges are plan literals.
+
+    ``with_roundtrip=True`` adds a boolean ``roundtrip`` audit column
+    (detokenized tokens == original text) computed in the SAME scan — the
+    losslessness proof you want riding along at 100 TB, not a second pass."""
+    if merges is None:
+        merges = learn_bpe_merges(df, n_merges=n_merges, text_col=text_col)
+    applied = _apply_merges(_delimited(F.col(text_col), per_word=False),
+                            merges)
+    toks = _symbols(applied)
+    tok_id = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast('long'),
+        F.lit(vocab)).cast('int')
+    carry = ['source'] if 'source' in df.columns else []
+    cols = [F.col(id_col).cast('string').alias(id_col),
+            toks.alias('tokens')]
+    if with_roundtrip:
+        # merges only ever delete separators, so stripping SEP and mapping
+        # EOW back to ' ' must reproduce text||' ' byte-for-byte
+        cols.append(
+            (F.replace(F.replace(applied, F.lit(SEP), F.lit('')),
+                       F.lit(EOW), F.lit(' '))
+             == F.concat(F.col(text_col), F.lit(' '))).alias('roundtrip'))
+    out = df.select(*cols, *carry)
+    mid = ['tokens',
+           F.transform('tokens', tok_id).alias('token_ids'),
+           F.size('tokens').cast('int').alias('n_bpe')]
+    if with_roundtrip:
+        mid.append('roundtrip')
+    return out.select(id_col, *mid, *carry)
+
+
+def bpe_detokenize(df: DataFrame, id_col: str = 'doc_id',
+                   tokens_col: str = 'tokens') -> DataFrame:
+    """(doc_id, text) — byte-exact inverse of :func:`bpe_tokenize` for any
+    input text that does not itself contain SEP/EOW/trailing spaces (the
+    stated contract): merges only ever deleted separators, so concatenating
+    the tokens and turning EOW markers back into spaces restores the
+    original bytes."""
+    glued = F.replace(F.concat_ws('', F.col(tokens_col)),
+                      F.lit(EOW), F.lit(' '))
+    return df.select(
+        F.col(id_col).alias(id_col),
+        F.substr(glued, F.lit(1), F.length(glued) - 1).alias('text'))

@@ -1,0 +1,193 @@
+"""Learned-merge BPE tokenizer (operators/bpe.py).
+
+The engine-portability contract rests on one primitive: literal
+non-overlapping left-to-right substring replace that RESUMES AFTER each
+replacement.  Spark's F.replace, DuckDB's replace and Python's str.replace
+all implement it; the first test pins the three-engine agreement on the
+adversarial run case, so the rest of the suite may use Python's str.replace
+as the reference model.
+"""
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from changepoynt_spark.operators import bpe
+from changepoynt_spark.operators.bpe import EOW, SEP
+
+
+# ---------------------------------------------------------------- reference
+
+def _delim_word(w):
+    return ''.join(c + SEP for c in w + EOW)
+
+
+def _delim_text(t):
+    return ''.join(c + SEP for c in t.replace(' ', EOW) + EOW)
+
+
+def _py_learn(texts, n_merges):
+    """Pure-Python model of learn_bpe_merges: pair counts over the
+    frequency-weighted distinct-word table, argmax with (count DESC, lhs,
+    rhs) ties, applied as chained str.replace."""
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split(' '))
+    reprs = {w: _delim_word(w) for w in wc}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, cnt in wc.items():
+            syms = [s for s in reprs[w].split(SEP) if s != '']
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(pairs.items(),
+                              key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append({'merge_rank': rank, 'lhs': lhs, 'rhs': rhs,
+                       'merged': lhs + rhs, 'pair_count': cnt})
+        for w in reprs:
+            reprs[w] = reprs[w].replace(lhs + SEP + rhs, lhs + rhs)
+    return merges
+
+
+def _py_tokenize(text, merges):
+    s = _delim_text(text)
+    for m in merges:
+        s = s.replace(m['lhs'] + SEP + m['rhs'], m['lhs'] + m['rhs'])
+    return [t for t in s.split(SEP) if t != '']
+
+
+# ---------------------------------------------------------------- primitive
+
+def test_replace_run_semantics_agree_across_engines(spark):
+    """The load-bearing primitive: replacing (l,l) over four separated l's
+    must yield exactly two 'll' symbols (resume-after, not re-scan) in
+    Python, DuckDB and Spark alike."""
+    src = SEP.join(['l', 'l', 'l', 'l'])
+    pat, rep = 'l' + SEP + 'l', 'll'
+    expect = 'll' + SEP + 'll'
+    assert src.replace(pat, rep) == expect
+    got_duck = duckdb.sql(
+        "SELECT replace(?, ?, ?)", params=[src, pat, rep]).fetchone()[0]
+    assert got_duck == expect
+    got_spark = (spark.range(1)
+                 .select(F.replace(F.lit(src), F.lit(pat), F.lit(rep)))
+                 .first()[0])
+    assert got_spark == expect
+
+
+# ----------------------------------------------------------------- learning
+
+def test_learning_matches_python_model_on_planted_corpus(spark):
+    texts = ['low low low lower lowest', 'new newer newest low',
+             'wide wider new new']
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               'doc_id long, text string')
+    got = bpe.learn_bpe_merges(df, n_merges=10)
+    assert got == _py_learn(texts, 10)
+    # sanity on content: 'low' is the dominant word, so 'l'+'o' or 'o'+'w'
+    # must appear among the first merges
+    first_pairs = {(m['lhs'], m['rhs']) for m in got[:3]}
+    assert ('l', 'o') in first_pairs or ('o', 'w') in first_pairs
+
+
+def test_learning_is_partition_invariant(spark, sf_dir):
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').limit(120)
+    a = bpe.learn_bpe_merges(docs, n_merges=6)
+    b = bpe.learn_bpe_merges(docs.repartition(7), n_merges=6)
+    assert a == b
+
+
+def test_learning_stops_early_when_pairs_run_out(spark):
+    df = spark.createDataFrame([(0, 'ab ab')], 'doc_id long, text string')
+    got = bpe.learn_bpe_merges(df, n_merges=50)
+    # 'a b EOW' has pairs (a,b),(b,EOW) -> at most 2 merges then one final
+    # full-word symbol with nothing adjacent
+    assert 0 < len(got) < 50
+    final = _py_tokenize('ab ab', got)
+    assert final == ['ab' + EOW, 'ab' + EOW]
+
+
+# ------------------------------------------------------------- application
+
+def test_tokenize_matches_python_model_and_roundtrips(spark, sf_dir):
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').limit(60)
+    merges = bpe.learn_bpe_merges(docs, n_merges=12)
+    out = bpe.bpe_tokenize(docs, merges=merges, with_roundtrip=True)
+    rows = {r['doc_id']: r for r in out.collect()}
+    for src in docs.select('doc_id', 'text').collect():
+        r = rows[str(src['doc_id'])]
+        toks = _py_tokenize(src['text'], merges)
+        assert list(r['tokens']) == toks
+        assert r['n_bpe'] == len(toks)
+        assert r['roundtrip'] is True
+        # no token spans a word boundary: EOW only ever terminal
+        for t in r['tokens']:
+            assert EOW not in t[:-1]
+
+
+def test_detokenize_is_byte_exact(spark, sf_dir):
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').limit(200)
+    toks = bpe.bpe_tokenize(docs, n_merges=8)
+    detok = bpe.bpe_detokenize(toks)
+    j = (docs.select(F.col('doc_id').cast('string').alias('doc_id'),
+                     F.col('text').alias('orig'))
+         .join(detok, 'doc_id'))
+    assert j.filter(F.col('orig') != F.col('text')).count() == 0
+    assert j.count() == 200
+
+
+def test_token_ids_use_portable_md5_formula(spark):
+    df = spark.createDataFrame([(0, 'hi hi')], 'doc_id long, text string')
+    out = bpe.bpe_tokenize(df, merges=[], vocab=50257).first()
+    import hashlib
+    for tok, tid in zip(out['tokens'], out['token_ids']):
+        expect = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 50257
+        assert tid == expect
+
+
+# ------------------------------------------------------------- duckdb twin
+
+def test_contract_queries_match_duckdb_twin(spark, sf_dir):
+    """Spark learning+application vs the unrolled MATERIALIZED-CTE oracle,
+    end to end on the test corpus (the driver repeats this at sf0.01)."""
+    import __spark_entry__ as entrymod
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')")
+    q = entrymod.queries()
+    sql = entrymod.oracle_sql()
+    merges_spark = sorted(
+        tuple(r) for r in q['doc_bpe_merges'](spark, sf_dir).collect())
+    merges_duck = sorted(tuple(r) for r in
+                         con.execute(sql['doc_bpe_merges']).fetchall())
+    assert merges_spark == merges_duck
+    tok_spark = sorted(tuple(r) for r in
+                       q['doc_bpe_tokens'](spark, sf_dir).collect())
+    tok_duck = sorted(tuple(r) for r in
+                      con.execute(sql['doc_bpe_tokens']).fetchall())
+    assert len(tok_spark) == len(tok_duck) > 0
+    for a, b in zip(tok_spark, tok_duck):
+        assert a == b
+    assert all(r[5] is True or r[5] == 1 for r in tok_spark)  # roundtrip col
+
+
+def test_materialized_hint_is_present_in_oracle(spark):
+    """Guard the 2^n CTE-inlining blowup fix: the oracle must carry the
+    MATERIALIZED hint on every chained CTE."""
+    import __spark_entry__ as entrymod
+    sql = entrymod.oracle_sql()['doc_bpe_merges']
+    assert sql.count('AS MATERIALIZED') >= 2 * 16
+
+
+# ------------------------------------------------------------------- plans
+
+def test_application_is_a_zero_shuffle_scan(spark, sf_dir):
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet')
+    merges = [{'merge_rank': 1, 'lhs': 'e', 'rhs': 'r', 'merged': 'er',
+               'pair_count': 1}]
+    plan = (bpe.bpe_tokenize(docs, merges=merges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert 'Exchange' not in plan
