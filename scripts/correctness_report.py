@@ -66,6 +66,51 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Above this many output rows the toPandas round-trip is the harness's own
+# scale bug (a ~63M-row collect broke at sf0.1 while the QUERY was fine), so
+# the compare goes distributed: Spark writes its result to temp parquet and
+# DuckDB runs a typed EXCEPT ALL multiset diff both ways against the oracle —
+# strictly stronger than the csv-md5 (no stringification at all).
+BIG_ROWS = 5_000_000
+
+
+def _compare_big(spark, df, sql, sf_dir: str, entry: dict) -> None:
+    import shutil
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix='cpys_cmp_')
+    out = os.path.join(tmp, 'spark_result')
+    try:
+        df.write.mode('overwrite').parquet(out)
+        con = _duck(sf_dir)
+        try:
+            con.execute("CREATE VIEW __spark_res AS SELECT * FROM "
+                        f"read_parquet('{out}/*.parquet')")
+            con.execute(f"CREATE VIEW __oracle_res AS ({sql})")
+            scols = [r[0] for r in con.execute('DESCRIBE __spark_res').fetchall()]
+            ocols = [r[0] for r in con.execute('DESCRIBE __oracle_res').fetchall()]
+            entry['spark_rows'] = int(con.execute(
+                'SELECT count(*) FROM __spark_res').fetchone()[0])
+            entry['oracle_rows'] = int(con.execute(
+                'SELECT count(*) FROM __oracle_res').fetchone()[0])
+            entry['rows_match'] = entry['spark_rows'] == entry['oracle_rows']
+            entry['schema_match'] = sorted(scols) == sorted(ocols)
+            if entry['rows_match'] and entry['schema_match']:
+                proj = ', '.join(f'"{c}"' for c in sorted(scols))
+                ndiff = con.execute(
+                    f'SELECT count(*) FROM ('
+                    f'(SELECT {proj} FROM __spark_res EXCEPT ALL '
+                    f' SELECT {proj} FROM __oracle_res) UNION ALL '
+                    f'(SELECT {proj} FROM __oracle_res EXCEPT ALL '
+                    f' SELECT {proj} FROM __spark_res))').fetchone()[0]
+                entry['hash_match'] = ndiff == 0
+            else:
+                entry['hash_match'] = False
+        finally:
+            con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_report(spark, sf_dir: str, only=None) -> dict:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -76,13 +121,19 @@ def run_report(spark, sf_dir: str, only=None) -> dict:
         entry = {'rows_match': None, 'schema_match': None, 'hash_match': None,
                  'spark_rows': None, 'oracle_rows': None, 'err': None}
         t0 = time.time()
+        df = None
         try:
-            spdf = q(spark, sf_dir).toPandas()
-            entry['spark_rows'] = int(len(spdf))
+            df = q(spark, sf_dir)
             sql = oracles.get(name)
+            df.persist()  # count() sizes the compare path; don't run the plan twice
+            n = df.count()
+            entry['spark_rows'] = int(n)
             if sql is None:
                 entry['err'] = 'no_oracle'
+            elif n > BIG_ROWS:
+                _compare_big(spark, df, sql, sf_dir, entry)
             else:
+                spdf = df.toPandas()
                 con = _duck(sf_dir)
                 try:
                     opdf = con.execute(sql).df()
@@ -96,6 +147,12 @@ def run_report(spark, sf_dir: str, only=None) -> dict:
                                        and _value_hash(ns) == _value_hash(no))
         except Exception as e:  # record, keep going — the report must be total
             entry['err'] = f'{type(e).__name__}: {e}'[:500]
+        finally:
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
         print(f"{name}: rows={entry['spark_rows']} hash_match={entry['hash_match']} "
               f"err={entry['err']} ({time.time() - t0:.1f}s)", flush=True)
         report[name] = entry
@@ -110,12 +167,20 @@ def main() -> int:
     ap.add_argument('--only', default=None,
                     help='comma-separated query names (iteration aid; '
                          'partial reports should not be committed)')
+    ap.add_argument('--merge', action='store_true',
+                    help='with --only: update just those entries inside an '
+                         'existing --out file instead of truncating it')
     args = ap.parse_args()
     only = set(args.only.split(',')) if args.only else None
 
     from changepoynt_spark.session import get_spark
     spark = get_spark()
     report = run_report(spark, args.sf_dir, only=only)
+    if args.merge and only and os.path.exists(args.out):
+        with open(args.out) as f:
+            full = json.load(f)
+        full.update(report)
+        report = full
     with open(args.out, 'w') as f:
         json.dump(report, f, indent=2)
         f.write('\n')
