@@ -159,3 +159,104 @@ def streaming_interval_join(points: DataFrame, intervals: DataFrame, on: str,
         f'p.{on} = i.{on} AND p.{ts_col} >= i.{lo_col} '
         f'AND p.{ts_col} <= i.{lo_col} + INTERVAL {width}')
     return p.join(i, cond)
+
+
+def streaming_gap_fill(tier_stream: DataFrame, keys, value_cols=('avg_value',),
+                       bucket_col: str = 'bucket_start',
+                       interval_seconds: int = 60,
+                       method: str = 'locf') -> DataFrame:
+    """Streaming twin of operators.rollup.gap_fill over a CLOSED-bucket tier
+    stream (the append-mode output of :func:`streaming_rollup`, e.g. its
+    parquet sink re-read as a stream).
+
+    The batch operator joins a per-key dense spine and fills with running
+    window frames; the streaming form is the same recurrence as per-key
+    state: state holds the last observed bucket and its values, and when the
+    next observed bucket arrives every missing bucket strictly between them
+    is emitted with ``is_gap=true`` and the fill value —
+
+    * ``locf``   — the stored previous value,
+    * ``linear`` — ``v0 + (v1 - v0) / dx * di`` in IEEE-double op order,
+      BIT-identical to the batch window expression (asserted in
+      tests/test_streaming.py),
+    * ``null``   — NULL values (spine densification only).
+
+    Because a gap row is emitted only when its right neighbour closes, the
+    output covers exactly the batch spine (per-key min..max observed bucket:
+    no leading or trailing gap rows) — streaming==batch is row-for-row, not
+    just approximate.  Late/duplicate tier rows at-or-before the last
+    emitted bucket are dropped (upstream append mode already guarantees
+    per-key bucket monotonicity across micro-batches; within a batch rows
+    are sorted).  State per key is one (timestamp, double[]) row regardless
+    of stream length; values must be non-NULL (tier aggregates of non-empty
+    buckets — the same contract the batch tier provides).
+    """
+    if method not in ('null', 'locf', 'linear'):
+        raise ValueError(f"gap_fill method must be 'null', 'locf' or 'linear', got {method!r}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = list(keys)
+    value_cols = list(value_cols)
+    step_us = int(interval_seconds) * 1_000_000
+    key_fields = [tier_stream.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [T.StructField(bucket_col, T.TimestampType(), True)]
+        + [T.StructField(c, T.DoubleType(), True) for c in value_cols]
+        + [T.StructField('is_gap', T.BooleanType(), False)])
+    state_schema = T.StructType([
+        T.StructField('last_us', T.LongType(), True),
+        T.StructField('last_vals', T.ArrayType(T.DoubleType()), True),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(bucket_col)
+        bucket_us = (pdf[bucket_col].astype('datetime64[us]')
+                     .to_numpy().view(np.int64))
+        vals = pdf[value_cols].to_numpy(dtype=np.float64)
+        if state.exists:
+            last_us, last_vals = state.get
+        else:
+            last_us, last_vals = None, None
+        out_us, out_vals, out_gap = [], [], []
+        for b_us, row in zip(bucket_us.tolist(), vals):
+            if last_us is not None and b_us <= last_us:
+                continue  # late or duplicate closed bucket: already emitted
+            if last_us is not None and b_us - last_us > step_us:
+                dx = float((b_us - last_us) // step_us)
+                for i in range(1, (b_us - last_us) // step_us):
+                    out_us.append(last_us + i * step_us)
+                    if method == 'locf':
+                        out_vals.append(list(last_vals))
+                    elif method == 'linear':
+                        di = float(i)
+                        out_vals.append([v0 + (v1 - v0) / dx * di
+                                         for v0, v1 in zip(last_vals, row)])
+                    else:
+                        out_vals.append([None] * len(value_cols))
+                    out_gap.append(True)
+            out_us.append(b_us)
+            out_vals.append([float(v) for v in row])
+            out_gap.append(False)
+            last_us, last_vals = b_us, [float(v) for v in row]
+        state.update((int(last_us), list(last_vals)))
+        if not out_us:
+            return
+        res = {k: [key[j]] * len(out_us) for j, k in enumerate(keys)}
+        res[bucket_col] = pd.Series(np.asarray(out_us, dtype=np.int64)
+                                    .view('datetime64[us]'))
+        for j, c in enumerate(value_cols):
+            res[c] = [r[j] for r in out_vals]
+        res['is_gap'] = out_gap
+        yield pd.DataFrame(res)
+
+    return (tier_stream.groupBy(*keys)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    outputMode='append',
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

@@ -305,3 +305,62 @@ def test_sax_stream_job_matches_batch_and_restarts_exactly_once(spark, tmp_path)
                          '--available-now'],
                         spark=spark)
     assert spark.read.parquet(out).count() == n_rows
+
+
+def test_gapfill_stream_job_matches_batch_and_restarts_exactly_once(spark, tmp_path):
+    """Streaming gap-fill job end to end (round 6): a closed-bucket tier
+    written as time-ordered chunk files -> dense LOCF-filled tier in the
+    sink, equal to the batch gap_fill; a checkpoint-resumed re-run with no
+    new input adds zero rows."""
+    import numpy as np
+    import pandas as pd
+    import gapfill_stream_job
+    from changepoynt_spark.operators.rollup import gap_fill
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp('2026-01-01 00:00:00')
+    rows = []
+    for uid in range(3):
+        for i in range(240):
+            if rng.uniform() < 0.35:        # ~35% of minutes missing
+                continue
+            rows.append((uid, (base + pd.Timedelta(minutes=i)).to_pydatetime(),
+                         float(np.round(rng.uniform(0.1, 50.0), 3))))
+    tier = spark.createDataFrame(
+        rows, 'user_id long, bucket_start timestamp, avg_value double')
+    src = str(tmp_path / 'tier_in')
+    # sequential single-file chunks: micro-batch order == event-time order,
+    # the input contract a chained append-mode rollup sink satisfies
+    for h in range(4):
+        lo = base + pd.Timedelta(hours=h)
+        tier.filter((tier.bucket_start >= lo) &
+                    (tier.bucket_start < lo + pd.Timedelta(hours=1))) \
+            .coalesce(1).write.mode('append').parquet(src)
+    out, ckpt = str(tmp_path / 'tier_dense'), str(tmp_path / 'ckpt_gf')
+
+    gapfill_stream_job.main(['--input', src, '--output', out,
+                             '--checkpoint', ckpt, '--keys', 'user_id',
+                             '--value-cols', 'avg_value',
+                             '--interval-seconds', '60',
+                             '--method', 'locf', '--available-now'],
+                            spark=spark)
+
+    got = (spark.read.parquet(out).orderBy('user_id', 'bucket_start')
+           .toPandas().reset_index(drop=True))
+    exp = (gap_fill(tier, ['user_id'], value_cols=['avg_value'],
+                    interval_seconds=60, method='locf')
+           .orderBy('user_id', 'bucket_start').toPandas().reset_index(drop=True))
+    assert exp['is_gap'].any()
+    assert len(got) == len(exp)
+    assert got[['user_id', 'bucket_start', 'is_gap']].equals(
+        exp[['user_id', 'bucket_start', 'is_gap']])
+    assert np.array_equal(got['avg_value'].to_numpy(), exp['avg_value'].to_numpy())
+
+    n_rows = spark.read.parquet(out).count()
+    gapfill_stream_job.main(['--input', src, '--output', out,
+                             '--checkpoint', ckpt, '--keys', 'user_id',
+                             '--value-cols', 'avg_value',
+                             '--interval-seconds', '60',
+                             '--method', 'locf', '--available-now'],
+                            spark=spark)
+    assert spark.read.parquet(out).count() == n_rows

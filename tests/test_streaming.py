@@ -392,3 +392,78 @@ def test_streaming_sax_frames_finalize_to_batch_tier(spark, events_dir):
            .orderBy('user_id', 'frame_start').toPandas().reset_index(drop=True))
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
+
+
+@pytest.mark.parametrize('method', ['locf', 'linear', 'null'])
+def test_streaming_gap_fill_matches_batch(spark, events_dir, tmp_path, method):
+    """Closed-bucket tier (append mode, out-of-order input files, watermark
+    drops late rows) relayed to parquet, then gap-filled two ways: the batch
+    spine-join+window operator vs the stateful streaming recurrence fed one
+    file per micro-batch.  Row-for-row equal; linear fills BIT-identical."""
+    import pandas as pd
+
+    from changepoynt_spark.operators.rollup import gap_fill
+    from changepoynt_spark.streaming.rollup_stream import streaming_gap_fill
+
+    relay = str(tmp_path / f'tier_relay_{method}')
+    ckpt = str(tmp_path / f'tier_ckpt_{method}')
+    schema = spark.read.parquet(events_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option('maxFilesPerTrigger', 2).parquet(events_dir))
+    tier = streaming_rollup(stream, keys=['user_id'], ts_col='ts',
+                            value_col='value', interval='1 hour',
+                            watermark_delay='30 minutes')
+    q = (tier.selectExpr('user_id', 'bucket_start',
+                         'CAST(avg_value AS DOUBLE) AS avg_value',
+                         'CAST(sum_value AS DOUBLE) AS sum_value')
+         .writeStream.outputMode('append').format('parquet')
+         .option('path', relay).option('checkpointLocation', ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    tier_df = spark.read.parquet(relay)
+    assert tier_df.count() > 0
+
+    cols = ['avg_value', 'sum_value']
+    exp = (gap_fill(tier_df, ['user_id'], value_cols=cols,
+                    interval_seconds=3600, method=method)
+           .toPandas().sort_values(['user_id', 'bucket_start'])
+           .reset_index(drop=True))
+    assert exp['is_gap'].any(), 'fixture produced no gaps — test is vacuous'
+
+    # The operator's input contract is the upstream append stream's per-key
+    # bucket monotonicity.  A parquet re-read with maxFilesPerTrigger picks
+    # files by (mod-time, path), which does NOT reproduce emission order, so
+    # relay the tier into sequentially-written time-chunk files: one file per
+    # chunk -> four micro-batches arriving in event-time order, state carried
+    # across all of them.
+    ordered = str(tmp_path / f'tier_ordered_{method}')
+    lo, hi = tier_df.selectExpr('min(bucket_start)', 'max(bucket_start)').first()
+    edges = pd.date_range(lo, hi, periods=5)
+    for i in range(4):
+        chunk = tier_df.filter(
+            (F.col('bucket_start') >= F.lit(edges[i])) &
+            (F.col('bucket_start') <= F.lit(hi) if i == 3
+             else F.col('bucket_start') < F.lit(edges[i + 1])))
+        chunk.coalesce(1).write.mode('append').parquet(ordered)
+
+    gstream = (spark.readStream.schema(tier_df.schema)
+               .option('maxFilesPerTrigger', 1).parquet(ordered))
+    filled = streaming_gap_fill(gstream, ['user_id'], value_cols=cols,
+                                interval_seconds=3600, method=method)
+    name = f'gapfill_stream_{method}'
+    q = (filled.writeStream.outputMode('append').format('memory')
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.sql(f'SELECT * FROM {name}').toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+
+    assert len(got) == len(exp)
+    assert (got['user_id'].to_numpy() == exp['user_id'].to_numpy()).all()
+    assert (got['bucket_start'].to_numpy() == exp['bucket_start'].to_numpy()).all()
+    assert (got['is_gap'].to_numpy() == exp['is_gap'].to_numpy()).all()
+    for c in cols:
+        g, e = got[c], exp[c].astype('float64')
+        assert (g.isna().to_numpy() == e.isna().to_numpy()).all(), c
+        # BIT-identical (same IEEE op order as the batch window expression)
+        assert np.array_equal(g.dropna().to_numpy(), e.dropna().to_numpy()), c
