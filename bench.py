@@ -165,8 +165,11 @@ def main():
     # window the pipeline actually ran in — record one between the two runs
     probe_mid = round(_hw_probe_work(None), 3)
     rolled2, raw2, wall2, comp2, stage2 = headline_pipeline(spark, stages=True)
+    run_probe = (probe_sec + probe_mid) / 2   # probes bracketing the kept run
     if rolled2 / wall2 > rolled / wall:
         rolled, raw, wall, comp, stage_sec = rolled2, raw2, wall2, comp2, stage2
+        run_probe = probe_mid  # post probe lands after run_queries; mid is
+        #                        the only in-bracket measurement for run 2
     qtimes = run_queries(spark, SF_DIR)
     probe_post = round(_hw_probe_work(None), 3)
     conf = {
@@ -197,6 +200,13 @@ def main():
             'hw_probe_sec': probe_sec,
             'hw_probe_mid_sec': probe_mid,
             'hw_probe_post_sec': probe_post,
+            # round-over-round comparable headline: throughput rescaled to
+            # the 0.30 s reference probe clock (probe > 0.30 = slower host,
+            # so multiply by probe/0.30).  Uses the probe(s) bracketing the
+            # KEPT run; interpretation history in BENCH/R5_NOTES.md.
+            'headline_normalized_pts_per_sec': round(
+                rolled / wall * run_probe / 0.30, 1),
+            'headline_probe_used': round(run_probe, 3),
             # per-stage CPU seconds summed over all tasks (kernel-side
             # accumulators); stage share = stage / sum(stages)
             'stage_cpu_sec': stage_sec,
