@@ -1259,6 +1259,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         merged = rollup.merge_rollup_partials(pa, pb, ['user_id'])
         return _round_rollup(rollup.finalize_rollup(merged, ['user_id']))
 
+    def events_continuous_agg(spark, sf_dir):
+        # TABLE-level continuous aggregate (sources/continuous.py): raw
+        # events land in 3 snapshot appends; each refresh rolls up ONLY the
+        # snapshot delta (IcebergishTable.read_delta) and appends a
+        # merge-on-read partial tier snapshot, watermarked in snapshot
+        # properties; the tier is compacted midway.  The oracle is a FULL
+        # 1h rollup over all events — hash-green proves the
+        # snapshot-watermark incremental path == full recompute,
+        # cross-engine, through a compaction.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select('user_id', 'ts', 'value')
+        root = tempfile.mkdtemp(prefix='contagg-')
+        raw = IcebergishTable(_os.path.join(root, 'raw'))
+        ca = ContinuousAggregate(raw, _os.path.join(root, 'tier'),
+                                 ['user_id'], interval='1 hour',
+                                 partition_by=())
+        for i in range(3):
+            raw.append(ev.filter(F.pmod(F.xxhash64('user_id', 'ts'),
+                                        F.lit(3)) == i), partition_by=())
+            ca.refresh(spark)
+            if i == 1:
+                ca.compact(spark)
+        return _round_rollup(ca.read(spark))
+
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
@@ -1967,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup_1h_cascade': events_rollup_1h_cascade,
         'events_rollup_1d_cascade': events_rollup_1d_cascade,
         'events_backfill_merge': events_backfill_merge,
+        'events_continuous_agg': events_continuous_agg,
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
@@ -2127,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
         'events_rollup_1m': rollup_tier('minute'),
         # full recompute over ALL events == the incremental merge
         'events_backfill_merge': rollup_tier('minute'),
+        # full recompute over ALL events == the snapshot-delta refresh path
+        'events_continuous_agg': rollup_tier('hour'),
         'events_rollup_1h_cascade': rollup_tier('hour'),
         'events_rollup_1d_cascade': rollup_tier('day'),
         'events_gapfill_1m': """

@@ -1,0 +1,169 @@
+"""Continuous aggregate: snapshot-driven incremental tier refresh.
+
+TimescaleDB's continuous aggregates / Iceberg's incremental append scan,
+composed from pieces the engine already has:
+
+* :meth:`IcebergishTable.read_delta` — the rows appended to the RAW table
+  between two snapshots (raises when the range is not append-only);
+* :func:`rollup_partial` / :func:`merge_partials` — the commutative-monoid
+  partial form, so a tier stored append-only (merge-on-read) is exactly
+  correct under ANY merge order (decimal-exact sums, first/last TS anchors).
+
+The aggregate owns a TIER table whose snapshots each carry a
+``refreshed_through_snapshot`` watermark property: refresh = roll up ONLY
+the raw delta since that watermark and append it (one tiny snapshot), never
+re-aggregating history.  At 10^12-sequence scale this is the difference
+between a per-refresh scan of the appended micro-batch and a per-refresh
+scan of 100 TB.  When the raw history is NOT append-only across the range
+(a compaction/overwrite landed mid-range, so additive refresh would double-
+or under-count), refresh detects it via :meth:`read_delta`'s invariant and
+falls back to a full recompute committed as an overwrite snapshot —
+correctness never depends on the caller knowing what happened upstream.
+
+Reads are merge-on-read (:func:`merge_partials` over the live tier
+snapshots); :meth:`compact` collapses the accumulated partials into one
+merged snapshot — still in partial form, so later refreshes keep merging.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from changepoynt_spark.operators.rollup import (
+    finalize_rollup, merge_partials, rollup_partial)
+from changepoynt_spark.sources.tables import IcebergishTable
+
+WATERMARK_PROP = 'refreshed_through_snapshot'
+
+
+class ContinuousAggregate:
+    """A rollup tier kept incrementally in sync with a raw points table.
+
+    ``keys``/``ts_col``/``value_col``/``interval`` are the
+    :func:`rollup_partial` contract; ``partition_by`` is the tier table's
+    hidden partition spec (default: the first key if any, which for the
+    engine's tiers is the low-cardinality ``source`` column).
+    """
+
+    def __init__(self, source: IcebergishTable, tier_root: str, keys,
+                 ts_col: str = 'ts', value_col: str = 'value',
+                 interval: str = '1 minute', partition_by=None):
+        self.source = source
+        self.tier = IcebergishTable(tier_root)
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.interval = interval
+        self.partition_by = tuple(partition_by) if partition_by is not None \
+            else (tuple(self.keys[:1]) if self.keys else ())
+
+    # -- watermark ---------------------------------------------------------
+
+    def refreshed_through(self) -> int:
+        """Raw-table snapshot id the tier reflects (-1 = never refreshed).
+        Walks the tier lineage newest-first so compaction snapshots (which
+        re-record the watermark they preserve) and refresh snapshots both
+        count."""
+        sid = self.tier.current_snapshot_id()
+        while sid >= 0:
+            snap = self.tier.snapshot(sid)
+            props = snap['manifest']['properties']
+            if WATERMARK_PROP in props:
+                return int(props[WATERMARK_PROP])
+            sid = snap.get('parent', -1)
+        return -1
+
+    # -- refresh -----------------------------------------------------------
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        return rollup_partial(df, self.keys, ts_col=self.ts_col,
+                              value_col=self.value_col, interval=self.interval)
+
+    def refresh(self, spark: SparkSession) -> dict:
+        """Bring the tier up to the raw table's current snapshot.
+
+        Incremental when the raw history since the last refresh is
+        append-only; full recompute (overwrite) otherwise; no-op when
+        nothing changed.  Returns ``{'mode', 'from', 'to', 'rows'}``.
+        """
+        frm = self.refreshed_through()
+        to = self.source.current_snapshot_id()
+        if to < 0 or to == frm:
+            return {'mode': 'noop', 'from': frm, 'to': to, 'rows': 0}
+        try:
+            delta = self.source.read_delta(spark, frm, to)
+            mode = 'incremental'
+        except ValueError:
+            delta = None
+            mode = 'full'
+        if mode == 'incremental':
+            if delta is None:
+                # new snapshot but no new data files (e.g. metadata-only)
+                return self._commit_watermark(spark, frm, to)
+            part = self._partial(delta)
+        else:
+            part = self._partial(self.source.read(spark, to))
+        part = part.persist()
+        try:
+            wm_row = part.agg(
+                F.max('bucket_start').alias('wm'),
+                F.sum('cnt_points').alias('pts')).first()
+            live = (self.tier._live_snapshots(self.tier.current_snapshot_id())
+                    if mode == 'full' and self.tier.current_snapshot_id() >= 0
+                    else ())
+            snap = self.tier.append(
+                part, partition_by=self.partition_by, invalidates=live,
+                properties={
+                    'operation': f'refresh-{mode}',
+                    WATERMARK_PROP: int(to),
+                    'refresh_from_snapshot': int(frm),
+                    'rollup_watermark': str(wm_row['wm']),
+                    'points_rolled': int(wm_row['pts'] or 0),
+                })
+        finally:
+            part.unpersist()
+        return {'mode': mode, 'from': frm, 'to': to,
+                'rows': snap['manifest']['row_count']}
+
+    def _commit_watermark(self, spark: SparkSession, frm: int, to: int) -> dict:
+        """Advance the watermark with an empty partial append (keeps the
+        'watermark lives in snapshot properties' invariant without a
+        side-channel file)."""
+        empty = self._partial(self.source.read(spark, to).limit(0))
+        self.tier.append(empty, partition_by=(),
+                         properties={'operation': 'refresh-empty',
+                                     WATERMARK_PROP: int(to),
+                                     'refresh_from_snapshot': int(frm)})
+        return {'mode': 'empty', 'from': frm, 'to': to, 'rows': 0}
+
+    # -- read / maintain -----------------------------------------------------
+
+    def read_partial(self, spark: SparkSession) -> DataFrame:
+        """Merge-on-read view in partial form (one row per keys+bucket)."""
+        return merge_partials(self.tier.read(spark), self.keys)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Finalized tier view (avg derived, anchors dropped)."""
+        return finalize_rollup(self.read_partial(spark), self.keys)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Collapse the merge-on-read pile into ONE merged-partial snapshot
+        that invalidates every prior live tier snapshot.  Readers atomically
+        switch; the result is still a partial, so refreshes keep appending.
+        Run this when live-snapshot count (not bytes) starts to dominate
+        read planning — same rationale as :meth:`IcebergishTable.compact`,
+        but merging rows instead of just repacking files."""
+        cur = self.tier.current_snapshot_id()
+        assert cur >= 0, f'tier {self.tier.root} has no snapshots to compact'
+        live = self.tier._live_snapshots(cur)
+        merged = self.read_partial(spark)
+        snap = self.tier.append(
+            merged, partition_by=self.partition_by, invalidates=live,
+            properties={'operation': 'tier-compact',
+                        WATERMARK_PROP: int(self.refreshed_through()),
+                        'replaced_snapshots': len(live)})
+        return {'snapshot_id': snap['snapshot_id'], 'replaced': len(live),
+                'rows': snap['manifest']['row_count']}

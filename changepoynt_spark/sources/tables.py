@@ -141,6 +141,50 @@ class IcebergishTable:
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out
 
+    def _live_snapshots(self, snapshot_id: int) -> list:
+        """Snapshot ids whose data files are visible at ``snapshot_id``
+        (lineage minus everything the lineage invalidates)."""
+        dead, chain = set(), []
+        cur = snapshot_id
+        while cur >= 0:
+            snap = self.snapshot(cur)
+            chain.append(cur)
+            dead.update(snap.get('invalidates', []))
+            cur = snap.get('parent', -1)
+        return [c for c in chain if c not in dead]
+
+    def read_delta(self, spark: SparkSession, from_snapshot_id: int,
+                   to_snapshot_id: int = None) -> Optional[DataFrame]:
+        """Rows visible at ``to`` but not at ``from`` — the incremental-scan
+        unit a continuous aggregate refreshes from (Iceberg's incremental
+        append scan).  Returns None when the delta is empty.
+
+        Only valid for APPEND-ONLY history between the two snapshots: if any
+        file live at ``from`` is gone at ``to`` (a compaction or overwrite
+        crossed the range), an additive refresh would double- or
+        under-count, so this raises and the caller must fall back to a full
+        recompute.  A compaction committed BEFORE ``from`` is fine — its
+        invalidations are already part of the ``from`` view."""
+        to_sid = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
+        assert to_sid >= 0, f'table {self.root} has no snapshots'
+        live_to = set(self._live_snapshots(to_sid))
+        live_from = set(self._live_snapshots(from_snapshot_id)) \
+            if from_snapshot_id >= 0 else set()
+        removed = live_from - live_to
+        if removed:
+            raise ValueError(
+                f'history {from_snapshot_id}..{to_sid} is not append-only '
+                f'(snapshots {sorted(removed)} were invalidated in-range); '
+                f'incremental refresh is invalid — recompute from scratch')
+        delta = sorted(live_to - live_from)
+        dirs = [os.path.join(self.data_dir, f'snap-{c}') for c in delta]
+        existing = [d for d in dirs if os.path.isdir(d)]
+        out = None
+        for d in existing:
+            part = spark.read.parquet(d)
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out
+
     def properties_by_snapshot(self) -> dict:
         return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}
 

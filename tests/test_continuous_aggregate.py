@@ -1,0 +1,162 @@
+"""Continuous aggregate (snapshot-driven incremental tier refresh):
+incremental refreshes over an append-only raw table must equal a one-shot
+rollup of everything; non-append-only history must be detected and fall
+back to a full recompute; tier compaction and repeated refreshes must be
+exactly idempotent."""
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from changepoynt_spark.operators import rollup
+from changepoynt_spark.sources.continuous import ContinuousAggregate
+from changepoynt_spark.sources.tables import IcebergishTable
+
+KEYS = ['user_id']
+
+
+@pytest.fixture(scope='module')
+def events(spark, sf_dir):
+    df = spark.read.parquet(f'{sf_dir}/events.parquet') \
+              .select('user_id', 'ts', 'value')
+    df.cache().count()
+    return df
+
+
+def _batches(events, n=3):
+    """Deterministic disjoint slices of the events fixture (hash split —
+    simulates micro-batch arrival; batch 2 is 'late data' for buckets the
+    earlier batches already touched)."""
+    b = F.pmod(F.xxhash64('user_id', 'ts'), F.lit(n))
+    return [events.filter(b == i) for i in range(n)]
+
+
+def _tier_pdf(df):
+    pdf = df.toPandas().sort_values(KEYS + ['bucket_start']).reset_index(drop=True)
+    return pdf
+
+
+def _assert_tier_equal(a, b):
+    a, b = _tier_pdf(a), _tier_pdf(b)
+    assert len(a) == len(b) > 0
+    assert list(a['user_id']) == list(b['user_id'])
+    assert list(a['bucket_start']) == list(b['bucket_start'])
+    for col in rollup.AGG_COLS:
+        np.testing.assert_allclose(a[col].to_numpy(dtype=float),
+                                   b[col].to_numpy(dtype=float),
+                                   rtol=0, atol=0, err_msg=col)
+
+
+def test_incremental_refresh_equals_one_shot(spark, events, tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    batches = _batches(events)
+
+    # refresh before any data: noop
+    assert ca.refresh(spark)['mode'] == 'noop'
+
+    reports = []
+    for b in batches:
+        raw.append(b, partition_by=())
+        reports.append(ca.refresh(spark))
+    assert [r['mode'] for r in reports] == ['incremental'] * 3
+    assert ca.refreshed_through() == raw.current_snapshot_id() == 2
+    # three merge-on-read snapshots in the tier, none invalidated
+    assert len(ca.tier._live_snapshots(ca.tier.current_snapshot_id())) == 3
+
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour', exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+    # refresh with nothing new: noop, tier unchanged
+    before = ca.tier.current_snapshot_id()
+    assert ca.refresh(spark)['mode'] == 'noop'
+    assert ca.tier.current_snapshot_id() == before
+
+    # watermark properties recorded per refresh snapshot
+    props = ca.tier.snapshot(0)['manifest']['properties']
+    assert props['operation'] == 'refresh-incremental'
+    assert props['refreshed_through_snapshot'] == 0
+    assert props['refresh_from_snapshot'] == -1
+    assert props['points_rolled'] == batches[0].count()
+
+
+def test_tier_compact_preserves_results_and_watermark(spark, events, tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    ca.refresh(spark)
+    raw.append(b1, partition_by=())
+    ca.refresh(spark)
+
+    res = ca.compact(spark)
+    assert res['replaced'] == 2
+    live = ca.tier._live_snapshots(ca.tier.current_snapshot_id())
+    assert live == [res['snapshot_id']]
+    assert ca.refreshed_through() == 1  # compaction preserves the watermark
+
+    # compaction is invisible to readers AND to later refreshes
+    raw.append(b2, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour', exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_raw_compaction_midrange_forces_full_recompute(spark, events, tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    ca.refresh(spark)
+    raw.append(b1, partition_by=())
+    # raw compaction rewrites files the tier has NOT yet seen -> the range
+    # refreshed_through..current is not append-only
+    raw.compact(spark)
+    raw.append(b2, partition_by=())
+
+    rep = ca.refresh(spark)
+    assert rep['mode'] == 'full'
+    # the full recompute invalidated the earlier incremental snapshot
+    assert len(ca.tier._live_snapshots(ca.tier.current_snapshot_id())) == 1
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour', exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+    # and the history is append-only again afterwards
+    extra = events.limit(500)
+    raw.append(extra, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+    _assert_tier_equal(
+        ca.read(spark),
+        rollup.rollup_from_points(events.unionByName(extra), KEYS,
+                                  interval='1 hour', exact_sum=True))
+
+
+def test_raw_compaction_before_watermark_is_fine(spark, events, tmp_path):
+    """A compaction whose invalidations are already part of the refreshed
+    view must NOT force a recompute (read_delta's documented contract)."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    raw.append(b1, partition_by=())
+    raw.compact(spark)          # compacts 0+1 BEFORE the first refresh sees them
+    ca.refresh(spark)
+    raw.append(b2, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour', exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_read_delta_raises_on_inrange_invalidation(spark, events, tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    b0, b1, _ = _batches(events)
+    raw.append(b0, partition_by=())
+    raw.append(b1, partition_by=())
+    raw.compact(spark)
+    with pytest.raises(ValueError, match='not append-only'):
+        raw.read_delta(spark, 0)
+    # full-range delta from -1 is fine (nothing was visible 'before')
+    assert raw.read_delta(spark, -1).count() == b0.count() + b1.count()
