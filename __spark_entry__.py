@@ -1286,6 +1286,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ca.compact(spark)
         return _round_rollup(ca.read(spark))
 
+    def events_pruned_scan(spark, sf_dir):
+        # manifest-stats scan planning (IcebergishTable.plan_files/scan):
+        # events land in 3 time-sliced snapshot appends hidden-partitioned
+        # by event_type; the scan prunes files driver-side from per-file
+        # parquet-footer min/max + partition values (pure metadata), reads
+        # only survivors, and re-applies the exact predicate as a residual.
+        # The oracle is a plain WHERE over all events — hash-green proves
+        # pruning never drops a matching row.
+        import datetime
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='prune-'), 'ev'))
+        for lo, hi in ((1, 11), (11, 21), (21, 32)):
+            t.append(ev.filter(F.dayofmonth('ts').between(lo, hi - 1)),
+                     partition_by=('event_type',))
+        preds = [('event_type', '=', 'click'),
+                 ('ts', '>=', datetime.datetime(2024, 1, 25))]
+        return (t.scan(spark, preds)
+                 .select('event_id', 'ts', 'user_id', 'event_type',
+                         F.round('value', 6).alias('value')))
+
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
@@ -1995,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup_1d_cascade': events_rollup_1d_cascade,
         'events_backfill_merge': events_backfill_merge,
         'events_continuous_agg': events_continuous_agg,
+        'events_pruned_scan': events_pruned_scan,
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
@@ -2157,6 +2181,13 @@ def oracle_sql() -> dict[str, str]:
         'events_backfill_merge': rollup_tier('minute'),
         # full recompute over ALL events == the snapshot-delta refresh path
         'events_continuous_agg': rollup_tier('hour'),
+        # plain WHERE over all events == the manifest-pruned file scan
+        'events_pruned_scan': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-25'
+        """,
         'events_rollup_1h_cascade': rollup_tier('hour'),
         'events_rollup_1d_cascade': rollup_tier('day'),
         'events_gapfill_1m': """

@@ -25,6 +25,99 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+# manifest column-stat bounds for strings are truncated to this many chars
+# (Iceberg's write.metadata.metrics truncate(16) default): manifests must
+# stay tiny relative to data or the scan-planning read becomes its own
+# full-table scan at 10^12-sequence scale
+_STR_STAT_LEN = 16
+
+
+def _norm_stat(v):
+    """Manifest-safe canonical form of a parquet footer min/max: numbers as
+    numbers, timestamps as epoch MICROSECONDS (ints compare correctly and
+    survive JSON), strings as-is (truncation handled separately), anything
+    else (bytes, nested) dropped."""
+    import datetime
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int((v - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _truncate_upper(s: str, n: int):
+    """A valid UPPER bound for a truncated string stat: truncate to n chars
+    and increment the last code point (Iceberg's truncateStringMax).  A
+    plain prefix would be LOWER than some values it bounds ('abcz' > 'abc'),
+    silently pruning files that match.  Returns None (no bound) when every
+    char is U+10FFFF and cannot be incremented."""
+    if len(s) <= n:
+        return s
+    t = list(s[:n])
+    for i in range(n - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0x10FFFF:
+            return ''.join(t[:i]) + chr(cp + 1)
+    return None
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-file min/max/null-count from the parquet footer (what an Iceberg
+    writer records in the manifest at write time — here read back from the
+    footer, which is metadata-only, never a data scan)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    out = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            st = col.statistics
+            name = col.path_in_schema
+            if st is None or not st.has_min_max or '.' in name:
+                out[name] = None            # poison: some group lacks stats
+                continue
+            lo, hi = _norm_stat(st.min), _norm_stat(st.max)
+            if lo is None or hi is None:
+                out[name] = None
+                continue
+            nulls = int(st.null_count) if st.has_null_count else 0
+            prev = out.get(name)
+            if name in out:
+                if prev is None:
+                    continue
+                lo = min(lo, prev['min'])
+                hi = max(hi, prev['max'])
+                nulls += prev['nulls']
+            out[name] = {'min': lo, 'max': hi, 'nulls': nulls}
+    stats = {}
+    for name, s in out.items():
+        if s is None:
+            continue
+        lo, hi = s['min'], s['max']
+        if isinstance(lo, str):
+            lo = lo[:_STR_STAT_LEN]
+            hi = _truncate_upper(hi, _STR_STAT_LEN)
+            if hi is None:
+                continue
+        stats[name] = {'min': lo, 'max': hi, 'nulls': s['nulls']}
+    return stats
+
+
+def _path_partition_values(relpath: str) -> dict:
+    """Hive-style key=value segments of a data file path (the hidden
+    partition values a reader prunes on without knowing the layout)."""
+    out = {}
+    for seg in relpath.split(os.sep):
+        if '=' in seg and not seg.endswith('.parquet'):
+            k, _, v = seg.partition('=')
+            out[k] = v
+    return out
+
 
 class IcebergishTable:
 
@@ -90,8 +183,11 @@ class IcebergishTable:
             for name in names:
                 if name.endswith('.parquet'):
                     p = os.path.join(dirpath, name)
-                    files.append({'path': os.path.relpath(p, self.root),
-                                  'bytes': os.path.getsize(p)})
+                    rel = os.path.relpath(p, self.root)
+                    files.append({'path': rel,
+                                  'bytes': os.path.getsize(p),
+                                  'partition': _path_partition_values(rel),
+                                  'stats': _file_column_stats(p)})
         snap = {
             'snapshot_id': sid,
             'parent': parent,
@@ -184,6 +280,96 @@ class IcebergishTable:
             part = spark.read.parquet(d)
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out
+
+    # -- stats-pruned scan planning -----------------------------------------
+
+    @staticmethod
+    def _entry_matches(entry: dict, predicates) -> bool:
+        """May this data file contain rows satisfying ALL predicates?
+        Conservative: a column with no partition value and no footer stats
+        (older manifests, all-null groups, unsupported types) never prunes.
+        Predicates are null-rejecting comparisons, so null counts are
+        irrelevant to the keep/prune decision."""
+        part = entry.get('partition', {})
+        stats = entry.get('stats', {})
+        for col, op, val in predicates:
+            if col in part:
+                # hidden-partition values are path strings; only equality is
+                # type-safe on the string form (ranges on e.g. int-valued
+                # partitions would compare lexically) — other ops fall
+                # through to footer stats, which partitioned files also have
+                if op == '=' and part[col] != str(val):
+                    return False
+                if op == '=':
+                    continue
+            s = stats.get(col)
+            nval = _norm_stat(val)
+            if not s or nval is None:
+                continue
+            lo, hi = s['min'], s['max']
+            if isinstance(nval, str) != isinstance(lo, str):
+                continue                      # type mismatch: never prune
+            if ((op == '=' and (nval < lo or hi < nval))
+                    or (op == '<' and lo >= nval)
+                    or (op == '<=' and lo > nval)
+                    or (op == '>' and hi <= nval)
+                    or (op == '>=' and hi < nval)):
+                return False
+        return True
+
+    def plan_files(self, predicates, snapshot_id: int = None) -> dict:
+        """Manifest-only scan planning: which live data files can contain
+        rows matching the conjunctive ``predicates``
+        (``[(col, op, value)]``, op in ``= < <= > >=``; timestamp values as
+        ``datetime``).  Pure metadata — no parquet data is read.  Returns
+        ``{'kept': {snap_dir: [abs paths]}, 'n_kept', 'n_total'}``.
+
+        This is the Iceberg scan-planning step that makes a 10^12-sequence
+        table queryable: for a time- or source-bounded query the driver
+        plans splits for the matching files only, instead of one task per
+        file of 100 TB.  File-level min/max subsumes partition pruning and
+        also prunes WITHIN a partition (e.g. append-ordered ts)."""
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        assert sid >= 0, f'table {self.root} has no snapshots'
+        preds = list(predicates)
+        kept, n_kept, n_total = {}, 0, 0
+        for c in self._live_snapshots(sid):
+            snap_dir = os.path.join(self.data_dir, f'snap-{c}')
+            for entry in self.snapshot(c)['manifest']['entries']:
+                n_total += 1
+                if self._entry_matches(entry, preds):
+                    kept.setdefault(snap_dir, []).append(
+                        os.path.join(self.root, entry['path']))
+                    n_kept += 1
+        return {'kept': kept, 'n_kept': n_kept, 'n_total': n_total}
+
+    @staticmethod
+    def _predicate_expr(predicates):
+        from pyspark.sql import functions as F
+        ops = {'=': lambda c, v: c == v, '<': lambda c, v: c < v,
+               '<=': lambda c, v: c <= v, '>': lambda c, v: c > v,
+               '>=': lambda c, v: c >= v}
+        expr = F.lit(True)
+        for col, op, val in predicates:
+            expr = expr & ops[op](F.col(col), F.lit(val))
+        return expr
+
+    def scan(self, spark: SparkSession, predicates, snapshot_id: int = None,
+             with_residual: bool = True) -> DataFrame:
+        """Predicate-pruned read: :meth:`plan_files` picks the files, Spark
+        reads only those (``basePath`` per snapshot dir so hidden-partition
+        columns survive), and the exact predicate is re-applied as a
+        residual filter (file pruning is necessarily approximate —
+        min/max keeps any file whose RANGE intersects)."""
+        plan = self.plan_files(predicates, snapshot_id)
+        expr = self._predicate_expr(predicates)
+        if not plan['kept']:
+            return self.read(spark, snapshot_id).filter(expr).limit(0)
+        out = None
+        for snap_dir, paths in sorted(plan['kept'].items()):
+            part = spark.read.option('basePath', snap_dir).parquet(*sorted(paths))
+            out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        return out.filter(expr) if with_residual else out
 
     def properties_by_snapshot(self) -> dict:
         return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}

@@ -1,0 +1,148 @@
+"""Manifest stats + predicate-pruned scans: file-level min/max and hidden
+partition values recorded at write time must let plan_files() prune files a
+predicate cannot match — pure metadata, no data read — while scan() stays
+exactly equal to full-read + filter (pruning may only ever be a superset)."""
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from changepoynt_spark.sources.tables import (
+    IcebergishTable, _truncate_upper)
+
+
+@pytest.fixture(scope='module')
+def events(spark, sf_dir):
+    df = spark.read.parquet(f'{sf_dir}/events.parquet')
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def table(spark, events, tmp_path):
+    """Three time-sliced appends (the rollup pipeline's arrival order),
+    hidden-partitioned by event_type."""
+    t = IcebergishTable(str(tmp_path / 'ev'))
+    for lo, hi in ((1, 11), (11, 21), (21, 32)):
+        t.append(events.filter(F.dayofmonth('ts').between(lo, hi - 1)),
+                 partition_by=('event_type',))
+    return t
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.select('event_id', 'ts', 'user_id',
+                                              'event_type', 'value').collect())
+
+
+def test_manifest_records_partition_and_stats(table):
+    entries = table.snapshot(0)['manifest']['entries']
+    assert entries, 'no data files recorded'
+    for e in entries:
+        et = e['partition'].get('event_type')
+        assert isinstance(et, str) and et
+        for col in ('ts', 'value', 'event_id'):
+            s = e['stats'][col]
+            assert s['min'] <= s['max']
+        assert isinstance(e['stats']['ts']['min'], int)  # epoch micros
+
+
+def test_time_predicate_prunes_files_and_scan_is_exact(spark, events, table):
+    cut = datetime.datetime(2024, 1, 25)
+    preds = [('ts', '>=', cut)]
+    plan = table.plan_files(preds)
+    assert 0 < plan['n_kept'] < plan['n_total']
+    # only the third (day >= 21) snapshot can contain matching rows
+    assert set(plan['kept']) == {table.data_dir + '/snap-2'}
+    got = _sorted_rows(table.scan(spark, preds))
+    exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(cut)))
+    assert got == exp and len(got) > 0
+
+
+def test_partition_predicate_prunes_and_restores_partition_column(spark, events, table):
+    preds = [('event_type', '=', 'click')]
+    plan = table.plan_files(preds)
+    assert 0 < plan['n_kept'] < plan['n_total']
+    for paths in plan['kept'].values():
+        assert all('event_type=click' in p for p in paths)
+    got = _sorted_rows(table.scan(spark, preds))
+    exp = _sorted_rows(events.filter(F.col('event_type') == 'click'))
+    assert got == exp and len(got) > 0
+
+
+def test_combined_predicates_prune_multiplicatively(spark, events, table):
+    cut = datetime.datetime(2024, 1, 25)
+    preds = [('event_type', '=', 'view'), ('ts', '>', cut)]
+    plan = table.plan_files(preds)
+    assert plan['n_kept'] < table.plan_files([('ts', '>', cut)])['n_kept']
+    got = _sorted_rows(table.scan(spark, preds))
+    exp = _sorted_rows(events.filter((F.col('event_type') == 'view')
+                                     & (F.col('ts') > F.lit(cut))))
+    assert got == exp
+
+
+def test_impossible_predicate_yields_empty_with_schema(spark, events, table):
+    df = table.scan(spark, [('value', '<', -1.0)])
+    assert df.count() == 0
+    assert set(events.columns) == set(df.columns)
+
+
+def test_missing_stats_never_prune(spark, events, table):
+    """Back-compat: a manifest written before stats existed (or a column
+    with unusable footer stats) must keep its files."""
+    import json
+    import os
+    p = os.path.join(table.meta_dir, 'snapshot-1.json')
+    with open(p) as f:
+        snap = json.load(f)
+    for e in snap['manifest']['entries']:
+        e.pop('stats', None)
+        e.pop('partition', None)
+    with open(p, 'w') as f:
+        json.dump(snap, f)
+    preds = [('ts', '>=', datetime.datetime(2024, 1, 25))]
+    plan = table.plan_files(preds)
+    # snapshot-1 (days 11..20, all outside the predicate) is now kept whole
+    assert table.data_dir + '/snap-1' in plan['kept']
+    got = _sorted_rows(table.scan(spark, preds))
+    exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(datetime.datetime(2024, 1, 25))))
+    assert got == exp
+
+
+def test_scan_exact_after_compaction(spark, events, table):
+    table.compact(spark, partition_by=('event_type',))
+    preds = [('event_type', '=', 'purchase'),
+             ('ts', '<', datetime.datetime(2024, 1, 8))]
+    got = _sorted_rows(table.scan(spark, preds))
+    exp = _sorted_rows(events.filter((F.col('event_type') == 'purchase')
+                                     & (F.col('ts') < F.lit(datetime.datetime(2024, 1, 8)))))
+    assert got == exp and len(got) > 0
+    # partition pruning still active on the compacted files
+    plan = table.plan_files([('event_type', '=', 'purchase')])
+    assert 0 < plan['n_kept'] < plan['n_total']
+
+
+def test_string_stat_truncation_is_sound(spark, tmp_path):
+    """Truncated string bounds must stay valid bounds: a file whose true max
+    exceeds the 16-char stat prefix must NOT be pruned for values between
+    the prefix and the true max ('abcz' > 'abc' pitfall)."""
+    t = IcebergishTable(str(tmp_path / 'st'))
+    long_hi = 'prefixprefixprefix_zzzz'      # > 16 chars
+    t.append(spark.createDataFrame([('aaa',)], 'name string').coalesce(1),
+             partition_by=())
+    t.append(spark.createDataFrame([(long_hi,)], 'name string').coalesce(1),
+             partition_by=())
+    s = t.snapshot(1)['manifest']['entries'][0]['stats']['name']
+    assert len(s['min']) <= 16 and len(s['max']) <= 16
+    assert s['max'] > long_hi[:16]            # incremented upper bound
+    plan = t.plan_files([('name', '=', long_hi)])
+    assert plan['n_kept'] == 1
+    assert t.scan(spark, [('name', '=', long_hi)]).count() == 1
+    # and pruning still fires for values truly out of range
+    assert t.plan_files([('name', '=', 'zzz')])['n_kept'] == 0
+
+
+def test_truncate_upper_unit():
+    assert _truncate_upper('short', 16) == 'short'
+    assert _truncate_upper('a' * 20, 16) == 'a' * 15 + 'b'
+    assert _truncate_upper('ab' + chr(0x10FFFF) * 20, 3) == 'ac'
+    assert _truncate_upper(chr(0x10FFFF) * 20, 3) is None
