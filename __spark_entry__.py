@@ -1286,6 +1286,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ca.compact(spark)
         return _round_rollup(ca.read(spark))
 
+    def events_hier_continuous_agg(spark, sf_dir):
+        # HIERARCHICAL continuous aggregates: the 1h tier refreshes from
+        # the 1m TIER's snapshot deltas (rebucket_partials keeps the
+        # partial form: decimal sums + first/last ts anchors), never
+        # re-reading raw; a 1m tier-compaction mid-stream is tolerated
+        # maintenance.  Oracle = direct 1h rollup over all events, so
+        # hash-green proves raw -> 1m -> 1h incremental == one-shot.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select('user_id', 'ts', 'value')
+        root = tempfile.mkdtemp(prefix='hierca-')
+        raw = IcebergishTable(_os.path.join(root, 'raw'))
+        ca_1m = ContinuousAggregate(raw, _os.path.join(root, 't1m'),
+                                    ['user_id'], interval='1 minute',
+                                    partition_by=())
+        ca_1h = ContinuousAggregate(ca_1m.tier, _os.path.join(root, 't1h'),
+                                    ['user_id'], interval='1 hour',
+                                    partition_by=(), source_kind='partial')
+        for i in range(3):
+            raw.append(ev.filter(F.pmod(F.xxhash64('user_id', 'ts'),
+                                        F.lit(3)) == i), partition_by=())
+            ca_1m.refresh(spark)
+            ca_1h.refresh(spark)
+            if i == 1:
+                ca_1m.compact(spark)
+        ca_1h.refresh(spark)
+        return _round_rollup(ca_1h.read(spark))
+
     def events_pruned_scan(spark, sf_dir):
         # manifest-stats scan planning (IcebergishTable.plan_files/scan):
         # events land in 3 time-sliced snapshot appends hidden-partitioned
@@ -2019,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_backfill_merge': events_backfill_merge,
         'events_continuous_agg': events_continuous_agg,
         'events_pruned_scan': events_pruned_scan,
+        'events_hier_continuous_agg': events_hier_continuous_agg,
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
@@ -2181,6 +2212,8 @@ def oracle_sql() -> dict[str, str]:
         'events_backfill_merge': rollup_tier('minute'),
         # full recompute over ALL events == the snapshot-delta refresh path
         'events_continuous_agg': rollup_tier('hour'),
+        # direct 1h rollup == the raw -> 1m -> 1h incremental tier chain
+        'events_hier_continuous_agg': rollup_tier('hour'),
         # plain WHERE over all events == the manifest-pruned file scan
         'events_pruned_scan': """
             SELECT event_id, ts, user_id, event_type,

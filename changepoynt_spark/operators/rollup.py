@@ -378,6 +378,31 @@ def rollup_partial(df: DataFrame, keys, ts_col: str = 'ts', value_col: str = 'va
                        'last_value', 'last_ts'))
 
 
+def rebucket_partials(df: DataFrame, keys, interval: str) -> DataFrame:
+    """PARTIAL -> coarser PARTIAL (hierarchical continuous aggregates): fold
+    a finer tier's partial rows into a coarser bucket while KEEPING the
+    partial form — decimal-exact sums and the first/last TS ANCHORS survive,
+    so the result merges with anything (:func:`merge_partials`) and a
+    coarse tier can refresh incrementally from the fine tier's snapshot
+    DELTAS: a late 1m partial folds into its 1h bucket additively, no
+    re-read of 1m history.  (:func:`rollup_from_rollup` is the finalized,
+    anchor-dropping sibling for one-shot cascades.)"""
+    keys = list(keys)
+    agg = (df.groupBy(*keys, F.window('bucket_start', interval).alias('w'))
+             .agg(F.sum('cnt_points').alias('cnt_points'),
+                  F.sum('sum_value').cast('decimal(28,6)').alias('sum_value'),
+                  F.min('min_value').alias('min_value'),
+                  F.max('max_value').alias('max_value'),
+                  F.min_by('first_value', 'first_ts').alias('first_value'),
+                  F.min('first_ts').alias('first_ts'),
+                  F.max_by('last_value', 'last_ts').alias('last_value'),
+                  F.max('last_ts').alias('last_ts')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'cnt_points', 'sum_value',
+                       'min_value', 'max_value', 'first_value', 'first_ts',
+                       'last_value', 'last_ts'))
+
+
 def merge_partials(u: DataFrame, keys) -> DataFrame:
     """Merge-on-read: collapse ANY union of partial tables to one partial
     row per (keys, bucket).  Because the merge is a commutative monoid,

@@ -40,6 +40,12 @@ def get_spark(app_name: str = 'changepoynt-spark', master: str = None,
         .config('spark.sql.execution.arrow.maxRecordsPerBatch', '1024')
         .config('spark.driver.memory', os.environ.get('SPARK_DRIVER_MEMORY', '8g'))
         .config('spark.sql.session.timeZone', 'UTC')
+        # INT64 micros, not legacy INT96: INT96 carries NO parquet footer
+        # min/max, which blinds the manifest-stats scan planning
+        # (IcebergishTable.plan_files / expire_before) on every
+        # engine-written TIMESTAMP column.  NTZ columns already write
+        # INT64; this aligns LTZ with them (and with what Iceberg requires)
+        .config('spark.sql.parquet.outputTimestampType', 'TIMESTAMP_MICROS')
         .config('spark.ui.enabled', 'false')
     )
     if extra_conf:

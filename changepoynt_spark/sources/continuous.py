@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from changepoynt_spark.operators.rollup import (
-    finalize_rollup, merge_partials, rollup_partial)
+    finalize_rollup, merge_partials, rebucket_partials, rollup_partial)
 from changepoynt_spark.sources.tables import IcebergishTable
 
 WATERMARK_PROP = 'refreshed_through_snapshot'
@@ -50,7 +50,8 @@ class ContinuousAggregate:
 
     def __init__(self, source: IcebergishTable, tier_root: str, keys,
                  ts_col: str = 'ts', value_col: str = 'value',
-                 interval: str = '1 minute', partition_by=None):
+                 interval: str = '1 minute', partition_by=None,
+                 source_kind: str = 'points'):
         self.source = source
         self.tier = IcebergishTable(tier_root)
         self.keys = list(keys)
@@ -59,6 +60,13 @@ class ContinuousAggregate:
         self.interval = interval
         self.partition_by = tuple(partition_by) if partition_by is not None \
             else (tuple(self.keys[:1]) if self.keys else ())
+        assert source_kind in ('points', 'partial'), source_kind
+        # 'partial': the source is itself a CA tier in partial form
+        # (hierarchical continuous aggregates, raw -> 1m -> 1h -> 1d): a
+        # source delta folds in with rebucket_partials instead of
+        # rollup_partial, and the upstream's own maintenance commits
+        # ('tier-compact') are tolerated like raw expiry/compaction
+        self.source_kind = source_kind
 
     # -- watermark ---------------------------------------------------------
 
@@ -79,6 +87,8 @@ class ContinuousAggregate:
     # -- refresh -----------------------------------------------------------
 
     def _partial(self, df: DataFrame) -> DataFrame:
+        if self.source_kind == 'partial':
+            return rebucket_partials(df, self.keys, self.interval)
         return rollup_partial(df, self.keys, ts_col=self.ts_col,
                               value_col=self.value_col, interval=self.interval)
 
@@ -94,7 +104,13 @@ class ContinuousAggregate:
         if to < 0 or to == frm:
             return {'mode': 'noop', 'from': frm, 'to': to, 'rows': 0}
         try:
-            delta = self.source.read_delta(spark, frm, to)
+            # raw-table maintenance that only touched reflected data never
+            # re-triggers the aggregate: an expiry keeps the TIER's history
+            # even after the raw rows age out (downsample-then-drop), and a
+            # compaction of already-rolled-up snapshots is invisible here
+            delta = self.source.read_delta(
+                spark, frm, to,
+                tolerate_ops=('expire', 'compact', 'tier-compact'))
             mode = 'incremental'
         except ValueError:
             delta = None
@@ -138,6 +154,23 @@ class ContinuousAggregate:
                                      WATERMARK_PROP: int(to),
                                      'refresh_from_snapshot': int(frm)})
         return {'mode': 'empty', 'from': frm, 'to': to, 'rows': 0}
+
+    def rollup_watermark(self):
+        """Max bucket_start ever rolled into the tier (``None`` if the tier
+        never refreshed with data).  Read from the per-snapshot
+        ``rollup_watermark`` properties — monotone metadata, so the walk
+        covers the FULL lineage including invalidated snapshots."""
+        import datetime
+        best = None
+        sid = self.tier.current_snapshot_id()
+        while sid >= 0:
+            snap = self.tier.snapshot(sid)
+            w = snap['manifest']['properties'].get('rollup_watermark')
+            if w and w != 'None':
+                d = datetime.datetime.fromisoformat(w)
+                best = d if best is None or d > best else best
+            sid = snap.get('parent', -1)
+        return best
 
     # -- read / maintain -----------------------------------------------------
 

@@ -72,6 +72,7 @@ def _file_column_stats(path: str) -> dict:
     import pyarrow.parquet as pq
     md = pq.ParquetFile(path).metadata
     out = {}
+    out_rows = int(md.num_rows)
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
@@ -105,7 +106,7 @@ def _file_column_stats(path: str) -> dict:
             if hi is None:
                 continue
         stats[name] = {'min': lo, 'max': hi, 'nulls': s['nulls']}
-    return stats
+    return out_rows, stats
 
 
 def _path_partition_values(relpath: str) -> dict:
@@ -158,7 +159,7 @@ class IcebergishTable:
     # -- write / read ----------------------------------------------------------
 
     def append(self, df: DataFrame, partition_by=('source',), properties: dict = None,
-               invalidates=()) -> dict:
+               invalidates=(), cluster_by=None, n_files: int = None) -> dict:
         """Append df as a new snapshot; returns the snapshot dict.
 
         ``properties`` lands in the manifest entry — callers put lineage /
@@ -168,11 +169,24 @@ class IcebergishTable:
 
         ``invalidates``: snapshot ids whose data files this snapshot
         logically replaces (overwrite-partition semantics — readers of this
-        or later snapshots skip them)."""
+        or later snapshots skip them).
+
+        ``cluster_by``: range-partition + sort the write on these columns
+        (Iceberg's ``write.distribution-mode=range``): each data file then
+        covers a DISJOINT value range, which is what makes the manifest
+        min/max stats (:meth:`plan_files`) selective — without clustering
+        every file spans most of the domain and a point predicate keeps
+        everything.  One extra shuffle at write time buys metadata-bound
+        scan planning on every later read; ``n_files`` bounds the file
+        count (default: the session's shuffle parallelism)."""
         os.makedirs(self.meta_dir, exist_ok=True)
         parent = self.current_snapshot_id()
         sid = parent + 1
         snap_dir = os.path.join(self.data_dir, f'snap-{sid}')
+        if cluster_by:
+            cols = list(cluster_by)
+            df = (df.repartitionByRange(n_files, *cols) if n_files
+                  else df.repartitionByRange(*cols)).sortWithinPartitions(*cols)
         writer = df.write.mode('error')
         if partition_by:
             writer = writer.partitionBy(*list(partition_by))
@@ -184,10 +198,12 @@ class IcebergishTable:
                 if name.endswith('.parquet'):
                     p = os.path.join(dirpath, name)
                     rel = os.path.relpath(p, self.root)
+                    f_rows, f_stats = _file_column_stats(p)
                     files.append({'path': rel,
                                   'bytes': os.path.getsize(p),
+                                  'rows': f_rows,
                                   'partition': _path_partition_values(rel),
-                                  'stats': _file_column_stats(p)})
+                                  'stats': f_stats})
         snap = {
             'snapshot_id': sid,
             'parent': parent,
@@ -250,7 +266,7 @@ class IcebergishTable:
         return [c for c in chain if c not in dead]
 
     def read_delta(self, spark: SparkSession, from_snapshot_id: int,
-                   to_snapshot_id: int = None) -> Optional[DataFrame]:
+                   to_snapshot_id: int = None, tolerate_ops=()) -> Optional[DataFrame]:
         """Rows visible at ``to`` but not at ``from`` — the incremental-scan
         unit a continuous aggregate refreshes from (Iceberg's incremental
         append scan).  Returns None when the delta is empty.
@@ -260,19 +276,42 @@ class IcebergishTable:
         crossed the range), an additive refresh would double- or
         under-count, so this raises and the caller must fall back to a full
         recompute.  A compaction committed BEFORE ``from`` is fine — its
-        invalidations are already part of the ``from`` view."""
+        invalidations are already part of the ``from`` view.
+
+        ``tolerate_ops`` (e.g. ``('expire', 'compact')``): maintenance
+        snapshots whose ``operation`` property is listed are NOT new data —
+        they rewrite or retire rows the ``from`` view already contained.
+        Such a snapshot is EXCLUDED from the delta, and the invalidations it
+        caused are tolerated, iff EVERYTHING it invalidates was live at
+        ``from`` (fully-reflected content; TimescaleDB's "retention and
+        reorder don't re-trigger a continuous aggregate").  A maintenance
+        snapshot that folded in any unreflected snapshot still raises —
+        excluding it would lose that data, including it would double-count
+        the reflected part."""
         to_sid = self.current_snapshot_id() if to_snapshot_id is None else to_snapshot_id
         assert to_sid >= 0, f'table {self.root} has no snapshots'
         live_to = set(self._live_snapshots(to_sid))
         live_from = set(self._live_snapshots(from_snapshot_id)) \
             if from_snapshot_id >= 0 else set()
+        new = sorted(live_to - live_from)
+        excluded, blamed = set(), set()
+        if tolerate_ops:
+            for c in new:
+                snap = self.snapshot(c)
+                inv = set(snap.get('invalidates', []))
+                op = snap['manifest']['properties'].get('operation')
+                if op in tolerate_ops and inv and inv <= live_from:
+                    excluded.add(c)
+                    blamed |= inv
         removed = live_from - live_to
-        if removed:
+        unexplained = removed - blamed
+        if unexplained:
             raise ValueError(
                 f'history {from_snapshot_id}..{to_sid} is not append-only '
-                f'(snapshots {sorted(removed)} were invalidated in-range); '
+                f'(snapshots {sorted(unexplained)} were invalidated in-range '
+                f'by non-maintenance or partially-unreflected commits); '
                 f'incremental refresh is invalid — recompute from scratch')
-        delta = sorted(live_to - live_from)
+        delta = [c for c in new if c not in excluded]
         dirs = [os.path.join(self.data_dir, f'snap-{c}') for c in delta]
         existing = [d for d in dirs if os.path.isdir(d)]
         out = None
@@ -336,6 +375,8 @@ class IcebergishTable:
         for c in self._live_snapshots(sid):
             snap_dir = os.path.join(self.data_dir, f'snap-{c}')
             for entry in self.snapshot(c)['manifest']['entries']:
+                if entry.get('rows') == 0:
+                    continue                 # empty file: nothing to match
                 n_total += 1
                 if self._entry_matches(entry, preds):
                     kept.setdefault(snap_dir, []).append(
@@ -370,6 +411,92 @@ class IcebergishTable:
             part = spark.read.option('basePath', snap_dir).parquet(*sorted(paths))
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
         return out.filter(expr) if with_residual else out
+
+    def _commit_metadata_snapshot(self, invalidates, properties: dict) -> dict:
+        """Commit a DATA-LESS snapshot (entries=[], no snap dir): pure
+        manifest surgery, e.g. retiring expired snapshots.  Readers skip it
+        (read() unions only existing dirs)."""
+        os.makedirs(self.meta_dir, exist_ok=True)
+        parent = self.current_snapshot_id()
+        sid = parent + 1
+        prev = self.snapshot(parent) if parent >= 0 else None
+        snap = {
+            'snapshot_id': sid,
+            'parent': parent,
+            'invalidates': sorted(int(i) for i in invalidates),
+            'timestamp_ms': int(time.time() * 1000),
+            'schema': prev['schema'] if prev else None,
+            'partition_spec': prev.get('partition_spec', []) if prev else [],
+            'manifest': {'entries': [], 'row_count': 0,
+                         'properties': dict(properties or {})},
+        }
+        tmp = os.path.join(self.meta_dir, f'.snapshot-{sid}.json.tmp')
+        with open(tmp, 'w') as f:
+            json.dump(snap, f, indent=1)
+        os.replace(tmp, os.path.join(self.meta_dir, f'snapshot-{sid}.json'))
+        tmp_hint = self._hint_path() + '.tmp'
+        with open(tmp_hint, 'w') as f:
+            f.write(str(sid))
+        os.replace(tmp_hint, self._hint_path())
+        return snap
+
+    def expire_before(self, spark: SparkSession, cutoff, ts_col: str = 'ts') -> dict:
+        """Retention expiry by MANIFEST STATS: logically drop every live
+        snapshot whose files' max(``ts_col``) all predate ``cutoff`` —
+        metadata-only, the expired 100 TB is never read — and rewrite only
+        the snapshots that STRADDLE the cutoff (filtered to surviving
+        rows).  With time-ordered arrival (the rollup pipeline's natural
+        append order) at most one snapshot straddles, so expiry cost is
+        O(boundary), not O(history).  Snapshots lacking stats for
+        ``ts_col`` are conservatively treated as straddling (rewritten via
+        the exact filter — never silently dropped).  Committed as ONE
+        atomic snapshot invalidating the expired + rewritten set;
+        :meth:`vacuum` reclaims the bytes."""
+        cut = _norm_stat(cutoff)
+        assert cut is not None, f'unsupported cutoff type {type(cutoff)}'
+        cur = self.current_snapshot_id()
+        assert cur >= 0, f'table {self.root} has no snapshots'
+        drop_whole, straddle = [], []
+        dropped_bytes = rewritten_bytes = 0
+        for c in self._live_snapshots(cur):
+            # empty files (0 footer rows) carry no stats and no data: they
+            # must not force a rewritten snapshot back into 'straddling'
+            entries = [e for e in self.snapshot(c)['manifest']['entries']
+                       if e.get('rows') != 0]
+            if not entries:
+                continue                     # row-less snapshot: untouched
+            stats = [e.get('stats', {}).get(ts_col) for e in entries]
+            nbytes = sum(e['bytes'] for e in entries)
+            if entries and all(s and s['max'] < cut for s in stats):
+                drop_whole.append(c)
+                dropped_bytes += nbytes
+            elif entries and all(s and s['min'] >= cut for s in stats):
+                continue                                  # untouched
+            else:
+                straddle.append(c)
+                rewritten_bytes += nbytes
+        if not drop_whole and not straddle:
+            return {'dropped_snapshots': [], 'rewritten_snapshots': [],
+                    'dropped_bytes': 0, 'rewritten_bytes': 0}
+        props = {'operation': 'expire', 'cutoff': cut, 'ts_col': ts_col,
+                 'dropped_snapshots': len(drop_whole),
+                 'rewritten_snapshots': len(straddle)}
+        if straddle:
+            from pyspark.sql import functions as F
+            surv = None
+            for c in straddle:
+                part = spark.read.parquet(os.path.join(self.data_dir, f'snap-{c}'))
+                surv = part if surv is None else surv.unionByName(
+                    part, allowMissingColumns=True)
+            surv = surv.filter(F.col(ts_col) >= F.lit(cutoff))
+            spec = self.snapshot(cur).get('partition_spec', [])
+            self.append(surv, partition_by=spec,
+                        invalidates=drop_whole + straddle, properties=props)
+        else:
+            self._commit_metadata_snapshot(drop_whole, props)
+        return {'dropped_snapshots': sorted(drop_whole),
+                'rewritten_snapshots': sorted(straddle),
+                'dropped_bytes': dropped_bytes, 'rewritten_bytes': rewritten_bytes}
 
     def properties_by_snapshot(self) -> dict:
         return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}

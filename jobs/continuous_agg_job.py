@@ -44,6 +44,12 @@ def main(argv=None, spark=None):
                    help='optional parquet of new raw points to append first')
     p.add_argument('--compact-above', type=int, default=None,
                    help='compact the tier when live snapshots exceed this')
+    p.add_argument('--raw-retention', default=None,
+                   help="downsample-then-drop: after the refresh, expire raw "
+                        "rows older than this age behind the rollup "
+                        "watermark (e.g. '7 days'); the tier keeps the "
+                        "history and stays incremental (expiry is tolerated "
+                        "maintenance, never a refresh trigger)")
     args = p.parse_args(argv)
 
     from changepoynt_spark.session import get_spark
@@ -67,9 +73,23 @@ def main(argv=None, spark=None):
             cur = ca.tier.current_snapshot_id()
             if cur >= 0 and len(ca.tier._live_snapshots(cur)) > args.compact_above:
                 compacted = ca.compact(spark)
+        expired = None
+        if args.raw_retention:
+            import datetime
+            import re
+            m = re.fullmatch(r'(\d+)\s*(day|hour|minute|second)s?',
+                             args.raw_retention.strip())
+            assert m, f'bad --raw-retention {args.raw_retention!r}'
+            wm = ca.rollup_watermark()
+            if wm is not None:
+                cutoff = wm - datetime.timedelta(**{m.group(2) + 's': int(m.group(1))})
+                # safe by construction: refresh() above reflected everything
+                # in raw, so every row older than the cutoff is in the tier
+                expired = raw.expire_before(spark, cutoff, ts_col=args.ts_col)
         summary = {
             'refresh': report,
             'compacted': compacted,
+            'expired': expired,
             'watermark': ca.refreshed_through(),
             'raw_snapshot': raw.current_snapshot_id(),
             'tier_snapshots': ca.tier.current_snapshot_id() + 1,

@@ -160,3 +160,109 @@ def test_read_delta_raises_on_inrange_invalidation(spark, events, tmp_path):
         raw.read_delta(spark, 0)
     # full-range delta from -1 is fine (nothing was visible 'before')
     assert raw.read_delta(spark, -1).count() == b0.count() + b1.count()
+
+
+def test_reflected_raw_compaction_does_not_retrigger_refresh(spark, events, tmp_path):
+    """A raw compaction that only rewrote already-reflected snapshots is
+    maintenance, not data: the next refresh must stay incremental (delta
+    excludes the rewrite) instead of recomputing the tier."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    raw.append(b1, partition_by=())
+    ca.refresh(spark)
+    raw.compact(spark)                      # rewrites ONLY reflected data
+    rep = ca.refresh(spark)
+    assert rep['mode'] == 'empty'           # watermark advanced, nothing new
+    raw.append(b2, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_raw_expiry_keeps_tier_history(spark, events, tmp_path):
+    """Downsample-then-drop: after raw rows age out via expire_before, the
+    tier still serves the FULL history and later refreshes stay
+    incremental — retention never re-triggers the aggregate."""
+    import datetime
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    early = events.filter(F.dayofmonth('ts') <= 20)
+    late = events.filter(F.dayofmonth('ts') > 20)
+    raw.append(early, partition_by=())
+    ca.refresh(spark)
+
+    cut = datetime.datetime(2024, 1, 15)
+    rep = raw.expire_before(spark, cut, ts_col='ts')
+    assert rep['dropped_snapshots'] or rep['rewritten_snapshots']
+    assert raw.read(spark).count() < early.count()   # raw really trimmed
+
+    assert ca.refresh(spark)['mode'] == 'empty'      # maintenance tolerated
+    raw.append(late, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+
+    # the tier covers ALL history, including buckets whose raw is gone
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_expiry_folding_unreflected_data_forces_full(spark, events, tmp_path):
+    """An expiry whose straddling REWRITE folded in a snapshot the tier had
+    not yet seen cannot be tolerated: excluding it would lose that data, so
+    refresh must detect it and recompute."""
+    import datetime
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, _ = _batches(events)
+    raw.append(b0, partition_by=())
+    ca.refresh(spark)
+    raw.append(b1, partition_by=())          # NOT yet reflected
+    # expiry rewrite folds b0+b1 survivors together
+    raw.expire_before(spark, datetime.datetime(2024, 1, 15), ts_col='ts')
+    rep = ca.refresh(spark)
+    assert rep['mode'] == 'full'
+    expected = rollup.rollup_from_points(
+        b0.unionByName(b1).filter(
+            F.col('ts') >= F.lit(datetime.datetime(2024, 1, 15))),
+        KEYS, interval='1 hour', exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_hierarchical_cascade_1m_tier_feeds_1h_tier(spark, events, tmp_path):
+    """Hierarchical continuous aggregates: the 1h tier refreshes from the 1m
+    TIER's snapshot deltas (rebucket_partials), never from raw — and both
+    tiers stay exactly equal to one-shot rollups through arrivals, late
+    data, and a 1m tier-compaction (tolerated maintenance downstream)."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca_1m = ContinuousAggregate(raw, str(tmp_path / 't1m'), KEYS,
+                                interval='1 minute', partition_by=())
+    ca_1h = ContinuousAggregate(ca_1m.tier, str(tmp_path / 't1h'), KEYS,
+                                interval='1 hour', partition_by=(),
+                                source_kind='partial')
+    b0, b1, b2 = _batches(events)
+    for b in (b0, b1):
+        raw.append(b, partition_by=())
+        assert ca_1m.refresh(spark)['mode'] == 'incremental'
+        assert ca_1h.refresh(spark)['mode'] == 'incremental'
+
+    # 1m maintenance is invisible to the 1h tier
+    ca_1m.compact(spark)
+    assert ca_1h.refresh(spark)['mode'] == 'empty'
+
+    # late arrival propagates tier-to-tier
+    raw.append(b2, partition_by=())
+    assert ca_1m.refresh(spark)['mode'] == 'incremental'
+    assert ca_1h.refresh(spark)['mode'] == 'incremental'
+
+    exp_1m = rollup.rollup_from_points(events, KEYS, interval='1 minute',
+                                       exact_sum=True)
+    exp_1h = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                       exact_sum=True)
+    _assert_tier_equal(ca_1m.read(spark), exp_1m)
+    _assert_tier_equal(ca_1h.read(spark), exp_1h)

@@ -414,7 +414,8 @@ def test_continuous_agg_job_refreshes_incrementally_and_recovers(spark, tmp_path
     assert run([])['refresh']['mode'] == 'noop'
     assert ca.tier.current_snapshot_id() == sid
 
-    # raw compaction past the watermark forces a detected full recompute
+    # raw compaction of fully-REFLECTED snapshots is tolerated maintenance:
+    # the next refresh stays incremental over just the new arrival
     IcebergishTable(raw_root).compact(spark)
     # deterministic late slice (a limit() would be re-evaluated differently
     # on the ingest vs the expected side); duplicate (user_id, ts) rows are
@@ -423,8 +424,66 @@ def test_continuous_agg_job_refreshes_incrementally_and_recovers(spark, tmp_path
     p_extra = str(tmp_path / 'extra.parquet')
     extra.write.parquet(p_extra)
     rep = run(['--ingest', p_extra])
-    assert rep['refresh']['mode'] == 'full'
+    assert rep['refresh']['mode'] == 'incremental'
     want2 = rollup.finalize_rollup(
         rollup.rollup_partial(df.unionByName(extra), ['user_id'],
                               interval='1 hour'), ['user_id']).toPandas()
     assert norm(ca.read(spark).toPandas()).equals(norm(want2))
+
+
+def test_continuous_agg_job_raw_retention_downsample_then_drop(spark, tmp_path, capsys):
+    import datetime as dt
+
+    from jobs import continuous_agg_job
+    from changepoynt_spark.operators import rollup
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    # minute = i//24 makes ts UNIQUE within each (user, hour) bucket:
+    # first/last are only well-defined under a total per-bucket ts order
+    rows = [(i % 3, dt.datetime(2026, 3, 1, i % 24, i // 24, i % 60),
+             float(i) * 0.31) for i in range(480)]
+    df = spark.createDataFrame(rows, 'user_id long, ts timestamp, value double')
+    p_in = str(tmp_path / 'pts.parquet')
+    df.write.parquet(p_in)
+
+    raw_root = str(tmp_path / 'raw')
+    tier_root = str(tmp_path / 'tier')
+    base = ['--raw', raw_root, '--tier', tier_root, '--keys', 'user_id',
+            '--interval', '1 hour', '--raw-retention', '4 hours']
+
+    def run(extra):
+        assert continuous_agg_job.main(base + extra, spark=spark) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rep = run(['--ingest', p_in])
+    assert rep['refresh']['mode'] == 'incremental'
+    # watermark 23:00, retention 4h -> raw rows before 19:00 expired
+    assert rep['expired']['dropped_snapshots'] or rep['expired']['rewritten_snapshots']
+    raw = IcebergishTable(raw_root)
+    n_raw = raw.read(spark).count()
+    assert n_raw < df.count()
+    assert raw.read(spark).agg({'ts': 'min'}).first()[0] >= dt.datetime(2026, 3, 1, 19)
+
+    # the tier still serves the FULL day the raw table no longer holds
+    ca = ContinuousAggregate(raw, tier_root, ['user_id'],
+                             interval='1 hour', partition_by=())
+    want = rollup.finalize_rollup(
+        rollup.rollup_partial(df, ['user_id'], interval='1 hour'),
+        ['user_id']).toPandas()
+
+    def norm(p):
+        return (p.sort_values(['user_id', 'bucket_start'])
+                 .reset_index(drop=True).astype(str))
+    assert norm(ca.read(spark).toPandas()).equals(norm(want))
+
+    # idempotent maintenance: rerun leaves raw and tier untouched
+    sid_raw = raw.current_snapshot_id()
+    sid_tier = ca.tier.current_snapshot_id()
+    rep2 = run([])
+    assert rep2['refresh']['mode'] in ('noop', 'empty')
+    assert rep2['expired'] in (None, {'dropped_snapshots': [],
+                                      'rewritten_snapshots': [],
+                                      'dropped_bytes': 0, 'rewritten_bytes': 0})
+    assert raw.current_snapshot_id() == sid_raw
+    assert norm(ca.read(spark).toPandas()).equals(norm(want))

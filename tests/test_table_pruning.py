@@ -146,3 +146,83 @@ def test_truncate_upper_unit():
     assert _truncate_upper('a' * 20, 16) == 'a' * 15 + 'b'
     assert _truncate_upper('ab' + chr(0x10FFFF) * 20, 3) == 'ac'
     assert _truncate_upper(chr(0x10FFFF) * 20, 3) is None
+
+
+def test_clustered_write_makes_stats_selective(spark, events, tmp_path):
+    """cluster_by range-partitions the write so files cover disjoint value
+    ranges: a point predicate then keeps O(1) files where an unclustered
+    write keeps nearly all of them — the write-side half of stats pruning."""
+    un = IcebergishTable(str(tmp_path / 'un'))
+    un.append(events.repartition(8), partition_by=())
+    cl = IcebergishTable(str(tmp_path / 'cl'))
+    cl.append(events, partition_by=(), cluster_by=['user_id'], n_files=8)
+
+    preds = [('user_id', '=', 3)]
+    p_un = un.plan_files(preds)
+    p_cl = cl.plan_files(preds)
+    assert p_un['n_kept'] == p_un['n_total'] > 1     # hash layout: no pruning
+    assert p_cl['n_kept'] <= 2 < p_cl['n_total']     # range layout: point hit
+
+    got = _sorted_rows(cl.scan(spark, preds))
+    exp = _sorted_rows(events.filter(F.col('user_id') == 3))
+    assert got == exp and len(got) > 0
+
+    # time-range predicate on a ts-clustered copy
+    ts = IcebergishTable(str(tmp_path / 'ts'))
+    ts.append(events, partition_by=(), cluster_by=['ts'], n_files=8)
+    cut = datetime.datetime(2024, 1, 29)
+    p_ts = ts.plan_files([('ts', '>=', cut)])
+    assert p_ts['n_kept'] < p_ts['n_total'] / 2
+    assert (_sorted_rows(ts.scan(spark, [('ts', '>=', cut)]))
+            == _sorted_rows(events.filter(F.col('ts') >= F.lit(cut))))
+
+
+def test_expire_before_drops_whole_snapshots_metadata_only(spark, events, table):
+    """Fully-expired snapshots are retired by manifest surgery alone — no
+    data read, no rewrite — when the cutoff falls on a snapshot boundary."""
+    cut = datetime.datetime(2024, 1, 21)
+    rep = table.expire_before(spark, cut, ts_col='ts')
+    assert rep['dropped_snapshots'] == [0, 1]
+    assert rep['rewritten_snapshots'] == []
+    assert rep['dropped_bytes'] > 0 and rep['rewritten_bytes'] == 0
+    got = _sorted_rows(table.read(spark))
+    exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(cut)))
+    assert got == exp and len(got) > 0
+    # physical reclaim, reads unchanged
+    assert sorted(table.vacuum()) == [0, 1]
+    assert _sorted_rows(table.read(spark)) == exp
+
+
+def test_expire_before_rewrites_only_the_straddling_snapshot(spark, events, table):
+    cut = datetime.datetime(2024, 1, 15)
+    rep = table.expire_before(spark, cut, ts_col='ts')
+    assert rep['dropped_snapshots'] == [0]
+    assert rep['rewritten_snapshots'] == [1]        # days 11..20 straddle
+    live = table._live_snapshots(table.current_snapshot_id())
+    assert 2 in live                                 # days 21.. untouched
+    got = _sorted_rows(table.read(spark))
+    exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(cut)))
+    assert got == exp and len(got) > 0
+
+
+def test_expire_before_noop_and_missing_stats_rewrite(spark, events, table):
+    import json
+    import os
+    rep = table.expire_before(spark, datetime.datetime(2023, 1, 1), ts_col='ts')
+    assert rep == {'dropped_snapshots': [], 'rewritten_snapshots': [],
+                   'dropped_bytes': 0, 'rewritten_bytes': 0}
+    # a snapshot without usable stats must be REWRITTEN (exact filter),
+    # never silently dropped
+    p = os.path.join(table.meta_dir, 'snapshot-0.json')
+    with open(p) as f:
+        snap = json.load(f)
+    for e in snap['manifest']['entries']:
+        e.pop('stats', None)
+    with open(p, 'w') as f:
+        json.dump(snap, f)
+    cut = datetime.datetime(2024, 1, 15)
+    rep = table.expire_before(spark, cut, ts_col='ts')
+    assert 0 in rep['rewritten_snapshots']
+    got = _sorted_rows(table.read(spark))
+    exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(cut)))
+    assert got == exp
