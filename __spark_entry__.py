@@ -1339,6 +1339,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select('event_id', 'ts', 'user_id', 'event_type',
                          F.round('value', 6).alias('value')))
 
+    def events_mor_delete(spark, sf_dir):
+        # MERGE-ON-READ equality deletes (IcebergishTable.delete_keys,
+        # Iceberg v2 semantics): a purge list commits as key tuples only —
+        # O(|keys|), never rewriting data — and read() anti-joins it against
+        # rows of EARLIER snapshots, so the post-delete append re-inserting
+        # rows for purged users SURVIVES (sequence-number semantics).  The
+        # oracle states exactly that: slices 0,1 lose the purged users,
+        # slice 2 keeps everything.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='mordel-'), 'ev'))
+        for i in (0, 1):
+            t.append(ev.filter(F.pmod('event_id', F.lit(3)) == i),
+                     partition_by=('event_type',))
+        purge = (ev.filter(F.pmod('user_id', F.lit(11)) == 4)
+                 .select('user_id').distinct())
+        t.delete_keys(purge, ['user_id'], properties={'reason': 'corpus-purge'})
+        t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 2),
+                 partition_by=('event_type',))
+        return t.read(spark).select('event_id', 'ts', 'user_id', 'event_type',
+                                    F.round('value', 6).alias('value'))
+
+    def events_cow_delete(spark, sf_dir):
+        # COPY-ON-WRITE predicate delete (IcebergishTable.delete_where):
+        # manifest min/max stats confine the rewrite to the one time-sliced
+        # snapshot the ts-range delete straddles; the others are untouched
+        # (asserted) — O(straddling bytes), not O(table).  Oracle = plain
+        # NOT-BETWEEN over all events.
+        import datetime
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='cowdel-'), 'ev'))
+        for lo, hi in ((1, 11), (11, 21), (21, 32)):
+            t.append(ev.filter(F.dayofmonth('ts').between(lo, hi - 1)),
+                     partition_by=())
+        rep = t.delete_where(spark, [
+            ('ts', '>=', datetime.datetime(2024, 1, 13)),
+            ('ts', '<', datetime.datetime(2024, 1, 18))])
+        assert rep['rewritten_snapshots'] == [1], rep   # stats-pruned rewrite
+        return t.read(spark).select('event_id', 'ts', 'user_id', 'event_type',
+                                    F.round('value', 6).alias('value'))
+
+    def events_zorder_scan(spark, sf_dir):
+        # Z-ORDER clustered write (zorder_key: quantile-bucketed Morton
+        # interleave of user_id x ts) -> manifest min/max stats are narrow
+        # on BOTH columns, so the two-dimensional predicate prunes files on
+        # each dimension independently (asserted) — the multi-column
+        # upgrade of events_pruned_scan.  Oracle = plain WHERE; hash-green
+        # proves pruning keeps every matching row.
+        import datetime
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='zord-'), 'ev'))
+        t.append(ev, partition_by=(), zorder_by=['user_id', 'ts'], n_files=16)
+        preds = [('user_id', '<=', 20),
+                 ('ts', '>=', datetime.datetime(2024, 1, 22))]
+        plan = t.plan_files(preds)
+        assert plan['n_kept'] < plan['n_total'], plan   # pruning is real
+        return t.scan(spark, preds).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'))
+
+    def events_upsert_merge(spark, sf_dir):
+        # Atomic MERGE INTO (IcebergishTable.upsert, Iceberg v2 row delta):
+        # ONE logical commit that doubles the value of every event_id%5==0
+        # row (update via merge-on-read equality delete) and inserts the
+        # same corpus' %5==1 rows under offset ids — two snapshots on disk,
+        # one version-hint flip.  The oracle is the CASE/UNION restatement;
+        # hash-green proves update+insert+read-path equivalence.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='upsert-'), 'ev'))
+        t.append(ev, partition_by=('event_type',))
+        merged = (ev.filter(F.pmod('event_id', F.lit(5)) == 0)
+                    .withColumn('value', F.col('value') * 2)
+                  .unionByName(
+                      ev.filter(F.pmod('event_id', F.lit(5)) == 1)
+                        .withColumn('event_id',
+                                    F.col('event_id') + F.lit(10_000_000))))
+        t.upsert(merged, ['event_id'], partition_by=('event_type',))
+        return t.read(spark).select('event_id', 'ts', 'user_id', 'event_type',
+                                    F.round('value', 6).alias('value'))
+
     def events_gapfill_1m(spark, sf_dir):
         tier = _rollup_1m(spark, sf_dir)
         filled = rollup.gap_fill(tier, keys=['user_id'], interval_seconds=60, method='null')
@@ -2050,6 +2145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_continuous_agg': events_continuous_agg,
         'events_pruned_scan': events_pruned_scan,
         'events_hier_continuous_agg': events_hier_continuous_agg,
+        'events_mor_delete': events_mor_delete,
+        'events_cow_delete': events_cow_delete,
+        'events_upsert_merge': events_upsert_merge,
+        'events_zorder_scan': events_zorder_scan,
         'events_gapfill_1m': events_gapfill_1m,
         'doc_token_counts': doc_token_counts,
         'doc_quality_stats': doc_quality_stats,
@@ -2220,6 +2319,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value, 6) AS value
             FROM events
             WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-25'
+        """,
+        # merge-on-read equality delete: purged users vanish from the two
+        # pre-delete slices only; the post-delete slice survives intact
+        'events_mor_delete': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE NOT (event_id % 3 IN (0, 1) AND user_id % 11 = 4)
+        """,
+        # z-order-pruned two-dimensional scan == plain WHERE on both dims
+        'events_zorder_scan': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE user_id <= 20 AND ts >= TIMESTAMP '2024-01-22'
+        """,
+        # atomic MERGE INTO == CASE-updated originals UNION offset inserts
+        'events_upsert_merge': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(CASE WHEN event_id % 5 = 0 THEN value * 2
+                              ELSE value END, 6) AS value
+            FROM events
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE event_id % 5 = 1
+        """,
+        # copy-on-write predicate delete == plain NOT-range over all events
+        'events_cow_delete': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE NOT (ts >= TIMESTAMP '2024-01-13' AND ts < TIMESTAMP '2024-01-18')
         """,
         'events_rollup_1h_cascade': rollup_tier('hour'),
         'events_rollup_1d_cascade': rollup_tier('day'),

@@ -109,6 +109,53 @@ def _file_column_stats(path: str) -> dict:
     return out_rows, stats
 
 
+def zorder_key(df: DataFrame, cols, bits_per_col: int = 8,
+               out_col: str = '_z') -> DataFrame:
+    """Adds ``out_col``: the Morton (Z-order) key of ``cols`` — per-column
+    QUANTILE bucket ranks (approxQuantile boundaries, so skewed columns
+    still spread evenly across buckets, unlike linear min/max scaling),
+    bit-interleaved so that sorting by the key clusters rows that are close
+    in EVERY dimension.  Files written in z-order get narrow min/max ranges
+    on ALL the z-ordered columns at once, which is what lets
+    :meth:`IcebergishTable.plan_files` prune on any of them — the
+    multi-dimensional upgrade of single-column range clustering
+    (Delta OPTIMIZE ZORDER / Iceberg rewrite sort-order semantics).
+
+    The bucket assignment is a broadcast literal array of at most
+    ``2^bits_per_col - 1`` boundaries per column + a JVM-side
+    ``filter``/``size`` scan over it — no shuffle, no Python.  Timestamps
+    are bucketed on their epoch value; numeric columns as doubles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    cols = list(cols)
+    nb = 1 << bits_per_col
+    probs = [i / nb for i in range(1, nb)]
+    buckets = []
+    for c in cols:
+        dt = df.schema[c].dataType
+        ts_types = (T.TimestampType, getattr(T, 'TimestampNTZType', T.TimestampType),
+                    T.DateType)
+        expr = (F.unix_micros(F.col(c).cast('timestamp')).cast('double')
+                if isinstance(dt, ts_types) else F.col(c).cast('double'))
+        tmp = f'__zq_{c}'
+        bounds = sorted(df.select(expr.alias(tmp))
+                          .approxQuantile(tmp, probs, 1.0 / (4 * nb)))
+        # duplicated boundaries are KEPT: a low-cardinality column (say 30
+        # distinct values under 256 buckets) repeats each value ~8x in the
+        # quantile list, so counting strictly-smaller bounds still spreads
+        # bucket ids across the full 2^bits scale — deduping would park
+        # them in the low bits and hand the interleave to the other column
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        buckets.append(F.size(F.filter(arr, lambda b: b < expr)))
+    z = F.lit(0).cast('long')
+    for bit in range(bits_per_col):
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b.cast('long'), bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + j)
+    return df.withColumn(out_col, z)
+
+
 def _path_partition_values(relpath: str) -> dict:
     """Hive-style key=value segments of a data file path (the hidden
     partition values a reader prunes on without knowing the layout)."""
@@ -158,8 +205,23 @@ class IcebergishTable:
 
     # -- write / read ----------------------------------------------------------
 
+    def _next_sid(self) -> int:
+        """Next unused snapshot id: max of the version hint and every
+        snapshot json on disk.  A crashed multi-snapshot commit (upsert)
+        leaves unreachable snapshot files past the hint; ids must skip
+        them or the next append would collide with an orphan's data dir."""
+        import re
+        mx = self.current_snapshot_id()
+        if os.path.isdir(self.meta_dir):
+            for name in os.listdir(self.meta_dir):
+                m = re.match(r'snapshot-(\d+)\.json$', name)
+                if m:
+                    mx = max(mx, int(m.group(1)))
+        return mx + 1
+
     def append(self, df: DataFrame, partition_by=('source',), properties: dict = None,
-               invalidates=(), cluster_by=None, n_files: int = None) -> dict:
+               invalidates=(), cluster_by=None, zorder_by=None, n_files: int = None,
+               _parent: int = None, _advance_hint: bool = True) -> dict:
         """Append df as a new snapshot; returns the snapshot dict.
 
         ``properties`` lands in the manifest entry — callers put lineage /
@@ -178,12 +240,25 @@ class IcebergishTable:
         every file spans most of the domain and a point predicate keeps
         everything.  One extra shuffle at write time buys metadata-bound
         scan planning on every later read; ``n_files`` bounds the file
-        count (default: the session's shuffle parallelism)."""
+        count (default: the session's shuffle parallelism).
+
+        ``zorder_by``: multi-column clustering on the Morton key instead
+        (see :func:`zorder_key`) — narrower per-file ranges on EVERY listed
+        column, so point/range predicates on ANY of them prune files;
+        single-column ``cluster_by`` prunes only its own column."""
         os.makedirs(self.meta_dir, exist_ok=True)
-        parent = self.current_snapshot_id()
-        sid = parent + 1
+        parent = self.current_snapshot_id() if _parent is None else _parent
+        sid = self._next_sid()
         snap_dir = os.path.join(self.data_dir, f'snap-{sid}')
-        if cluster_by:
+        if zorder_by:
+            # multi-dimensional clustering: range-partition + sort on the
+            # Morton key, then DROP it — the clustering lives in the file
+            # layout and its manifest stats, not in the schema
+            df = zorder_key(df, zorder_by)
+            df = (df.repartitionByRange(n_files, '_z') if n_files
+                  else df.repartitionByRange('_z')).sortWithinPartitions('_z')
+            df = df.drop('_z')
+        elif cluster_by:
             cols = list(cluster_by)
             df = (df.repartitionByRange(n_files, *cols) if n_files
                   else df.repartitionByRange(*cols)).sortWithinPartitions(*cols)
@@ -223,34 +298,105 @@ class IcebergishTable:
         os.replace(tmp, os.path.join(self.meta_dir, f'snapshot-{sid}.json'))
         # version hint last: a crash before this line leaves the table at the
         # previous snapshot (the new files are unreachable -> atomic commit)
+        if _advance_hint:
+            self._advance_hint(sid)
+        return snap
+
+    def _advance_hint(self, sid: int) -> None:
         tmp_hint = self._hint_path() + '.tmp'
         with open(tmp_hint, 'w') as f:
             f.write(str(sid))
         os.replace(tmp_hint, self._hint_path())
+
+    def upsert(self, df: DataFrame, key_cols, partition_by=(),
+               properties: dict = None) -> dict:
+        """Atomic MERGE INTO (Iceberg v2 row delta): one logical commit that
+        UPDATES rows whose ``key_cols`` already exist (via a merge-on-read
+        equality delete of ``df``'s keys) and INSERTS the rest (``df``'s
+        rows appended).  Two snapshots land on disk — the delete, then the
+        data chained to it — but the version hint (the table's single
+        atomic pointer) moves ONCE, straight to the data snapshot: a reader
+        sees either the pre-merge table or the fully-merged one, never the
+        keys-deleted-but-not-reinserted intermediate.  A crash mid-commit
+        leaves only unreachable metadata; :meth:`_next_sid` skips the
+        orphans on the next commit.
+
+        Cost is O(|df|) — the delete component is key tuples, the insert is
+        ``df`` itself; nothing existing is rewritten (compaction
+        materializes later).  Incremental readers raise across the commit
+        (the delete retracts reflected rows), so continuous aggregates full-
+        recompute — MERGE modifies history, same rule as delete_keys."""
+        cols = list(key_cols)
+        props = dict(properties or {})
+        dsnap = self.append(
+            df.select(*cols).dropDuplicates(cols), partition_by=(),
+            properties={**props, 'operation': 'delete', 'equality_cols': cols,
+                        'upsert_part': 'delete'},
+            _advance_hint=False)
+        snap = self.append(
+            df, partition_by=partition_by,
+            properties={**props, 'operation': 'upsert', 'upsert_part': 'data',
+                        'upsert_keys': cols},
+            _parent=dsnap['snapshot_id'], _advance_hint=False)
+        self._advance_hint(snap['snapshot_id'])
         return snap
+
+    def stage(self, df: DataFrame, partition_by=('source',),
+              properties: dict = None, **kw) -> dict:
+        """WRITE-AUDIT-PUBLISH, step 1 (Iceberg's WAP / audit-branch
+        pattern): write the snapshot — data files, manifest, lineage — but
+        do NOT move the version hint.  Production readers keep seeing the
+        old table; the audit job reads the staged snapshot by id
+        (``read(spark, snapshot_id=staged['snapshot_id'])``) and decides.
+        :meth:`publish` fast-forwards the hint atomically; an abandoned
+        stage is just unreachable metadata (``_next_sid`` skips it, and no
+        reader can reach its files).  Accepts everything :meth:`append`
+        does (cluster_by/zorder_by/invalidates/...)."""
+        return self.append(df, partition_by=partition_by,
+                           properties=properties, _advance_hint=False, **kw)
+
+    def publish(self, snapshot_id: int) -> int:
+        """WRITE-AUDIT-PUBLISH, step 2: atomically fast-forward the table to
+        a staged snapshot.  Valid only when the staged lineage chains back
+        to the CURRENT hint (possibly through other staged snapshots, e.g.
+        a staged upsert pair) — if other commits landed since staging, this
+        raises and the caller re-stages on the new tip; nothing is ever
+        half-published."""
+        cur = self.current_snapshot_id()
+        sid = snapshot_id
+        while sid >= 0 and sid != cur:
+            sid = self.snapshot(sid).get('parent', -1)
+        if sid != cur:
+            raise ValueError(
+                f'staged snapshot {snapshot_id} does not chain to the '
+                f'current snapshot {cur} (concurrent commit landed after '
+                f'staging); re-stage on the new tip')
+        self._advance_hint(snapshot_id)
+        return snapshot_id
 
     def read(self, spark: SparkSession, snapshot_id: int = None) -> DataFrame:
         """Read the table at a snapshot (default: current). Time travel =
-        union of data files of the snapshot's full lineage."""
+        union of data files of the snapshot's full lineage, minus the rows
+        matched by live equality-delete snapshots (merge-on-read; a delete
+        applies only to snapshots that predate it).  The no-deletes fast
+        path adds nothing to the plan."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         assert sid >= 0, f'table {self.root} has no snapshots'
-        dead = set()
-        chain = []
-        cur = sid
-        while cur >= 0:
-            snap = self.snapshot(cur)
-            chain.append(cur)
-            dead.update(snap.get('invalidates', []))
-            cur = snap.get('parent', -1)
-        dirs = [os.path.join(self.data_dir, f'snap-{c}') for c in chain if c not in dead]
-        existing = [d for d in dirs if os.path.isdir(d)]
-        assert existing, f'no live data files at snapshot {sid}'
+        data, dels = self._split_live(sid)
+        pairs = [(c, os.path.join(self.data_dir, f'snap-{c}')) for c in data]
+        pairs = [(c, d) for c, d in pairs if os.path.isdir(d)]
+        assert pairs, f'no live data files at snapshot {sid}'
         # one read per snapshot dir (each with its own partition discovery),
         # unioned by name — the snap-N level is not a partition column
+        from pyspark.sql import functions as F
         out = None
-        for d in existing:
+        for c, d in pairs:
             part = spark.read.parquet(d)
+            if dels:
+                part = part.withColumn('_seq', F.lit(c).cast('int'))
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        if dels:
+            out = self._apply_deletes(spark, out, dels).drop('_seq')
         return out
 
     def _live_snapshots(self, snapshot_id: int) -> list:
@@ -264,6 +410,166 @@ class IcebergishTable:
             dead.update(snap.get('invalidates', []))
             cur = snap.get('parent', -1)
         return [c for c in chain if c not in dead]
+
+    def _snapshot_op(self, sid: int):
+        return self.snapshot(sid)['manifest']['properties'].get('operation')
+
+    def _data_spec(self, snapshot_id: int) -> list:
+        """Partition spec of the newest live DATA snapshot (a 'delete'
+        snapshot's spec is the key-file layout, not the table's)."""
+        data, _ = self._split_live(snapshot_id)
+        for c in data:                               # newest first
+            spec = self.snapshot(c).get('partition_spec')
+            if spec is not None:
+                return spec
+        return []
+
+    def _split_live(self, snapshot_id: int):
+        """Live snapshots split into (data, equality-delete) ids.  A
+        'delete' snapshot's files hold KEY TUPLES, not table rows — they
+        must never enter a data union."""
+        data, dels = [], []
+        for c in self._live_snapshots(snapshot_id):
+            (dels if self._snapshot_op(c) == 'delete' else data).append(c)
+        return data, dels
+
+    # -- row-level deletes -----------------------------------------------------
+
+    def delete_keys(self, keys_df: DataFrame, key_cols, properties: dict = None) -> dict:
+        """MERGE-ON-READ equality delete (Iceberg v2 equality-delete files):
+        commit the key tuples as a 'delete' snapshot; no data file is
+        rewritten.  Readers anti-join the keys against rows of EARLIER
+        snapshots only (sequence-number semantics) — a row re-inserted
+        AFTER the delete survives, which is what makes
+        delete-then-reingest (the GDPR / corpus-purge loop of an LLM data
+        pipeline) correct without coordination.
+
+        The write is O(|keys|) regardless of table size — at 10^12-sequence
+        scale that is the difference between committing a purge list and
+        rewriting 100 TB.  The read-time cost is one broadcast anti-join
+        (delete sets are assumed driver-broadcastable; compact() folds them
+        away when they accumulate).  Incremental readers
+        (:meth:`read_delta`) RAISE on an in-range delete, so a continuous
+        aggregate falls back to full recompute — a delete invalidates
+        previously-aggregated history, exactly TimescaleDB's rule that
+        data-modifying operations re-trigger the aggregate."""
+        cols = list(key_cols)
+        props = dict(properties or {})
+        props.update({'operation': 'delete', 'equality_cols': cols})
+        return self.append(keys_df.select(*cols).dropDuplicates(cols),
+                           partition_by=(), properties=props)
+
+    def _apply_deletes(self, spark: SparkSession, df: DataFrame, delete_sids) -> DataFrame:
+        """Anti-join equality-delete snapshots against ``df`` (which must
+        carry ``_seq`` = origin snapshot id).  One broadcast left_anti per
+        distinct equality-column set; a delete applies only to rows whose
+        snapshot PREDATES it (``_seq < _del_seq``).  Null-safe equality
+        (Iceberg: a null key matches a null value)."""
+        from pyspark.sql import functions as F
+        groups = {}
+        for c in delete_sids:
+            cols = tuple(self.snapshot(c)['manifest']['properties']['equality_cols'])
+            groups.setdefault(cols, []).append(c)
+        for cols, sids in sorted(groups.items()):
+            dels = None
+            for c in sids:
+                d = os.path.join(self.data_dir, f'snap-{c}')
+                if not os.path.isdir(d):
+                    continue
+                part = (spark.read.parquet(d).select(*cols)
+                        .withColumn('_del_seq', F.lit(c).cast('int')))
+                dels = part if dels is None else dels.unionByName(part)
+            if dels is None:
+                continue
+            cond = df['_seq'] < dels['_del_seq']
+            for k in cols:
+                cond = cond & df[k].eqNullSafe(dels[k])
+            df = df.join(F.broadcast(dels), on=cond, how='left_anti')
+        return df
+
+    def delete_where(self, spark: SparkSession, predicates) -> dict:
+        """COPY-ON-WRITE predicate delete: rewrite only the live snapshots
+        whose manifest stats say they MAY contain matching rows (same
+        conjunctive ``[(col, op, value)]`` form as :meth:`plan_files`);
+        snapshots the stats prove all-matching are dropped metadata-only,
+        provably-disjoint snapshots are untouched.  Committed as ONE atomic
+        'delete-cow' snapshot.  Cost is O(straddling bytes), not O(table) —
+        range-clustered writes (``append(cluster_by=...)``) are what make
+        the straddle set small.
+
+        Null semantics: predicates are null-rejecting comparisons, so a row
+        where the predicate is NULL does NOT match and is KEPT.  Pending
+        merge-on-read deletes on the rewritten snapshots are applied during
+        the rewrite (the rewritten rows get a new, higher sequence number,
+        which would otherwise detach them from older delete files)."""
+        from pyspark.sql import functions as F
+        preds = list(predicates)
+        cur = self.current_snapshot_id()
+        assert cur >= 0, f'table {self.root} has no snapshots'
+        data_live, del_live = self._split_live(cur)
+        drop_whole, straddle = [], []
+        for c in data_live:
+            entries = [e for e in self.snapshot(c)['manifest']['entries']
+                       if e.get('rows') != 0]
+            if not entries:
+                continue
+            if not any(self._entry_matches(e, preds) for e in entries):
+                continue                                  # provably disjoint
+            if all(self._entry_all_match(e, preds) for e in entries):
+                drop_whole.append(c)
+            else:
+                straddle.append(c)
+        if not drop_whole and not straddle:
+            return {'dropped_snapshots': [], 'rewritten_snapshots': []}
+        props = {'operation': 'delete-cow',
+                 'predicates': [[c, op, _norm_stat(v)] for c, op, v in preds],
+                 'dropped_snapshots': len(drop_whole),
+                 'rewritten_snapshots': len(straddle)}
+        if straddle:
+            surv = None
+            for c in straddle:
+                part = (spark.read.parquet(os.path.join(self.data_dir, f'snap-{c}'))
+                        .withColumn('_seq', F.lit(c).cast('int')))
+                surv = part if surv is None else surv.unionByName(
+                    part, allowMissingColumns=True)
+            surv = self._apply_deletes(spark, surv, del_live).drop('_seq')
+            surv = surv.filter(~F.coalesce(self._predicate_expr(preds), F.lit(False)))
+            spec = self._data_spec(cur)
+            self.append(surv, partition_by=spec,
+                        invalidates=drop_whole + straddle, properties=props)
+        else:
+            self._commit_metadata_snapshot(drop_whole, props)
+        return {'dropped_snapshots': sorted(drop_whole),
+                'rewritten_snapshots': sorted(straddle)}
+
+    @staticmethod
+    def _entry_all_match(entry: dict, predicates) -> bool:
+        """Do the manifest stats PROVE every row of this file satisfies ALL
+        predicates?  Conservative: missing stats, nulls present, or a
+        not-provable bound means False (the file is rewritten, never
+        wrongly dropped)."""
+        stats = entry.get('stats', {})
+        for col, op, val in predicates:
+            s = stats.get(col)
+            nval = _norm_stat(val)
+            if not s or nval is None or s.get('nulls', 1) != 0:
+                return False
+            lo, hi = s['min'], s['max']
+            if isinstance(nval, str):
+                # string max bounds are truncated-and-incremented (strict
+                # upper bounds, possibly exceeding the true max): only the
+                # untruncated case is exact enough to prove equality
+                if len(str(hi)) >= _STR_STAT_LEN or len(str(lo)) >= _STR_STAT_LEN:
+                    return False
+            if isinstance(nval, str) != isinstance(lo, str):
+                return False
+            if not ((op == '=' and lo == nval == hi)
+                    or (op == '<' and hi < nval)
+                    or (op == '<=' and hi <= nval)
+                    or (op == '>' and lo > nval)
+                    or (op == '>=' and lo >= nval)):
+                return False
+        return True
 
     def read_delta(self, spark: SparkSession, from_snapshot_id: int,
                    to_snapshot_id: int = None, tolerate_ops=()) -> Optional[DataFrame]:
@@ -295,14 +601,22 @@ class IcebergishTable:
             if from_snapshot_id >= 0 else set()
         new = sorted(live_to - live_from)
         excluded, blamed = set(), set()
-        if tolerate_ops:
-            for c in new:
-                snap = self.snapshot(c)
-                inv = set(snap.get('invalidates', []))
-                op = snap['manifest']['properties'].get('operation')
-                if op in tolerate_ops and inv and inv <= live_from:
-                    excluded.add(c)
-                    blamed |= inv
+        for c in new:
+            snap = self.snapshot(c)
+            inv = set(snap.get('invalidates', []))
+            op = snap['manifest']['properties'].get('operation')
+            if op == 'delete':
+                # a merge-on-read equality delete retracts rows from
+                # snapshots the 'from' view already reflected — an additive
+                # delta cannot express a retraction, so incremental refresh
+                # is invalid regardless of tolerate_ops
+                raise ValueError(
+                    f'row-level delete snapshot {c} committed in range '
+                    f'{from_snapshot_id}..{to_sid}; incremental refresh is '
+                    f'invalid — recompute from scratch')
+            if tolerate_ops and op in tolerate_ops and inv and inv <= live_from:
+                excluded.add(c)
+                blamed |= inv
         removed = live_from - live_to
         unexplained = removed - blamed
         if unexplained:
@@ -372,7 +686,8 @@ class IcebergishTable:
         assert sid >= 0, f'table {self.root} has no snapshots'
         preds = list(predicates)
         kept, n_kept, n_total = {}, 0, 0
-        for c in self._live_snapshots(sid):
+        data_live, _ = self._split_live(sid)
+        for c in data_live:
             snap_dir = os.path.join(self.data_dir, f'snap-{c}')
             for entry in self.snapshot(c)['manifest']['entries']:
                 if entry.get('rows') == 0:
@@ -401,15 +716,25 @@ class IcebergishTable:
         reads only those (``basePath`` per snapshot dir so hidden-partition
         columns survive), and the exact predicate is re-applied as a
         residual filter (file pruning is necessarily approximate —
-        min/max keeps any file whose RANGE intersects)."""
+        min/max keeps any file whose RANGE intersects).  Live equality
+        deletes are applied exactly as in :meth:`read` (the pruned subset
+        still carries its origin snapshot's sequence number)."""
         plan = self.plan_files(predicates, snapshot_id)
         expr = self._predicate_expr(predicates)
         if not plan['kept']:
             return self.read(spark, snapshot_id).filter(expr).limit(0)
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        _, dels = self._split_live(sid)
+        from pyspark.sql import functions as F
         out = None
         for snap_dir, paths in sorted(plan['kept'].items()):
             part = spark.read.option('basePath', snap_dir).parquet(*sorted(paths))
+            if dels:
+                seq = int(os.path.basename(snap_dir).split('-')[-1])
+                part = part.withColumn('_seq', F.lit(seq).cast('int'))
             out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+        if dels:
+            out = self._apply_deletes(spark, out, dels).drop('_seq')
         return out.filter(expr) if with_residual else out
 
     def _commit_metadata_snapshot(self, invalidates, properties: dict) -> dict:
@@ -418,7 +743,7 @@ class IcebergishTable:
         (read() unions only existing dirs)."""
         os.makedirs(self.meta_dir, exist_ok=True)
         parent = self.current_snapshot_id()
-        sid = parent + 1
+        sid = self._next_sid()
         prev = self.snapshot(parent) if parent >= 0 else None
         snap = {
             'snapshot_id': sid,
@@ -458,7 +783,12 @@ class IcebergishTable:
         assert cur >= 0, f'table {self.root} has no snapshots'
         drop_whole, straddle = [], []
         dropped_bytes = rewritten_bytes = 0
-        for c in self._live_snapshots(cur):
+        # equality-delete snapshots hold key tuples with no ts stats: they
+        # are never expiry candidates and stay live (their targets among the
+        # surviving snapshots still need them; targets among the dropped
+        # ones become no-ops)
+        data_live, del_live = self._split_live(cur)
+        for c in data_live:
             # empty files (0 footer rows) carry no stats and no data: they
             # must not force a rewritten snapshot back into 'straddling'
             entries = [e for e in self.snapshot(c)['manifest']['entries']
@@ -486,10 +816,17 @@ class IcebergishTable:
             surv = None
             for c in straddle:
                 part = spark.read.parquet(os.path.join(self.data_dir, f'snap-{c}'))
+                # the rewrite gets a NEW (higher) sequence number, which
+                # would detach older merge-on-read deletes from these rows —
+                # so materialize the pending deletes during the rewrite
+                if del_live:
+                    part = part.withColumn('_seq', F.lit(c).cast('int'))
                 surv = part if surv is None else surv.unionByName(
                     part, allowMissingColumns=True)
+            if del_live:
+                surv = self._apply_deletes(spark, surv, del_live).drop('_seq')
             surv = surv.filter(F.col(ts_col) >= F.lit(cutoff))
-            spec = self.snapshot(cur).get('partition_spec', [])
+            spec = self._data_spec(cur)
             self.append(surv, partition_by=spec,
                         invalidates=drop_whole + straddle, properties=props)
         else:
@@ -555,7 +892,7 @@ class IcebergishTable:
             live_bytes += sum(e['bytes'] for e in entries)
             n_files += len(entries)
         spec = partition_by if partition_by is not None \
-            else self.snapshot(cur).get('partition_spec', [])
+            else self._data_spec(cur)
         df = self.read(spark).repartition(
             max(1, math.ceil(live_bytes / target_file_bytes)))
         return self.append(

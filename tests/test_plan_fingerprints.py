@@ -36,6 +36,7 @@ BNLJ_ALLOWLIST = {
     # one broadcast row (GLOBAL series mean/var stats) joined to the frame
     # tier (keys=[] SAX: an empty join key would be a cartesian error)
     'events_sax_words_1h',
+    'events_sax_words_nr_1h',
     'events_sax_discords',
     # one broadcast row (raw/target corpus totals) joined to the dim-sized
     # bucket stats for the smoothed log-ratio weights

@@ -226,3 +226,42 @@ def test_expire_before_noop_and_missing_stats_rewrite(spark, events, table):
     got = _sorted_rows(table.read(spark))
     exp = _sorted_rows(events.filter(F.col('ts') >= F.lit(cut)))
     assert got == exp
+
+
+def test_zorder_write_prunes_on_every_dimension(spark, events, tmp_path):
+    """Z-order clustering: a point predicate on user_id AND a range
+    predicate on ts must BOTH prune files of the same write — single-column
+    clustering can only ever serve one of them — and scans stay exact."""
+    from changepoynt_spark.sources.tables import zorder_key
+
+    tz = IcebergishTable(str(tmp_path / 'zord'))
+    tz.append(events, partition_by=(), zorder_by=['user_id', 'ts'], n_files=16)
+    tl = IcebergishTable(str(tmp_path / 'lin'))
+    tl.append(events, partition_by=(), cluster_by=['ts'], n_files=16)
+
+    uid = events.select('user_id').first()['user_id']
+    u_preds = [('user_id', '=', int(uid))]
+    t_preds = [('ts', '>=', datetime.datetime(2024, 1, 28))]
+
+    pz_u, pz_t = tz.plan_files(u_preds), tz.plan_files(t_preds)
+    pl_u = tl.plan_files(u_preds)
+    assert pz_u['n_total'] == 16
+    # both dimensions prune under z-order ...
+    assert pz_u['n_kept'] <= pz_u['n_total'] // 2
+    assert pz_t['n_kept'] <= pz_t['n_total'] // 2
+    # ... while ts-clustered files all span the full user_id domain
+    assert pl_u['n_kept'] == pl_u['n_total']
+
+    got = _sorted_rows(tz.scan(spark, u_preds))
+    exp = _sorted_rows(events.filter(F.col('user_id') == int(uid)))
+    assert got == exp and len(got) > 0
+    got_t = _sorted_rows(tz.scan(spark, t_preds))
+    exp_t = _sorted_rows(events.filter(
+        F.col('ts') >= F.lit(datetime.datetime(2024, 1, 28))))
+    assert got_t == exp_t and len(got_t) > 0
+
+    # the key itself: interleaving is deterministic and bounded
+    zk = zorder_key(events.limit(500), ['user_id', 'value'], bits_per_col=4)
+    vals = [r['_z'] for r in zk.select('_z').collect()]
+    assert all(0 <= v < (1 << 8) for v in vals)
+    assert len(set(vals)) > 1
