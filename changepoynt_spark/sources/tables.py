@@ -109,6 +109,79 @@ def _file_column_stats(path: str) -> dict:
     return out_rows, stats
 
 
+def _bloom_canon(value):
+    """Canonical hashable form of a value for the bloom, or None when the
+    value cannot be soundly hashed (the caller must then NOT consult the
+    bloom — conservative keep).  On top of _norm_stat (timestamps → epoch
+    micros), integral floats collapse to int so ``col = 1.0`` probes hash
+    identically to an int32 build side — SQL numeric equality is typeless,
+    the hash must be too."""
+    v = _norm_stat(value)
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+def _bloom_hashes(canon, n_bits: int, k: int):
+    """k deterministic bit positions for an already-canonical value (double
+    hashing over the md5 digest — stable across processes/hosts, unlike
+    hash()).  Both sides must canonicalize through _bloom_canon so the
+    probe (a Python literal) and the build (parquet column values) agree
+    byte-for-byte."""
+    import hashlib
+    d = hashlib.md5(repr(canon).encode()).digest()
+    h1 = int.from_bytes(d[:8], 'big')
+    h2 = int.from_bytes(d[8:], 'big') | 1
+    return [(h1 + i * h2) % n_bits for i in range(k)]
+
+
+_BLOOM_K = 5
+
+
+def _build_file_bloom(path: str, col: str) -> Optional[dict]:
+    """Bloom filter over one column of one parquet file (Iceberg puffin /
+    parquet bloom semantics, stored in the manifest): ~16 bits/row (<3%
+    false positives at k=5), sized to the file, capped at 128 KiB of bits.
+    Reads ONLY the target column (columnar projection) — at a real writer
+    this folds into the write itself.  Returns None when the column is
+    missing/unsupported."""
+    import base64
+    import pyarrow.parquet as pq
+    try:
+        tbl = pq.read_table(path, columns=[col])
+    except Exception:
+        return None
+    arr = tbl.column(0)
+    n = len(arr)
+    if n == 0:
+        return None
+    n_bits = 1 << max(10, min(20, (16 * n - 1).bit_length()))
+    bits = bytearray(n_bits // 8)
+    for v in arr.to_pylist():
+        c = _bloom_canon(v)
+        if c is None:
+            continue          # null / unhashable: bloom can't speak for it
+        for pos in _bloom_hashes(c, n_bits, _BLOOM_K):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {'n_bits': n_bits, 'k': _BLOOM_K,
+            'bits': base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False ONLY when the file definitely lacks the value.  A probe value
+    the bloom can't soundly hash (None canon) returns True — never prune on
+    a representation the build side couldn't see."""
+    import base64
+    c = _bloom_canon(value)
+    if c is None:
+        return True
+    bits = base64.b64decode(bloom['bits'])
+    for pos in _bloom_hashes(c, bloom['n_bits'], bloom['k']):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def zorder_key(df: DataFrame, cols, bits_per_col: int = 8,
                out_col: str = '_z') -> DataFrame:
     """Adds ``out_col``: the Morton (Z-order) key of ``cols`` — per-column
@@ -221,7 +294,7 @@ class IcebergishTable:
 
     def append(self, df: DataFrame, partition_by=('source',), properties: dict = None,
                invalidates=(), cluster_by=None, zorder_by=None, n_files: int = None,
-               _parent: int = None, _advance_hint: bool = True) -> dict:
+               bloom_cols=None, _parent: int = None, _advance_hint: bool = True) -> dict:
         """Append df as a new snapshot; returns the snapshot dict.
 
         ``properties`` lands in the manifest entry — callers put lineage /
@@ -245,7 +318,14 @@ class IcebergishTable:
         ``zorder_by``: multi-column clustering on the Morton key instead
         (see :func:`zorder_key`) — narrower per-file ranges on EVERY listed
         column, so point/range predicates on ANY of them prune files;
-        single-column ``cluster_by`` prunes only its own column."""
+        single-column ``cluster_by`` prunes only its own column.
+
+        ``bloom_cols``: per-file Bloom filters recorded in the manifest
+        (Iceberg puffin-style).  min/max stats cannot prune POINT lookups
+        on a high-cardinality column the write is not clustered by — every
+        file's range contains every id — but a ~16-bits/row bloom answers
+        "definitely not in this file" for equality predicates, turning a
+        needle-in-100TB doc_id lookup into a handful of file reads."""
         os.makedirs(self.meta_dir, exist_ok=True)
         parent = self.current_snapshot_id() if _parent is None else _parent
         sid = self._next_sid()
@@ -262,6 +342,8 @@ class IcebergishTable:
             cols = list(cluster_by)
             df = (df.repartitionByRange(n_files, *cols) if n_files
                   else df.repartitionByRange(*cols)).sortWithinPartitions(*cols)
+        elif n_files:
+            df = df.repartition(n_files)  # unclustered: bound file count only
         writer = df.write.mode('error')
         if partition_by:
             writer = writer.partitionBy(*list(partition_by))
@@ -274,11 +356,17 @@ class IcebergishTable:
                     p = os.path.join(dirpath, name)
                     rel = os.path.relpath(p, self.root)
                     f_rows, f_stats = _file_column_stats(p)
-                    files.append({'path': rel,
-                                  'bytes': os.path.getsize(p),
-                                  'rows': f_rows,
-                                  'partition': _path_partition_values(rel),
-                                  'stats': f_stats})
+                    entry = {'path': rel,
+                             'bytes': os.path.getsize(p),
+                             'rows': f_rows,
+                             'partition': _path_partition_values(rel),
+                             'stats': f_stats}
+                    if bloom_cols:
+                        blooms = {c: _build_file_bloom(p, c)
+                                  for c in bloom_cols}
+                        entry['blooms'] = {c: b for c, b in blooms.items()
+                                           if b is not None}
+                    files.append(entry)
         snap = {
             'snapshot_id': sid,
             'parent': parent,
@@ -645,7 +733,11 @@ class IcebergishTable:
         irrelevant to the keep/prune decision."""
         part = entry.get('partition', {})
         stats = entry.get('stats', {})
+        blooms = entry.get('blooms', {})
         for col, op, val in predicates:
+            if op == '=' and col in blooms:
+                if not _bloom_may_contain(blooms[col], val):
+                    return False
             if col in part:
                 # hidden-partition values are path strings; only equality is
                 # type-safe on the string form (ranges on e.g. int-valued

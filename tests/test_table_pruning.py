@@ -265,3 +265,97 @@ def test_zorder_write_prunes_on_every_dimension(spark, events, tmp_path):
     vals = [r['_z'] for r in zk.select('_z').collect()]
     assert all(0 <= v < (1 << 8) for v in vals)
     assert len(set(vals)) > 1
+
+
+# -- per-file bloom filters (manifest point-lookup pruning) ------------------
+
+@pytest.fixture()
+def bloom_table(spark, events, tmp_path):
+    """Unclustered 16-file write (every file spans the full event_id range,
+    so min/max stats are useless for point lookups) with manifest blooms on
+    the two id columns.  event_id % 3 == 0 rows are withheld so in-range
+    ABSENT probes exist."""
+    t = IcebergishTable(str(tmp_path / 'bl'))
+    t.append(events.filter(F.col('event_id') % 3 != 0), partition_by=(),
+             n_files=16, bloom_cols=['event_id', 'user_id'])
+    return t
+
+
+def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, events, bloom_table):
+    entries = bloom_table.snapshot(0)['manifest']['entries']
+    assert all('event_id' in e.get('blooms', {}) for e in entries)
+    # the write is unclustered: min/max alone keeps every file for an
+    # in-range probe (ranges all span ~the full id domain)
+    present = [r['event_id'] for r in
+               events.filter(F.col('event_id') % 3 != 0).limit(20).collect()]
+    for eid in present[:5]:
+        plan = bloom_table.plan_files([('event_id', '=', int(eid))])
+        assert plan['n_total'] == 16
+        # a unique id lives in exactly one file; allow bloom false positives
+        assert 1 <= plan['n_kept'] <= 4
+        got = _sorted_rows(bloom_table.scan(spark, [('event_id', '=', int(eid))]))
+        exp = _sorted_rows(events.filter(F.col('event_id') == int(eid)))
+        assert got == exp and len(got) == 1
+
+
+def test_bloom_absent_inrange_probe_prunes_to_near_zero(bloom_table):
+    # ids divisible by 3 are in-range (min/max keeps all files) but absent
+    kept = [bloom_table.plan_files([('event_id', '=', eid)])['n_kept']
+            for eid in range(0, 300, 3)]
+    # ~2-3% per-file fp rate at 16 bits/row: overwhelmingly 0 files kept
+    assert sum(kept) <= len(kept) * 2
+    assert kept.count(0) >= len(kept) * 3 // 4
+
+
+def test_bloom_no_false_negatives_across_all_present_ids(spark, events, bloom_table):
+    """Soundness: every present id must keep >= 1 file and scan must equal
+    full-read + filter (the bloom may only ever over-keep)."""
+    present = [int(r['event_id']) for r in
+               events.filter(F.col('event_id') % 3 != 0).collect()]
+    for eid in present:
+        assert bloom_table.plan_files([('event_id', '=', eid)])['n_kept'] >= 1
+
+
+def test_bloom_numeric_type_coercion_is_sound(spark, events, bloom_table):
+    """SQL equality is typeless: probing an int64 column with the equal
+    FLOAT literal must not prune the containing file."""
+    eid = int(events.filter(F.col('event_id') % 3 != 0)
+              .first()['event_id'])
+    plan_i = bloom_table.plan_files([('event_id', '=', eid)])
+    plan_f = bloom_table.plan_files([('event_id', '=', float(eid))])
+    assert plan_f['kept'] == plan_i['kept'] and plan_i['n_kept'] >= 1
+    got = _sorted_rows(bloom_table.scan(spark, [('event_id', '=', float(eid))]))
+    exp = _sorted_rows(events.filter(F.col('event_id') == eid))
+    assert got == exp and len(got) == 1
+
+
+def test_bloom_only_equality_consults_the_bloom(spark, events, bloom_table):
+    """Range ops must ignore blooms entirely (a bloom cannot answer them):
+    a range over the bloom column keeps all files and scans exactly."""
+    plan = bloom_table.plan_files([('event_id', '>', 500)])
+    assert plan['n_kept'] == plan['n_total']
+    got = _sorted_rows(bloom_table.scan(spark, [('event_id', '>', 500)]))
+    exp = _sorted_rows(events.filter((F.col('event_id') % 3 != 0)
+                                     & (F.col('event_id') > 500)))
+    assert got == exp and len(got) > 0
+
+
+def test_bloom_unit_determinism_and_unhashable_probe():
+    """Same file -> bit-identical bloom (manifests must be reproducible);
+    a probe value the bloom cannot canonicalize never prunes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from changepoynt_spark.sources.tables import (
+        _build_file_bloom, _bloom_may_contain)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 'f.parquet')
+        pq.write_table(pa.table({'x': [1, 2, 3, None], 's': ['a', 'b', 'c', 'd']}), p)
+        b1, b2 = _build_file_bloom(p, 'x'), _build_file_bloom(p, 'x')
+        assert b1 == b2
+        assert all(_bloom_may_contain(b1, v) for v in (1, 2, 3, 1.0, 2.0))
+        assert not _bloom_may_contain(b1, 4)
+        assert _bloom_may_contain(b1, True)      # bool canon is None: keep
+        bs = _build_file_bloom(p, 's')
+        assert _bloom_may_contain(bs, 'a') and not _bloom_may_contain(bs, 'z')
+        assert _build_file_bloom(p, 'missing') is None
