@@ -1316,6 +1316,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ca_1h.refresh(spark)
         return _round_rollup(ca_1h.read(spark))
 
+    def events_realtime_agg(spark, sf_dir):
+        # REAL-TIME continuous aggregate (ContinuousAggregate.read_realtime,
+        # TimescaleDB real-time aggregates): the tier is materialized
+        # through the FIRST of three raw appends; the two unreflected
+        # appends are merged on read as an on-the-fly partial over just
+        # their snapshot delta (never re-aggregating reflected history).
+        # Oracle = full 1h rollup over all events — hash-green proves
+        # materialized-tier + delta-tail == full recompute, including the
+        # watermark-straddling buckets (commutative-monoid partial merge).
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select('user_id', 'ts', 'value')
+        root = tempfile.mkdtemp(prefix='rtagg-')
+        raw = IcebergishTable(_os.path.join(root, 'raw'))
+        ca = ContinuousAggregate(raw, _os.path.join(root, 'tier'),
+                                 ['user_id'], interval='1 hour',
+                                 partition_by=())
+        for i in range(3):
+            raw.append(ev.filter(F.pmod(F.xxhash64('user_id', 'ts'),
+                                        F.lit(3)) == i), partition_by=())
+            if i == 0:
+                ca.refresh(spark)
+        return _round_rollup(ca.read_realtime(spark))
+
     def events_pruned_scan(spark, sf_dir):
         # manifest-stats scan planning (IcebergishTable.plan_files/scan):
         # events land in 3 time-sliced snapshot appends hidden-partitioned
@@ -1409,6 +1435,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.scan(spark, preds).select(
             'event_id', 'ts', 'user_id', 'event_type',
             F.round('value', 6).alias('value'))
+
+    def events_bloom_point_scan(spark, sf_dir):
+        # Per-file BLOOM-filter point lookups (IcebergishTable bloom_cols,
+        # Iceberg puffin-style): the write is deliberately UNCLUSTERED on
+        # event_id, so every file's min/max spans ~the whole id domain and
+        # footer stats cannot prune a point probe — the manifest blooms
+        # answer "definitely not in this file" instead, keeping ~1 of 16
+        # files per id (asserted).  This is the needle-in-100TB doc_id
+        # lookup path.  Oracle = plain WHERE event_id IN (...); hash-green
+        # proves bloom pruning never drops a matching row.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='bloom-'), 'ev'))
+        t.append(ev, partition_by=(), n_files=16, bloom_cols=['event_id'])
+        out = None
+        for eid in (3, 57, 400, 801):        # present at every SF (dense ids)
+            plan = t.plan_files([('event_id', '=', eid)])
+            assert plan['n_total'] == 16 and plan['n_kept'] <= 4, plan
+            part = t.scan(spark, [('event_id', '=', eid)])
+            out = part if out is None else out.unionByName(part)
+        return out.select('event_id', 'ts', 'user_id', 'event_type',
+                          F.round('value', 6).alias('value'))
 
     def events_upsert_merge(spark, sf_dir):
         # Atomic MERGE INTO (IcebergishTable.upsert, Iceberg v2 row delta):
@@ -2143,7 +2194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_rollup_1d_cascade': events_rollup_1d_cascade,
         'events_backfill_merge': events_backfill_merge,
         'events_continuous_agg': events_continuous_agg,
+        'events_realtime_agg': events_realtime_agg,
         'events_pruned_scan': events_pruned_scan,
+        'events_bloom_point_scan': events_bloom_point_scan,
         'events_hier_continuous_agg': events_hier_continuous_agg,
         'events_mor_delete': events_mor_delete,
         'events_cow_delete': events_cow_delete,
@@ -2311,6 +2364,8 @@ def oracle_sql() -> dict[str, str]:
         'events_backfill_merge': rollup_tier('minute'),
         # full recompute over ALL events == the snapshot-delta refresh path
         'events_continuous_agg': rollup_tier('hour'),
+        # full recompute == materialized tier + on-the-fly delta tail
+        'events_realtime_agg': rollup_tier('hour'),
         # direct 1h rollup == the raw -> 1m -> 1h incremental tier chain
         'events_hier_continuous_agg': rollup_tier('hour'),
         # plain WHERE over all events == the manifest-pruned file scan
@@ -2327,6 +2382,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value, 6) AS value
             FROM events
             WHERE NOT (event_id % 3 IN (0, 1) AND user_id % 11 = 4)
+        """,
+        # bloom-pruned point lookups == plain WHERE IN over all events
+        'events_bloom_point_scan': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE event_id IN (3, 57, 400, 801)
         """,
         # z-order-pruned two-dimensional scan == plain WHERE on both dims
         'events_zorder_scan': """

@@ -182,6 +182,46 @@ class ContinuousAggregate:
         """Finalized tier view (avg derived, anchors dropped)."""
         return finalize_rollup(self.read_partial(spark), self.keys)
 
+    def read_realtime(self, spark: SparkSession) -> DataFrame:
+        """TimescaleDB-style REAL-TIME aggregate: the materialized tier
+        merged with an on-the-fly partial over the raw rows appended since
+        the last :meth:`refresh` — readers always see current data without
+        paying a refresh-cadence staleness window, and without ever
+        re-aggregating reflected history (the on-the-fly leg scans ONLY the
+        snapshot delta, a micro-batch at 10^12-sequence scale).
+
+        Buckets straddling the watermark are exact: the partial form is a
+        commutative monoid, so a tier partial row and a delta partial row
+        for the same (keys, bucket) merge to precisely the full-recompute
+        row (decimal-exact sums, first/last ts anchors).
+
+        When the raw history since the watermark is NOT append-only (an
+        overwrite landed mid-range), falls back to a full on-the-fly
+        recompute of the CURRENT raw table — same semantics as
+        :meth:`refresh`'s full mode, but read-side only: nothing is
+        committed, the tier is untouched."""
+        frm = self.refreshed_through()
+        to = self.source.current_snapshot_id()
+        assert to >= 0, f'source table {self.source.root} has no snapshots'
+        if frm < 0:
+            # never refreshed: everything on the fly
+            return finalize_rollup(
+                self._partial(self.source.read(spark, to)), self.keys)
+        if to == frm:
+            return self.read(spark)
+        try:
+            delta = self.source.read_delta(
+                spark, frm, to,
+                tolerate_ops=('expire', 'compact', 'tier-compact'))
+        except ValueError:
+            return finalize_rollup(
+                self._partial(self.source.read(spark, to)), self.keys)
+        part = self.tier.read(spark)
+        if delta is not None:
+            part = part.unionByName(self._partial(delta),
+                                    allowMissingColumns=True)
+        return finalize_rollup(merge_partials(part, self.keys), self.keys)
+
     def compact(self, spark: SparkSession) -> dict:
         """Collapse the merge-on-read pile into ONE merged-partial snapshot
         that invalidates every prior live tier snapshot.  Readers atomically

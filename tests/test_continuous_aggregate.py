@@ -266,3 +266,87 @@ def test_hierarchical_cascade_1m_tier_feeds_1h_tier(spark, events, tmp_path):
                                        exact_sum=True)
     _assert_tier_equal(ca_1m.read(spark), exp_1m)
     _assert_tier_equal(ca_1h.read(spark), exp_1h)
+
+
+# -- real-time aggregate reads ------------------------------------------------
+
+def test_realtime_read_merges_unreflected_tail(spark, events, tmp_path):
+    """Tier refreshed through batch 1, batches 2-3 only appended: the
+    real-time view must equal a full rollup over everything (watermark-
+    straddling buckets merge exactly), while read() still shows only the
+    materialized slice."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    ca.refresh(spark)
+    raw.append(b1, partition_by=())
+    raw.append(b2, partition_by=())
+
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca.read_realtime(spark), expected)
+    # nothing was committed by the read
+    assert ca.refreshed_through() == 0
+    exp_b0 = rollup.rollup_from_points(b0, KEYS, interval='1 hour',
+                                       exact_sum=True)
+    _assert_tier_equal(ca.read(spark), exp_b0)
+
+    # after catching up, realtime == materialized read
+    ca.refresh(spark)
+    _assert_tier_equal(ca.read_realtime(spark), expected)
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_realtime_read_never_refreshed_and_fallback_on_overwrite(spark, events, tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=())
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+
+    # never refreshed: the whole answer is computed on the fly
+    exp_b0 = rollup.rollup_from_points(b0, KEYS, interval='1 hour',
+                                       exact_sum=True)
+    _assert_tier_equal(ca.read_realtime(spark), exp_b0)
+
+    ca.refresh(spark)
+    raw.append(b1, partition_by=())
+    # a raw OVERWRITE past the watermark (delete_where rewrites files):
+    # the delta is no longer append-only, realtime must fall back to a
+    # full on-the-fly recompute of CURRENT raw — and commit nothing
+    uid = int(b1.first()['user_id'])
+    raw.delete_where(spark, [('user_id', '=', uid)])
+    raw.append(b2, partition_by=())
+
+    current = raw.read(spark)
+    expected = rollup.rollup_from_points(current, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca.read_realtime(spark), expected)
+    assert ca.refreshed_through() == 0
+    # the next refresh resolves it the same way (full mode)
+    assert ca.refresh(spark)['mode'] == 'full'
+    _assert_tier_equal(ca.read(spark), expected)
+
+
+def test_realtime_read_hierarchical_partial_source(spark, events, tmp_path):
+    """The 1h tier's realtime view over an un-refreshed 1m TIER delta:
+    rebucket_partials is the on-the-fly leg for source_kind='partial'."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca_1m = ContinuousAggregate(raw, str(tmp_path / 't1m'), KEYS,
+                                interval='1 minute', partition_by=())
+    ca_1h = ContinuousAggregate(ca_1m.tier, str(tmp_path / 't1h'), KEYS,
+                                interval='1 hour', partition_by=(),
+                                source_kind='partial')
+    b0, b1, b2 = _batches(events)
+    raw.append(b0, partition_by=())
+    ca_1m.refresh(spark)
+    ca_1h.refresh(spark)
+    raw.append(b1, partition_by=())
+    raw.append(b2, partition_by=())
+    ca_1m.refresh(spark)       # 1m is current; 1h is one refresh behind
+
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca_1h.read_realtime(spark), expected)
