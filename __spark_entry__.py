@@ -1461,6 +1461,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select('event_id', 'ts', 'user_id', 'event_type',
                           F.round('value', 6).alias('value'))
 
+    def events_partition_evolution(spark, sf_dir):
+        # PARTITION-SPEC EVOLUTION (Iceberg: specs are per-snapshot): three
+        # appends land under three different layouts — hidden-partitioned
+        # by event_type, unpartitioned, hidden-partitioned by user_id — and
+        # a predicate scan prunes each snapshot by ITS OWN spec (path
+        # values where partitioned, footer stats where not).  Oracle =
+        # plain WHERE over all events; hash-green proves the evolved table
+        # reads as one table with nothing dropped or duplicated.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='specev-'), 'ev'))
+        t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 0),
+                 partition_by=('event_type',))
+        t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 1), partition_by=())
+        t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 2),
+                 partition_by=('user_id',))
+        preds = [('user_id', '<=', 30)]
+        plan = t.plan_files(preds)
+        assert plan['n_kept'] < plan['n_total'], plan
+        return t.scan(spark, preds).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'))
+
+    def events_schema_evolution(spark, sf_dir):
+        # SCHEMA EVOLUTION (Iceberg add-column): the second append carries
+        # a NEW column; rows from the first snapshot read it as NULL.  The
+        # oracle restates exactly that with a CASE — hash-green proves the
+        # evolved read is positionally exact, nulls included.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='schev-'), 'ev'))
+        t.append(ev.filter(F.pmod('event_id', F.lit(2)) == 0), partition_by=())
+        t.append(ev.filter(F.pmod('event_id', F.lit(2)) == 1)
+                   .withColumn('score', F.round(F.col('value') * 2, 6)),
+                 partition_by=())
+        return t.read(spark).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'),
+            F.round('score', 6).alias('score'))
+
+    def events_rollback_fork(spark, sf_dir):
+        # SNAPSHOT ROLLBACK (Iceberg rollback: one atomic version-hint
+        # flip, zero data movement at any scale): slices 0,1 land, the
+        # table rolls back to snapshot 0 (slice 1 becomes an unreachable
+        # orphan whose id is never reused), then slice 2 appends on the
+        # FORKED lineage.  Oracle = slices 0 and 2 only; hash-green proves
+        # the rolled-back rows are invisible and the fork is clean.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select(
+            'event_id', 'ts', 'user_id', 'event_type', 'value')
+        t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='rollb-'), 'ev'))
+        for i in (0, 1):
+            t.append(ev.filter(F.pmod('event_id', F.lit(3)) == i),
+                     partition_by=())
+        rep = t.rollback(0)
+        assert rep['orphaned'] == [1], rep
+        snap = t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 2),
+                        partition_by=())
+        assert snap['snapshot_id'] == 2 and snap['parent'] == 0, snap
+        return t.read(spark).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'))
+
     def events_upsert_merge(spark, sf_dir):
         # Atomic MERGE INTO (IcebergishTable.upsert, Iceberg v2 row delta):
         # ONE logical commit that doubles the value of every event_id%5==0
@@ -2197,6 +2268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_realtime_agg': events_realtime_agg,
         'events_pruned_scan': events_pruned_scan,
         'events_bloom_point_scan': events_bloom_point_scan,
+        'events_partition_evolution': events_partition_evolution,
+        'events_schema_evolution': events_schema_evolution,
+        'events_rollback_fork': events_rollback_fork,
         'events_hier_continuous_agg': events_hier_continuous_agg,
         'events_mor_delete': events_mor_delete,
         'events_cow_delete': events_cow_delete,
@@ -2389,6 +2463,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value, 6) AS value
             FROM events
             WHERE event_id IN (3, 57, 400, 801)
+        """,
+        # spec-evolved table scan == plain WHERE over all events
+        'events_partition_evolution': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE user_id <= 30
+        """,
+        # add-column evolution: pre-evolution rows read the column as NULL
+        'events_schema_evolution': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value,
+                   CASE WHEN event_id % 2 = 1 THEN ROUND(value * 2, 6)
+                        END AS score
+            FROM events
+        """,
+        # rollback orphans slice 1; the forked lineage holds slices 0 and 2
+        'events_rollback_fork': """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events
+            WHERE event_id % 3 IN (0, 2)
         """,
         # z-order-pruned two-dimensional scan == plain WHERE on both dims
         'events_zorder_scan': """

@@ -109,6 +109,25 @@ def _file_column_stats(path: str) -> dict:
     return out_rows, stats
 
 
+def _coerce_partition_value(pv: str, val):
+    """Typed view of a hidden-partition PATH value, matched to the
+    predicate value's type, for range comparison.  Returns None when the
+    coercion is unsound (null-partition markers, non-numeric strings,
+    timestamp/bool predicates) — the caller then falls through to the
+    conservative keep."""
+    if isinstance(val, bool) or not isinstance(val, (int, float, str)):
+        return None
+    if isinstance(val, str):
+        return pv                     # string ranges compare lexically, as SQL does
+    try:
+        return int(pv)
+    except ValueError:
+        try:
+            return float(pv)
+        except ValueError:
+            return None
+
+
 def _bloom_canon(value):
     """Canonical hashable form of a value for the bloom, or None when the
     value cannot be soundly hashed (the caller must then NOT consult the
@@ -275,6 +294,41 @@ class IcebergishTable:
             out.append(snap)
             sid = snap.get('parent', -1)
         return out[::-1]
+
+    def snapshot_as_of(self, ts_ms: int) -> int:
+        """Latest lineage snapshot committed at or before ``ts_ms`` — the
+        resolver behind Iceberg's ``FOR TIMESTAMP AS OF`` reads
+        (``read(spark, t.snapshot_as_of(ms))``).  -1 when the table had no
+        snapshot yet at that time."""
+        best = -1
+        for snap in self.history():
+            if snap['timestamp_ms'] <= ts_ms:
+                best = snap['snapshot_id']
+        return best
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Reset the table's CURRENT state to an ancestor snapshot
+        (Iceberg rollback): pure metadata, one atomic version-hint flip —
+        no data is touched at any scale.  The abandoned descendants stay on
+        disk as unreachable orphans (their ids are never reused:
+        :meth:`_next_sid` scans every snapshot file, reachable or not), so
+        a post-rollback append FORKS the lineage cleanly and a later
+        :meth:`vacuum` reclaims the orphans' files."""
+        cur = self.current_snapshot_id()
+        assert cur >= 0, f'table {self.root} has no snapshots'
+        chain, sid = [], cur
+        while sid >= 0:
+            chain.append(sid)
+            sid = self.snapshot(sid).get('parent', -1)
+        if snapshot_id not in chain:
+            raise ValueError(
+                f'snapshot {snapshot_id} is not an ancestor of the current '
+                f'snapshot {cur} (lineage: {chain[::-1]}); rollback only '
+                f'restores a state the table actually had')
+        self._advance_hint(snapshot_id)
+        orphaned = [c for c in chain if c > snapshot_id]
+        return {'rolled_back_to': int(snapshot_id), 'from': int(cur),
+                'orphaned': sorted(orphaned)}
 
     # -- write / read ----------------------------------------------------------
 
@@ -739,13 +793,26 @@ class IcebergishTable:
                 if not _bloom_may_contain(blooms[col], val):
                     return False
             if col in part:
-                # hidden-partition values are path strings; only equality is
-                # type-safe on the string form (ranges on e.g. int-valued
-                # partitions would compare lexically) — other ops fall
-                # through to footer stats, which partitioned files also have
+                # hidden-partition values are path strings.  Equality
+                # compares the string form; range ops compare TYPED — the
+                # path value coerced to the predicate value's type (Iceberg
+                # keeps identity-partition values typed in the manifest for
+                # exactly this) — because an identity-partitioned file
+                # carries NO footer stats for its partition column, so this
+                # is the only chance to prune it.  Coercion failure
+                # (e.g. __HIVE_DEFAULT_PARTITION__) falls through
+                # conservatively.
                 if op == '=' and part[col] != str(val):
                     return False
                 if op == '=':
+                    continue
+                pv = _coerce_partition_value(part[col], val)
+                if pv is not None:
+                    if ((op == '<' and pv >= val)
+                            or (op == '<=' and pv > val)
+                            or (op == '>' and pv <= val)
+                            or (op == '>=' and pv < val)):
+                        return False
                     continue
             s = stats.get(col)
             nval = _norm_stat(val)
