@@ -1342,6 +1342,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ca.refresh(spark)
         return _round_rollup(ca.read_realtime(spark))
 
+    def tokens_continuous_agg(spark, sf_dir):
+        # The NORTH-STAR pipeline as a DERIVED continuous aggregate:
+        # pre-tokenized sequences (input_hint shape, md5 token variant so
+        # the stream is engine-portable) land in 3 snapshot appends; each
+        # refresh runs the row-local TRANSFORM (posexplode each doc's token
+        # array into timestamped points) on ONLY the snapshot delta and
+        # rolls it into a per-source 1m tier.  The first two batches are
+        # materialized, the third is covered by the REALTIME read.  Oracle
+        # = DuckDB tokenize + zipped-unnest + full GROUP BY; hash-green
+        # proves transform-on-delta incremental + realtime tail == full
+        # recompute, cross-engine.  (first/last anchors excluded: token
+        # positions tie across docs, so those anchors are merge-order-
+        # ambiguous by construction.)
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        toks = text.tokenize_documents(_read(spark, sf_dir, 'documents'),
+                                       hash_fn='md5')
+
+        def transform(df):
+            return df.select(
+                'source', F.posexplode('tokens').alias('pos', 'tok')).select(
+                'source',
+                F.expr("timestampadd(SECOND, pos, TIMESTAMP '2026-01-01')")
+                 .alias('ts'),
+                F.col('tok').cast('double').alias('value'))
+
+        root = tempfile.mkdtemp(prefix='tokca-')
+        raw = IcebergishTable(_os.path.join(root, 'raw'))
+        ca = ContinuousAggregate(raw, _os.path.join(root, 'tier'),
+                                 ['source'], interval='1 minute',
+                                 partition_by=(), transform=transform)
+        b = F.pmod(F.xxhash64('doc_id'), F.lit(3))
+        for i in range(3):
+            raw.append(toks.filter(b == i), partition_by=())
+            if i < 2:
+                ca.refresh(spark)
+        sum_d = F.col('sum_value').cast('double')
+        return ca.read_realtime(spark).select(
+            'source', 'bucket_start', 'cnt_points',
+            F.round(sum_d, 6).alias('sum_value'),
+            'min_value', 'max_value',
+            F.round(sum_d / F.col('cnt_points'), 6).alias('avg_value'))
+
     def events_pruned_scan(spark, sf_dir):
         # manifest-stats scan planning (IcebergishTable.plan_files/scan):
         # events land in 3 time-sliced snapshot appends hidden-partitioned
@@ -2266,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_backfill_merge': events_backfill_merge,
         'events_continuous_agg': events_continuous_agg,
         'events_realtime_agg': events_realtime_agg,
+        'tokens_continuous_agg': tokens_continuous_agg,
         'events_pruned_scan': events_pruned_scan,
         'events_bloom_point_scan': events_bloom_point_scan,
         'events_partition_evolution': events_partition_evolution,
@@ -2440,6 +2486,31 @@ def oracle_sql() -> dict[str, str]:
         'events_continuous_agg': rollup_tier('hour'),
         # full recompute == materialized tier + on-the-fly delta tail
         'events_realtime_agg': rollup_tier('hour'),
+        # tokenize -> explode -> CA tier: full recompute == delta-transform
+        # incremental + realtime tail
+        'tokens_continuous_agg': """
+            WITH toks AS (
+              SELECT source,
+                     list_transform(string_split(text, ' '),
+                                    w -> CAST('0x' || substring(md5(w), 1, 8)
+                                              AS BIGINT) % 50257) AS tokens
+              FROM documents),
+            pts AS (
+              SELECT source,
+                     TIMESTAMP '2026-01-01'
+                       + INTERVAL 1 SECOND * unnest(range(len(tokens))) AS ts,
+                     CAST(unnest(tokens) AS DOUBLE) AS value
+              FROM toks)
+            SELECT source, date_trunc('minute', ts) AS bucket_start,
+                   COUNT(value) AS cnt_points,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                     AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(value), 6) AS avg_value
+            FROM pts GROUP BY 1, 2
+        """,
         # direct 1h rollup == the raw -> 1m -> 1h incremental tier chain
         'events_hier_continuous_agg': rollup_tier('hour'),
         # plain WHERE over all events == the manifest-pruned file scan

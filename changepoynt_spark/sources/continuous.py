@@ -51,13 +51,26 @@ class ContinuousAggregate:
     def __init__(self, source: IcebergishTable, tier_root: str, keys,
                  ts_col: str = 'ts', value_col: str = 'value',
                  interval: str = '1 minute', partition_by=None,
-                 source_kind: str = 'points'):
+                 source_kind: str = 'points', transform=None):
         self.source = source
         self.tier = IcebergishTable(tier_root)
         self.keys = list(keys)
         self.ts_col = ts_col
         self.value_col = value_col
         self.interval = interval
+        # transform: DataFrame -> DataFrame mapped over each SOURCE DELTA
+        # before the rollup (and over the full source on fallback) — the
+        # hook that makes a DERIVED tier continuous: tokenize/explode a
+        # sequence table into points, or run the change-point kernels so
+        # SCORED points flow into the tier incrementally.  It MUST be
+        # row-local (each output row a function of exactly one input row,
+        # e.g. mapInPandas scoring / posexplode) — that is what makes
+        # transform(delta) == delta-of-transform, i.e. incremental refresh
+        # == full recompute.  Cross-row transforms would need a halo and
+        # are out of contract.
+        assert transform is None or source_kind == 'points', \
+            'transform applies to raw sources only (a partial source is already in tier form)'
+        self.transform = transform
         self.partition_by = tuple(partition_by) if partition_by is not None \
             else (tuple(self.keys[:1]) if self.keys else ())
         assert source_kind in ('points', 'partial'), source_kind
@@ -89,6 +102,8 @@ class ContinuousAggregate:
     def _partial(self, df: DataFrame) -> DataFrame:
         if self.source_kind == 'partial':
             return rebucket_partials(df, self.keys, self.interval)
+        if self.transform is not None:
+            df = self.transform(df)
         return rollup_partial(df, self.keys, ts_col=self.ts_col,
                               value_col=self.value_col, interval=self.interval)
 

@@ -999,16 +999,26 @@ class IcebergishTable:
 
     def vacuum(self) -> list:
         """Physically delete data files of snapshots invalidated by the
-        current lineage (logical deletes become physical).  Returns the
+        current lineage (logical deletes become physical) AND of snapshots
+        not reachable from it at all — :meth:`rollback` forks and crashed
+        multi-snapshot commits leave such orphans, whose ids are never
+        reused but whose bytes would otherwise leak forever.  Returns the
         removed snapshot ids.  Metadata is kept (history stays auditable);
         time travel to a vacuumed snapshot raises on read."""
+        import re
         import shutil
-        dead = set()
+        dead, reachable = set(), set()
         cur = self.current_snapshot_id()
         while cur >= 0:
             snap = self.snapshot(cur)
+            reachable.add(cur)
             dead.update(snap.get('invalidates', []))
             cur = snap.get('parent', -1)
+        if os.path.isdir(self.meta_dir):
+            for name in os.listdir(self.meta_dir):
+                m = re.match(r'snapshot-(\d+)\.json$', name)
+                if m and int(m.group(1)) not in reachable:
+                    dead.add(int(m.group(1)))   # orphaned fork / crash debris
         removed = []
         for sid in sorted(dead):
             d = os.path.join(self.data_dir, f'snap-{sid}')

@@ -350,3 +350,71 @@ def test_realtime_read_hierarchical_partial_source(spark, events, tmp_path):
     expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
                                          exact_sum=True)
     _assert_tier_equal(ca_1h.read_realtime(spark), expected)
+
+
+# -- derived (transformed) tiers ----------------------------------------------
+
+def test_scored_tier_incremental_equals_full(spark, tmp_path):
+    """The north-star pipeline as a CONTINUOUS aggregate: token sequences
+    land in snapshot appends; each refresh scores ONLY the delta docs
+    (score_series is row-local: one doc -> one score array) and rolls the
+    exploded score points into the tier.  Three incremental refreshes must
+    equal a one-shot score+rollup of everything, and the realtime view must
+    cover unreflected docs."""
+    from changepoynt_spark.operators.scoring import explode_scores, score_series
+    from changepoynt_spark.sources.datagen import tokens_table
+
+    toks = tokens_table(spark, n_docs=30, seed=7, max_len=2000,
+                        include_golden=False).cache()
+    toks.count()
+
+    def transform(df):
+        scored = score_series(df, algorithm='moving_window',
+                              params={'window_length': 20, 'method': 'mean'})
+        pts = explode_scores(scored)
+        return pts.select(
+            'source',
+            F.expr("timestampadd(SECOND, pos, TIMESTAMP '2026-01-01')").alias('ts'),
+            F.col('score').alias('value'))
+
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), ['source'],
+                             interval='1 minute', partition_by=(),
+                             transform=transform)
+    b = F.pmod(F.xxhash64('doc_id'), F.lit(3))
+    for i in range(3):
+        raw.append(toks.filter(b == i), partition_by=())
+        if i < 2:
+            ca.refresh(spark)
+
+    expected = rollup.rollup_from_points(transform(toks), ['source'],
+                                         interval='1 minute', exact_sum=True)
+
+    def cmp(df):
+        pdf = df.toPandas().sort_values(['source', 'bucket_start']).reset_index(drop=True)
+        return pdf
+    # first/last are excluded: many docs of one source share identical ts
+    # positions, so the first/last-at-min/max-ts anchors are tie-ambiguous
+    # across merge orders (events-style inputs have unique ts per key)
+    tie_free = ['cnt_points', 'sum_value', 'min_value', 'max_value', 'avg_value']
+    got_rt = cmp(ca.read_realtime(spark))
+    exp = cmp(expected)
+    assert len(got_rt) == len(exp) > 0
+    for col in tie_free:
+        np.testing.assert_allclose(got_rt[col].to_numpy(dtype=float),
+                                   exp[col].to_numpy(dtype=float),
+                                   rtol=0, atol=0, err_msg=col)
+
+    ca.refresh(spark)
+    got = cmp(ca.read(spark))
+    for col in tie_free:
+        np.testing.assert_allclose(got[col].to_numpy(dtype=float),
+                                   exp[col].to_numpy(dtype=float),
+                                   rtol=0, atol=0, err_msg=col)
+
+
+def test_transform_rejected_on_partial_source(tmp_path):
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    with pytest.raises(AssertionError, match='raw sources only'):
+        ContinuousAggregate(raw, str(tmp_path / 'tier'), [],
+                            source_kind='partial', transform=lambda df: df)

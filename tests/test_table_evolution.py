@@ -165,3 +165,19 @@ def test_partition_range_predicate_prunes_typed(spark, events, tmp_path):
     got = _rows(t.scan(spark, [('user_id', '<=', cut)]))
     exp = _rows(events.filter(F.col('user_id') <= cut))
     assert got == exp and len(got) > 0
+
+
+def test_vacuum_reclaims_rollback_orphans(spark, events, tmp_path):
+    import os
+    t = IcebergishTable(str(tmp_path / 'ev'))
+    a = events.filter(F.col('event_id') % 2 == 0)
+    b = events.filter(F.col('event_id') % 2 == 1)
+    t.append(a, partition_by=())
+    t.append(b, partition_by=())
+    t.rollback(0)
+    t.append(b, partition_by=())            # fork: snapshot 2
+    assert os.path.isdir(os.path.join(t.data_dir, 'snap-1'))
+    removed = t.vacuum()
+    assert removed == [1]                   # the orphaned fork is reclaimed
+    assert not os.path.isdir(os.path.join(t.data_dir, 'snap-1'))
+    assert _rows(t.read(spark)) == _rows(events)   # live lineage untouched
