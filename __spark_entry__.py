@@ -396,6 +396,28 @@ def _sax_discords_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     """
 
 
+def _sax_motifs_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
+                    k: int = 20) -> str:
+    """Oracle for the SAX motif candidates: the numerosity-reduced words
+    oracle as a CTE, per-word occurrence counts with first/last frame, the
+    same deterministic (count desc, word asc) total order."""
+    return f"""
+    WITH w AS ({_sax_words_sql(alphabet, w, frame_sec, keyed=False,
+                               numerosity=True)}),
+    c AS (SELECT word, COUNT(*) AS n_occurrences,
+                 MIN(frame_start) AS first_frame,
+                 MAX(frame_start) AS last_frame
+          FROM w GROUP BY word),
+    r AS (SELECT word, n_occurrences, first_frame, last_frame,
+                 row_number() OVER (ORDER BY n_occurrences DESC,
+                                    word ASC) AS rnk
+          FROM c)
+    SELECT word, n_occurrences, first_frame, last_frame,
+           CAST(rnk AS INTEGER) AS rank
+    FROM r WHERE rnk <= {k}
+    """
+
+
 def _dsir_sql(target_sources, dim: int = 64) -> str:
     """Oracle for the DSIR importance weights: the same md5 hash buckets
     (the proven hash_embed/quality-model bucket form), the same add-one
@@ -1316,6 +1338,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ca_1h.refresh(spark)
         return _round_rollup(ca_1h.read(spark))
 
+    def events_tier_routed_6h(spark, sf_dir):
+        # CONTINUOUS-AGGREGATE ROUTING (retention.route_tier/rollup_at,
+        # the TimescaleDB/Druid query-rewrite step): a 6-hour aggregate is
+        # served from the COARSEST stored tier that divides it — the 1h
+        # tier, re-merging ~6 rows/key algebraically (asserted) — never the
+        # 1m tier (~360 rows/key) and never raw.  Oracle = direct 6h
+        # epoch-bucket rollup from raw events; hash-green proves the routed
+        # cascade re-merge is exact at a resolution NO tier stores.
+        from changepoynt_spark.operators import retention
+        tiers = _rollup_tiers(spark, sf_dir)
+        name, df = retention.rollup_at(tiers, ['user_id'], 6 * 3600)
+        assert name == '1h', name
+        return _round_rollup(df)
+
     def events_realtime_agg(spark, sf_dir):
         # REAL-TIME continuous aggregate (ContinuousAggregate.read_realtime,
         # TimescaleDB real-time aggregates): the tier is materialized
@@ -1871,6 +1907,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 interval='1 hour', alphabet=4)
         return rollup.sax_words(sax, [], w=4, frame_sec=3600, numerosity=True)
 
+    def events_sax_motifs(spark, sf_dir):
+        # SAX motif candidates (Lin/Keogh 2002, the dual of the discords):
+        # the k MOST frequent words in the numerosity-reduced stream mark
+        # recurring symbol patterns; first/last frame delimit where the
+        # pattern lives
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), [],
+                                interval='1 hour', alphabet=4)
+        words = rollup.sax_words(sax, [], w=4, frame_sec=3600,
+                                 numerosity=True)
+        return rollup.sax_motifs(words, [], k=20)
+
     def events_sax_discords(spark, sf_dir):
         # HOT SAX candidate ordering: the k globally rarest SAX words mark
         # the most anomalous stretches of the series (Keogh 2005's outer
@@ -2311,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_backfill_merge': events_backfill_merge,
         'events_continuous_agg': events_continuous_agg,
         'events_realtime_agg': events_realtime_agg,
+        'events_tier_routed_6h': events_tier_routed_6h,
         'tokens_continuous_agg': tokens_continuous_agg,
         'events_pruned_scan': events_pruned_scan,
         'events_bloom_point_scan': events_bloom_point_scan,
@@ -2359,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sax_1h': events_sax_1h,
         'events_sax_words_1h': events_sax_words_1h,
         'events_sax_words_nr_1h': events_sax_words_nr_1h,
+        'events_sax_motifs': events_sax_motifs,
         'events_sax_discords': events_sax_discords,
         'events_sax_type_dups': events_sax_type_dups,
         'doc_unigram_ppl': doc_unigram_ppl,
@@ -2486,6 +2535,11 @@ def oracle_sql() -> dict[str, str]:
         'events_continuous_agg': rollup_tier('hour'),
         # full recompute == materialized tier + on-the-fly delta tail
         'events_realtime_agg': rollup_tier('hour'),
+        # direct 6h epoch-bucket rollup from raw == the 1h-tier-routed
+        # algebraic re-merge (6h divides no date_trunc unit)
+        'events_tier_routed_6h': rollup_direct.replace(
+            "date_trunc('minute', ts)",
+            "CAST(to_timestamp(floor(epoch(ts) / 21600) * 21600) AS TIMESTAMP)"),
         # tokenize -> explode -> CA tier: full recompute == delta-transform
         # incremental + realtime tail
         'tokens_continuous_agg': """
@@ -3053,6 +3107,8 @@ def oracle_sql() -> dict[str, str]:
         'events_sax_words_nr_1h': _sax_words_sql(alphabet=4, w=4,
                                                  frame_sec=3600, keyed=False,
                                                  numerosity=True),
+        'events_sax_motifs': _sax_motifs_sql(alphabet=4, w=4,
+                                             frame_sec=3600, k=20),
         'events_sax_discords': _sax_discords_sql(alphabet=4, w=4,
                                                  frame_sec=3600, k=20),
         'events_sax_type_dups': _sax_series_dups_sql(alphabet=4, w=4,

@@ -972,6 +972,45 @@ def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
              .select(*keys, 'frame_start', 'word', 'word_count', 'rank'))
 
 
+def sax_motifs(words: DataFrame, keys, k: int = 20) -> DataFrame:
+    """Motif candidates over the SAX word stream — the dual of
+    :func:`sax_discords` and the original use of SAX words (Lin/Keogh/
+    Lonardi/Patel 2002, "Finding Motifs in Time Series"): the MOST frequent
+    words mark recurring symbol patterns, and counting word occurrences is
+    exactly their scalable motif-candidate step (the exact-distance
+    verification of candidate windows is a kernel-side concern).  Feed a
+    ``numerosity=True`` word stream (:func:`sax_words`) so a long flat
+    stretch counts once, not once per frame — Lin/Keogh 2003 §4's standard
+    correction for trivial matches.
+
+    One aggregate over the word stream per key; the output is bounded by
+    k x |keys| (and the vocabulary by alphabet^w), so the word-count tier
+    always broadcasts.  Deterministic total order: (count desc, word asc).
+    keys=[] takes the global top-k with orderBy().limit(k) — Spark's
+    TakeOrderedAndProject per-partition heap, no single-partition shuffle
+    (the sax_discords pattern).
+
+    Output: (keys, word, n_occurrences, first_frame, last_frame, rank) for
+    rank <= k — first/last_frame delimit where the recurring pattern lives.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    counts = (words.groupBy(*keys, 'word')
+                   .agg(F.count('*').alias('n_occurrences'),
+                        F.min('frame_start').alias('first_frame'),
+                        F.max('frame_start').alias('last_frame')))
+    order = [F.col('n_occurrences').desc(), F.col('word').asc()]
+    cols = keys + ['word', 'n_occurrences', 'first_frame', 'last_frame', 'rank']
+    if not keys:
+        topk = counts.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return topk.withColumn('rank', F.row_number().over(w)).select(*cols)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (counts.withColumn('rank', F.row_number().over(w))
+                  .filter(F.col('rank') <= k).select(*cols))
+
+
 def sax_series_dups(words: DataFrame, key: str, threshold: float = 0.0,
                     df_cap: int = None) -> DataFrame:
     """(series_a, series_b, jaccard) — near-duplicate SERIES by the Jaccard

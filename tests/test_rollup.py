@@ -836,3 +836,50 @@ def test_sax_discords_keys_empty_is_takeordered(spark):
     got = d.toPandas()
     assert got['rank'].tolist() == list(range(1, len(got) + 1))
     assert got['word_count'].is_monotonic_increasing
+
+
+def test_sax_motifs_planted_pattern_ranks_first(spark):
+    """Motif candidates rank the MOST frequent numerosity-reduced words
+    first; a planted recurring low/high pattern dominates, an anomalous
+    hour never reaches rank 1, and first/last_frame delimit the pattern's
+    span."""
+    import datetime as dt
+    pattern = [10.0, 60.0] * 10
+    pattern[9] = 200.0           # one anomalous hour amid the motif
+    rows = []
+    for h, mu in enumerate(pattern):
+        for m in range(4):
+            rows.append((dt.datetime(2026, 1, 1, h, m), mu + 0.1 * m))
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    sax = rollup.sax_rollup(df, [], interval='1 hour', alphabet=4)
+    words = rollup.sax_words(sax, [], w=3, frame_sec=3600, numerosity=True)
+    got = rollup.sax_motifs(words, [], k=5).toPandas()
+    assert got['rank'].tolist() == list(range(1, len(got) + 1))
+    assert got['n_occurrences'].is_monotonic_decreasing
+    # the top motif recurs and spans (first < last frame); the anomalous
+    # hour's words are singletons so they cannot hold rank 1
+    assert got['n_occurrences'].iloc[0] > 1
+    assert got['first_frame'].iloc[0] < got['last_frame'].iloc[0]
+    # deterministic tie-break: equal counts ordered by word asc
+    for i in range(1, len(got)):
+        if got['n_occurrences'].iloc[i] == got['n_occurrences'].iloc[i - 1]:
+            assert got['word'].iloc[i - 1] < got['word'].iloc[i]
+
+
+def test_sax_motifs_keyed_rank_window(spark):
+    """With keys, motifs rank within each key independently (rank restarts
+    at 1 per key) and the per-key counts ignore other keys."""
+    import datetime as dt
+    rows = []
+    for key, mus in (('a', [10.0, 60.0] * 8), ('b', [10.0, 20.0, 80.0] * 5)):
+        for h, mu in enumerate(mus):
+            for m in range(4):
+                rows.append((key, dt.datetime(2026, 1, 1, h, m), mu + 0.1 * m))
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    sax = rollup.sax_rollup(df, ['k'], interval='1 hour', alphabet=4)
+    words = rollup.sax_words(sax, ['k'], w=3, frame_sec=3600, numerosity=True)
+    got = rollup.sax_motifs(words, ['k'], k=3).toPandas()
+    for k in ('a', 'b'):
+        sub = got[got['k'] == k]
+        assert sub['rank'].tolist() == list(range(1, len(sub) + 1))
+        assert len(sub) > 0
