@@ -38,6 +38,7 @@ BNLJ_ALLOWLIST = {
     'events_sax_words_1h',
     'events_sax_words_nr_1h',
     'events_sax_discords',
+    'events_sax_motifs',
     # one broadcast row (raw/target corpus totals) joined to the dim-sized
     # bucket stats for the smoothed log-ratio weights
     'doc_dsir_weights',
