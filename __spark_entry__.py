@@ -418,6 +418,51 @@ def _sax_motifs_sql(alphabet: int = 4, w: int = 4, frame_sec: int = 3600,
     """
 
 
+def _sax_motif_pairs_sql(alphabet: int = 4, w: int = 4,
+                         frame_sec: int = 3600, k: int = 10,
+                         occ_cap: int = 200) -> str:
+    """Oracle for the exact-distance motif verification: same complete
+    contiguous windows carrying int64-quantized z vectors, same broadcast
+    of the top-k candidate words, same occurrence cap, same non-overlap
+    gate, same int64 squared distance and (d2, frame_a, frame_b) argmin."""
+    return f"""
+    WITH sax AS ({_sax_sql(alphabet, keyed=False)}),
+    occ0 AS (
+      SELECT frame_start,
+             string_agg(symbol, '') OVER win AS word,
+             list(CAST(round(z * 1000000) AS BIGINT)) OVER win AS zvec,
+             COUNT(symbol) OVER win AS n_sym,
+             MAX(frame_start) OVER win AS last_start
+      FROM sax
+      WINDOW win AS (ORDER BY frame_start
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)),
+    occ AS (SELECT frame_start, word, zvec FROM occ0
+            WHERE n_sym = {w}
+              AND epoch(last_start) - epoch(frame_start) = {(w - 1) * frame_sec}),
+    cand AS (SELECT word, n_occurrences
+             FROM ({_sax_motifs_sql(alphabet, w, frame_sec, k)})
+             WHERE n_occurrences >= 2),
+    joined AS (SELECT o.frame_start, o.word, o.zvec, c.n_occurrences
+               FROM occ o JOIN cand c ON o.word = c.word),
+    capped AS (SELECT *, row_number() OVER (PARTITION BY word
+                                            ORDER BY frame_start) AS rn
+               FROM joined),
+    cj AS (SELECT * FROM capped WHERE rn <= {occ_cap}),
+    pairs AS (
+      SELECT a.word, a.n_occurrences,
+             a.frame_start AS frame_a, b.frame_start AS frame_b,
+             CAST(list_sum(list_transform(range(1, {w + 1}),
+                    i -> (a.zvec[i] - b.zvec[i]) * (a.zvec[i] - b.zvec[i])))
+                  AS BIGINT) AS dist2_micro
+      FROM cj a JOIN cj b ON a.word = b.word
+       AND epoch(b.frame_start) - epoch(a.frame_start) >= {w * frame_sec}),
+    r AS (SELECT *, row_number() OVER (PARTITION BY word
+                 ORDER BY dist2_micro, frame_a, frame_b) AS rr FROM pairs)
+    SELECT word, n_occurrences, frame_a, frame_b, dist2_micro
+    FROM r WHERE rr = 1
+    """
+
+
 def _dsir_sql(target_sources, dim: int = 64) -> str:
     """Oracle for the DSIR importance weights: the same md5 hash buckets
     (the proven hash_embed/quality-model bucket form), the same add-one
@@ -1918,6 +1963,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  numerosity=True)
         return rollup.sax_motifs(words, [], k=20)
 
+    def events_sax_motif_pairs(spark, sf_dir):
+        # exact-distance motif VERIFICATION (Lin/Keogh step 2): for each
+        # top-10 candidate word, the closest NON-OVERLAPPING occurrence
+        # pair by true Euclidean distance of the z-normalized PAA windows —
+        # computed wholly in int64 micro-units (z is 6-decimal exact), so
+        # the argmin is bit-deterministic cross-engine
+        sax = rollup.sax_rollup(_read(spark, sf_dir, 'events'), [],
+                                interval='1 hour', alphabet=4)
+        return rollup.sax_motif_verify(sax, [], w=4, frame_sec=3600, k=10)
+
     def events_sax_discords(spark, sf_dir):
         # HOT SAX candidate ordering: the k globally rarest SAX words mark
         # the most anomalous stretches of the series (Keogh 2005's outer
@@ -2408,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_sax_words_1h': events_sax_words_1h,
         'events_sax_words_nr_1h': events_sax_words_nr_1h,
         'events_sax_motifs': events_sax_motifs,
+        'events_sax_motif_pairs': events_sax_motif_pairs,
         'events_sax_discords': events_sax_discords,
         'events_sax_type_dups': events_sax_type_dups,
         'doc_unigram_ppl': doc_unigram_ppl,
@@ -3109,6 +3165,8 @@ def oracle_sql() -> dict[str, str]:
                                                  numerosity=True),
         'events_sax_motifs': _sax_motifs_sql(alphabet=4, w=4,
                                              frame_sec=3600, k=20),
+        'events_sax_motif_pairs': _sax_motif_pairs_sql(alphabet=4, w=4,
+                                                       frame_sec=3600, k=10),
         'events_sax_discords': _sax_discords_sql(alphabet=4, w=4,
                                                  frame_sec=3600, k=20),
         'events_sax_type_dups': _sax_series_dups_sql(alphabet=4, w=4,

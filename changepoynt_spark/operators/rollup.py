@@ -1011,6 +1011,84 @@ def sax_motifs(words: DataFrame, keys, k: int = 20) -> DataFrame:
                   .filter(F.col('rank') <= k).select(*cols))
 
 
+def sax_motif_verify(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600,
+                     k: int = 10, occ_cap: int = 200) -> DataFrame:
+    """Exact-distance motif VERIFICATION — Lin/Keogh's second step: for
+    each of the top-``k`` candidate words (:func:`sax_motifs` over the
+    numerosity-reduced stream), find the closest pair of non-overlapping
+    occurrences by the actual Euclidean distance of their z-normalized PAA
+    windows.  SAX word counting proposes; this disposes — a word can be
+    frequent while its occurrences differ inside the symbol quantization,
+    and the true motif is the minimal-distance pair.
+
+    Integer-exact cross-engine (the LTTB discipline): the tier's z values
+    are 6-decimal-rounded doubles, so ``zq = round(z * 1e6)`` is an exact
+    int64 and the SQUARED distance is computed wholly in int64 micro-units
+    (``dist2_micro``) — bit-identical in any engine, no float ordering
+    ambiguity in the argmin.  Trivial matches are excluded the standard
+    way: pairs must not overlap (``frame_b - frame_a >= w * frame_sec``).
+
+    Scale shape: occurrences join candidate words by BROADCAST (<= k rows);
+    the pair join is per-word quadratic, so occurrences are capped at the
+    first ``occ_cap`` per (keys, word) — deterministic by frame_start, the
+    standard candidate-sampling bound (a word frequent enough to exceed the
+    cap has its motif pair inside any such prefix with overwhelming
+    likelihood, and the cap keeps the join <= k * occ_cap^2 rows at ANY
+    data size).
+
+    Output: (keys, word, n_occurrences, frame_a, frame_b, dist2_micro) —
+    one row per candidate word with >= 2 capped occurrences; argmin ties
+    break on (frame_a, frame_b).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    win = (Window.partitionBy(*keys).orderBy('frame_start')
+                 .rowsBetween(Window.currentRow, w - 1))
+    zq = F.round(F.col('z') * 1_000_000).cast('long')
+    span = (F.unix_timestamp(F.max('frame_start').over(win))
+            - F.unix_timestamp('frame_start'))
+    occ = (sax.select(*keys, 'frame_start',
+                      F.concat_ws('', F.collect_list('symbol').over(win))
+                       .alias('word'),
+                      F.collect_list(zq).over(win).alias('zvec'),
+                      F.count('symbol').over(win).alias('_n'),
+                      span.alias('_span'))
+              .filter((F.col('_n') == w)
+                      & (F.col('_span') == (w - 1) * frame_sec))
+              .drop('_n', '_span'))
+    cand = (sax_motifs(sax_words(sax, keys, w=w, frame_sec=frame_sec,
+                                 numerosity=True), keys, k=k)
+            .filter(F.col('n_occurrences') >= 2)
+            .select(*keys, 'word', 'n_occurrences'))
+    occ = occ.join(F.broadcast(cand), on=keys + ['word'])
+    cap_win = Window.partitionBy(*keys, 'word').orderBy('frame_start')
+    occ = (occ.withColumn('_rn', F.row_number().over(cap_win))
+              .filter(F.col('_rn') <= occ_cap).drop('_rn'))
+
+    a, b = occ.alias('a'), occ.alias('b')
+    cond = (F.col('a.word') == F.col('b.word'))
+    for kcol in keys:
+        cond = cond & (F.col(f'a.{kcol}') == F.col(f'b.{kcol}'))
+    cond = cond & ((F.unix_timestamp('b.frame_start')
+                    - F.unix_timestamp('a.frame_start')) >= w * frame_sec)
+    d2 = F.aggregate(
+        F.zip_with('a.zvec', 'b.zvec', lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast('long'), lambda acc, v: acc + v)
+    pairs = a.join(b, cond).select(
+        *[F.col(f'a.{kc}') for kc in keys],
+        F.col('a.word').alias('word'),
+        F.col('a.n_occurrences').alias('n_occurrences'),
+        F.col('a.frame_start').alias('frame_a'),
+        F.col('b.frame_start').alias('frame_b'),
+        d2.alias('dist2_micro'))
+    best = Window.partitionBy(*keys, 'word').orderBy(
+        F.col('dist2_micro').asc(), F.col('frame_a').asc(),
+        F.col('frame_b').asc())
+    return (pairs.withColumn('_r', F.row_number().over(best))
+                 .filter(F.col('_r') == 1).drop('_r'))
+
+
 def sax_series_dups(words: DataFrame, key: str, threshold: float = 0.0,
                     df_cap: int = None) -> DataFrame:
     """(series_a, series_b, jaccard) — near-duplicate SERIES by the Jaccard

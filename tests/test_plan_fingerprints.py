@@ -39,6 +39,9 @@ BNLJ_ALLOWLIST = {
     'events_sax_words_nr_1h',
     'events_sax_discords',
     'events_sax_motifs',
+    # same one-broadcast-row stats join, appearing once per sax-tier
+    # reference (occurrence windows + candidate words share the tier)
+    'events_sax_motif_pairs',
     # one broadcast row (raw/target corpus totals) joined to the dim-sized
     # bucket stats for the smoothed log-ratio weights
     'doc_dsir_weights',

@@ -883,3 +883,40 @@ def test_sax_motifs_keyed_rank_window(spark):
         sub = got[got['k'] == k]
         assert sub['rank'].tolist() == list(range(1, len(sub) + 1))
         assert len(sub) > 0
+
+
+def test_sax_motif_verify_planted_pair_and_nonoverlap(spark):
+    """Exact-distance verification: for a planted recurring pattern the
+    best pair is non-overlapping, int64-exact, and matches a numpy
+    recomputation of the quantized-z distance over the same frames."""
+    import datetime as dt
+    import numpy as np
+    pattern = [10.0, 60.0] * 10
+    pattern[9] = 200.0
+    rows = []
+    for h, mu in enumerate(pattern):
+        for m in range(4):
+            rows.append((dt.datetime(2026, 1, 1, h, m), mu + 0.1 * m))
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    sax = rollup.sax_rollup(df, [], interval='1 hour', alphabet=4)
+    w, frame_sec = 3, 3600
+    got = rollup.sax_motif_verify(sax, [], w=w, frame_sec=frame_sec,
+                                  k=5).toPandas()
+    assert len(got) > 0
+    # non-overlap gate and argmin determinism
+    for _, r in got.iterrows():
+        assert (r['frame_b'] - r['frame_a']).total_seconds() >= w * frame_sec
+        assert r['n_occurrences'] >= 2
+        assert r['dist2_micro'] >= 0
+
+    # recompute the best pair's distance from the tier directly
+    tier = sax.toPandas().sort_values('frame_start').reset_index(drop=True)
+    zq = {t: int(round(z * 1_000_000)) for t, z in
+          zip(tier['frame_start'], tier['z']) if z == z}
+    frames = sorted(zq)
+    top = got.sort_values('dist2_micro').iloc[0]
+    def vec(start):
+        i = frames.index(start)
+        return np.array([zq[frames[i + j]] for j in range(w)], dtype=np.int64)
+    d = vec(top['frame_a']) - vec(top['frame_b'])
+    assert int((d * d).sum()) == int(top['dist2_micro'])
