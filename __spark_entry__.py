@@ -1578,14 +1578,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'event_id', 'ts', 'user_id', 'event_type', 'value')
         t = IcebergishTable(_os.path.join(tempfile.mkdtemp(prefix='bloom-'), 'ev'))
         t.append(ev, partition_by=(), n_files=16, bloom_cols=['event_id'])
-        out = None
-        for eid in (3, 57, 400, 801):        # present at every SF (dense ids)
-            plan = t.plan_files([('event_id', '=', eid)])
-            assert plan['n_total'] == 16 and plan['n_kept'] <= 4, plan
-            part = t.scan(spark, [('event_id', '=', eid)])
-            out = part if out is None else out.unionByName(part)
-        return out.select('event_id', 'ts', 'user_id', 'event_type',
-                          F.round('value', 6).alias('value'))
+        ids = [3, 57, 400, 801]              # present at every SF (dense ids)
+        preds = [('event_id', 'in', ids)]    # ONE scan for the needle set
+        plan = t.plan_files(preds)
+        # 4 unique ids live in <= 4 of 16 files; allow bloom false positives
+        assert plan['n_total'] == 16 and plan['n_kept'] <= 8, plan
+        return t.scan(spark, preds).select(
+            'event_id', 'ts', 'user_id', 'event_type',
+            F.round('value', 6).alias('value'))
 
     def events_partition_evolution(spark, sf_dir):
         # PARTITION-SPEC EVOLUTION (Iceberg: specs are per-snapshot): three

@@ -664,7 +664,9 @@ class IcebergishTable:
         if not drop_whole and not straddle:
             return {'dropped_snapshots': [], 'rewritten_snapshots': []}
         props = {'operation': 'delete-cow',
-                 'predicates': [[c, op, _norm_stat(v)] for c, op, v in preds],
+                 'predicates': [[c, op, [_norm_stat(x) for x in v]
+                                 if op == 'in' else _norm_stat(v)]
+                                for c, op, v in preds],
                  'dropped_snapshots': len(drop_whole),
                  'rewritten_snapshots': len(straddle)}
         if straddle:
@@ -692,6 +694,13 @@ class IcebergishTable:
         wrongly dropped)."""
         stats = entry.get('stats', {})
         for col, op, val in predicates:
+            if op == 'in':
+                # provable only when the file is single-valued on the column
+                # and that value is in the set (per-value '=' proof)
+                if not any(IcebergishTable._entry_all_match(entry, [(col, '=', v)])
+                           for v in val):
+                    return False
+                continue
             s = stats.get(col)
             nval = _norm_stat(val)
             if not s or nval is None or s.get('nulls', 1) != 0:
@@ -789,6 +798,15 @@ class IcebergishTable:
         stats = entry.get('stats', {})
         blooms = entry.get('blooms', {})
         for col, op, val in predicates:
+            if op == 'in':
+                # batch point lookup (col IN (v1..vn), ONE scan for a purge
+                # list / needle set): the file may match iff ANY value may —
+                # each value gets the full '=' treatment (partition, stats,
+                # bloom) below
+                if not any(IcebergishTable._entry_matches(entry, [(col, '=', v)])
+                           for v in val):
+                    return False
+                continue
             if op == '=' and col in blooms:
                 if not _bloom_may_contain(blooms[col], val):
                     return False
@@ -832,8 +850,10 @@ class IcebergishTable:
     def plan_files(self, predicates, snapshot_id: int = None) -> dict:
         """Manifest-only scan planning: which live data files can contain
         rows matching the conjunctive ``predicates``
-        (``[(col, op, value)]``, op in ``= < <= > >=``; timestamp values as
-        ``datetime``).  Pure metadata — no parquet data is read.  Returns
+        (``[(col, op, value)]``, op in ``= < <= > >= in``; timestamp values
+        as ``datetime``; ``in`` takes a list — the batch point-lookup form,
+        one scan for a whole needle set).  Pure metadata — no parquet data
+        is read.  Returns
         ``{'kept': {snap_dir: [abs paths]}, 'n_kept', 'n_total'}``.
 
         This is the Iceberg scan-planning step that makes a 10^12-sequence
@@ -863,10 +883,12 @@ class IcebergishTable:
         from pyspark.sql import functions as F
         ops = {'=': lambda c, v: c == v, '<': lambda c, v: c < v,
                '<=': lambda c, v: c <= v, '>': lambda c, v: c > v,
-               '>=': lambda c, v: c >= v}
+               '>=': lambda c, v: c >= v,
+               'in': lambda c, v: c.isin(list(v))}
         expr = F.lit(True)
         for col, op, val in predicates:
-            expr = expr & ops[op](F.col(col), F.lit(val))
+            expr = expr & ops[op](F.col(col),
+                                  val if op == 'in' else F.lit(val))
         return expr
 
     def scan(self, spark: SparkSession, predicates, snapshot_id: int = None,

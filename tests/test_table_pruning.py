@@ -359,3 +359,39 @@ def test_bloom_unit_determinism_and_unhashable_probe():
         bs = _build_file_bloom(p, 's')
         assert _bloom_may_contain(bs, 'a') and not _bloom_may_contain(bs, 'z')
         assert _build_file_bloom(p, 'missing') is None
+
+
+def test_in_list_predicate_single_scan(spark, events, bloom_table):
+    """IN-list batch point lookup: one plan/scan for a needle set; a file
+    is kept iff ANY value may be present (bloom-pruned per value), and the
+    scan equals a plain isin filter.  Values absent from the table prune
+    to (near) zero extra files."""
+    present = [int(r['event_id']) for r in
+               events.filter(F.col('event_id') % 3 != 0).limit(3).collect()]
+    absent = [e for e in range(0, 30, 3)][:3]        # %3==0 ids withheld
+    preds = [('event_id', 'in', present + absent)]
+    plan = bloom_table.plan_files(preds)
+    assert 1 <= plan['n_kept'] <= 3 + 3   # <=1 file/needle + rare fps
+    got = _sorted_rows(bloom_table.scan(spark, preds))
+    exp = _sorted_rows(events.filter((F.col('event_id') % 3 != 0)
+                                     & F.col('event_id').isin(present + absent)))
+    assert got == exp and len(got) == len(present)
+
+    # range + IN conjunction stays exact
+    preds2 = [('event_id', 'in', present + absent), ('event_id', '>', 0)]
+    got2 = _sorted_rows(bloom_table.scan(spark, preds2))
+    exp2 = [r for r in exp if r[0] > 0]
+    assert got2 == exp2
+
+
+def test_in_list_delete_where(spark, events, tmp_path):
+    """delete_where with an IN purge list: straddling snapshots rewrite,
+    result equals NOT-IN over everything."""
+    t = IcebergishTable(str(tmp_path / 'din'))
+    t.append(events, partition_by=(), cluster_by=['event_id'], n_files=8)
+    purge = [5, 6, 7, 700, 701]
+    rep = t.delete_where(spark, [('event_id', 'in', purge)])
+    assert rep['rewritten_snapshots'] or rep['dropped_snapshots']
+    got = _sorted_rows(t.read(spark))
+    exp = _sorted_rows(events.filter(~F.col('event_id').isin(purge)))
+    assert got == exp
