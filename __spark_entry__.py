@@ -1606,7 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 1), partition_by=())
         t.append(ev.filter(F.pmod('event_id', F.lit(3)) == 2),
                  partition_by=('user_id',))
-        preds = [('user_id', '<=', 30)]
+        preds = [('user_id', '<=', 7)]       # prunes at every SF (ids 0..14+)
         plan = t.plan_files(preds)
         assert plan['n_kept'] < plan['n_total'], plan
         return t.scan(spark, preds).select(
@@ -2650,7 +2650,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts, user_id, event_type,
                    ROUND(value, 6) AS value
             FROM events
-            WHERE user_id <= 30
+            WHERE user_id <= 7
         """,
         # add-column evolution: pre-evolution rows read the column as NULL
         'events_schema_evolution': """

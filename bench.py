@@ -110,7 +110,13 @@ def run_queries(spark, sf_dir: str) -> dict:
              'events_lttb_600', 'retention_report', 'events_sax_1h',
              'events_sax_words_1h', 'events_sax_discords', 'events_sax_type_dups',
              'doc_unigram_ppl',
-             'doc_dsir_weights']
+             'doc_dsir_weights',
+             # round 6 additions
+             'doc_dedup_ranges', 'doc_bpe_tokens', 'events_continuous_agg',
+             'events_realtime_agg', 'tokens_continuous_agg',
+             'events_bloom_point_scan', 'events_tier_routed_6h',
+             'events_sax_motifs', 'events_sax_motif_pairs',
+             'events_upsert_merge']
     qs = entrymod.queries()
     out = {}
     for name in names:
