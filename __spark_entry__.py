@@ -1780,6 +1780,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                             [], interval='1 hour')
         return rollup.dd_sketch_quantiles(tier, [])
 
+    def events_ca_dd_quantiles_1d(spark, sf_dir):
+        # CONTINUOUS AGGREGATE over a NON-ALGEBRAIC metric: percentiles
+        # cannot merge, the DDSketch-style log-bucket histogram can — the
+        # CA machinery (snapshot-delta refresh, merge-on-read, realtime
+        # tail) runs unchanged on the sketch monoid (agg_form='dd').  Two
+        # of three raw appends are materialized; the third rides the
+        # realtime read.  Oracle = the DD bucket walk over ALL events at 1d
+        # — hash-green proves incremental sketch + realtime tail == one
+        # pass, cross-engine, at the quantile level.
+        import os as _os
+        import tempfile
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        ev = _read(spark, sf_dir, 'events').select('ts', 'value')
+        root = tempfile.mkdtemp(prefix='ddca-')
+        raw = IcebergishTable(_os.path.join(root, 'raw'))
+        ca = ContinuousAggregate(raw, _os.path.join(root, 'tier'), [],
+                                 interval='1 day', partition_by=(),
+                                 agg_form='dd')
+        b = F.pmod(F.xxhash64('ts', 'value'), F.lit(3))
+        for i in range(3):
+            raw.append(ev.filter(b == i), partition_by=())
+            if i < 2:
+                ca.refresh(spark)
+        return rollup.dd_sketch_quantiles(ca.read_realtime(spark), [])
+
     def events_sketch_users_1d(spark, sf_dir):
         # rows-only: Datasketches HLL estimates have no DuckDB twin (its
         # approx_count_distinct is a different sketch).  The strong check is
@@ -2450,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_quality_model': doc_quality_model,
         'events_rollup_1h_distinct_users': events_rollup_1h_distinct_users,
         'events_dd_quantiles_1h': events_dd_quantiles_1h,
+        'events_ca_dd_quantiles_1d': events_ca_dd_quantiles_1d,
         'events_sketch_users_1d': events_sketch_users_1d,
         'events_twa_1h': events_twa_1h,
         'events_lttb_600': events_lttb_600,
@@ -2976,6 +3003,34 @@ def oracle_sql() -> dict[str, str]:
         'retention_report': _retention_sql(),
         'events_dd_quantiles_1h': """
             WITH bk AS (SELECT date_trunc('hour', ts) AS bucket_start,
+                               CASE WHEN value > 0 THEN 1
+                                    WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
+                               CASE WHEN value = 0 THEN 0
+                                    ELSE CAST(floor(64 * ln(abs(value))) AS INTEGER)
+                               END AS idx
+                        FROM events),
+            c AS (SELECT bucket_start, sgn, idx, COUNT(*) AS cnt
+                  FROM bk GROUP BY 1, 2, 3),
+            t AS (SELECT bucket_start, CAST(SUM(cnt) AS BIGINT) AS n
+                  FROM c GROUP BY 1),
+            o AS (SELECT bucket_start, sgn, idx, cnt,
+                         SUM(cnt) OVER (PARTITION BY bucket_start
+                                        ORDER BY sgn ASC,
+                                                 CASE WHEN sgn < 0 THEN -idx
+                                                      ELSE idx END ASC) AS cum,
+                         CASE WHEN sgn = 0 THEN 0.0
+                              ELSE sgn * exp((idx + 0.5) / 64.0) END AS est
+                  FROM c)
+            SELECT o.bucket_start, t.n AS n_points,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.5 * n)), 6) AS p50,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.95 * n)), 6) AS p95,
+                   ROUND(MIN_BY(est, cum) FILTER (WHERE cum >= CEIL(0.99 * n)), 6) AS p99
+            FROM o JOIN t USING (bucket_start)
+            GROUP BY o.bucket_start, t.n
+        """,
+        # same walk at 1d == the DD-form CA (incremental + realtime tail)
+        'events_ca_dd_quantiles_1d': """
+            WITH bk AS (SELECT date_trunc('day', ts) AS bucket_start,
                                CASE WHEN value > 0 THEN 1
                                     WHEN value < 0 THEN -1 ELSE 0 END AS sgn,
                                CASE WHEN value = 0 THEN 0

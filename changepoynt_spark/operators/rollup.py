@@ -521,6 +521,22 @@ def dd_sketch_rows(df: DataFrame, keys, ts_col: str = 'ts',
     return cnt.withColumn('bucket_start', F.col('w.start')).drop('w')
 
 
+def dd_rows_merge(rows: DataFrame, keys, interval: str = None) -> DataFrame:
+    """Merge DD exchange rows by bucket-count addition — the exchange-row
+    twin of :func:`dd_sketch_merge` (commutative + exact, so merge-on-read
+    piles and cascade steps are both just this one aggregate).  With
+    ``interval``, rows fold into COARSER buckets (the cascade/hierarchical
+    step); without, same-bucket rows from different snapshots collapse."""
+    keys = list(keys)
+    if interval is None:
+        return (rows.groupBy(*keys, 'bucket_start', '_sgn', '_idx')
+                    .agg(F.sum('_cnt').alias('_cnt')))
+    g = (rows.groupBy(*keys, F.window('bucket_start', interval).alias('w'),
+                      '_sgn', '_idx')
+             .agg(F.sum('_cnt').alias('_cnt')))
+    return g.withColumn('bucket_start', F.col('w.start')).drop('w')
+
+
 def dd_rows_to_sketch(rows: DataFrame, keys) -> DataFrame:
     """Assemble exchange rows into the tier schema (keys, bucket_start,
     zero_cnt, pos_sketch map<int,long>, neg_sketch map<int,long>,

@@ -33,10 +33,88 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from changepoynt_spark.operators.rollup import (
-    finalize_rollup, merge_partials, rebucket_partials, rollup_partial)
+    dd_rows_merge, dd_rows_to_sketch, dd_sketch_rows, finalize_rollup,
+    merge_partials, rebucket_partials, rollup_partial, sketch_estimate,
+    sketch_rollup, sketch_rollup_merge)
 from changepoynt_spark.sources.tables import IcebergishTable
 
 WATERMARK_PROP = 'refreshed_through_snapshot'
+
+
+class _PointsForm:
+    """The default mergeable form: decimal-exact rollup partials."""
+    points_col = 'cnt_points'
+
+    def __init__(self, ca):
+        self.ca = ca
+
+    def partial(self, df):
+        return rollup_partial(df, self.ca.keys, ts_col=self.ca.ts_col,
+                              value_col=self.ca.value_col,
+                              interval=self.ca.interval)
+
+    def rebucket(self, df):
+        return rebucket_partials(df, self.ca.keys, self.ca.interval)
+
+    def merge(self, df):
+        return merge_partials(df, self.ca.keys)
+
+    def finalize(self, df):
+        return finalize_rollup(df, self.ca.keys)
+
+
+class _HllForm:
+    """Approximate-distinct tier: Datasketches HLL per (keys, bucket).
+    Sketch union is commutative/associative, so the merge-on-read pile and
+    the snapshot-delta refreshes compose to the SAME sketch as one pass
+    over raw (bit-identical estimates; asserted in tests)."""
+    points_col = 'cnt_points'
+
+    def __init__(self, ca, distinct_col: str, lg_k: int = 12):
+        self.ca = ca
+        self.distinct_col = distinct_col
+        self.lg_k = lg_k
+
+    def partial(self, df):
+        return sketch_rollup(df, self.ca.keys, self.distinct_col,
+                             ts_col=self.ca.ts_col,
+                             interval=self.ca.interval, lg_k=self.lg_k)
+
+    def rebucket(self, df):
+        return sketch_rollup_merge(df, self.ca.keys, self.ca.interval)
+
+    def merge(self, df):
+        # same-interval regroup: snapshots' same-bucket sketches union
+        return sketch_rollup_merge(df, self.ca.keys, self.ca.interval)
+
+    def finalize(self, df):
+        return sketch_estimate(df, self.ca.keys)
+
+
+class _DdForm:
+    """Quantile tier: DDSketch-style log-bucket exchange rows per
+    (keys, bucket).  Merging is bucket-count ADDITION — commutative and
+    integer-exact, so incremental == one-shot under any snapshot/merge
+    order.  ``finalize`` yields the tier sketch schema; feed it to
+    :func:`dd_sketch_quantiles` for percentile reads."""
+    points_col = '_cnt'
+
+    def __init__(self, ca):
+        self.ca = ca
+
+    def partial(self, df):
+        return dd_sketch_rows(df, self.ca.keys, ts_col=self.ca.ts_col,
+                              value_col=self.ca.value_col,
+                              interval=self.ca.interval)
+
+    def rebucket(self, df):
+        return dd_rows_merge(df, self.ca.keys, self.ca.interval)
+
+    def merge(self, df):
+        return dd_rows_merge(df, self.ca.keys)
+
+    def finalize(self, df):
+        return dd_rows_to_sketch(df, self.ca.keys)
 
 
 class ContinuousAggregate:
@@ -51,13 +129,33 @@ class ContinuousAggregate:
     def __init__(self, source: IcebergishTable, tier_root: str, keys,
                  ts_col: str = 'ts', value_col: str = 'value',
                  interval: str = '1 minute', partition_by=None,
-                 source_kind: str = 'points', transform=None):
+                 source_kind: str = 'points', transform=None,
+                 agg_form: str = 'points', distinct_col: str = None,
+                 lg_k: int = 12):
         self.source = source
         self.tier = IcebergishTable(tier_root)
         self.keys = list(keys)
         self.ts_col = ts_col
         self.value_col = value_col
         self.interval = interval
+        # agg_form: which mergeable partial the tier stores —
+        #   'points' (default) decimal-exact rollup partials,
+        #   'hll'    Datasketches HLL distinct sketches (distinct_col, lg_k),
+        #   'dd'     DDSketch-style quantile exchange rows.
+        # Sketch tiers are WHY continuous aggregates work for distinct
+        # counts and percentiles at all: exact COUNT(DISTINCT)/median do
+        # not merge, the sketches do — same watermark machinery, different
+        # monoid.
+        if agg_form == 'points':
+            self._form = _PointsForm(self)
+        elif agg_form == 'hll':
+            assert distinct_col, "agg_form='hll' requires distinct_col"
+            self._form = _HllForm(self, distinct_col, lg_k)
+        elif agg_form == 'dd':
+            self._form = _DdForm(self)
+        else:
+            raise ValueError(f'unknown agg_form {agg_form!r}')
+        self.agg_form = agg_form
         # transform: DataFrame -> DataFrame mapped over each SOURCE DELTA
         # before the rollup (and over the full source on fallback) — the
         # hook that makes a DERIVED tier continuous: tokenize/explode a
@@ -101,11 +199,10 @@ class ContinuousAggregate:
 
     def _partial(self, df: DataFrame) -> DataFrame:
         if self.source_kind == 'partial':
-            return rebucket_partials(df, self.keys, self.interval)
+            return self._form.rebucket(df)
         if self.transform is not None:
             df = self.transform(df)
-        return rollup_partial(df, self.keys, ts_col=self.ts_col,
-                              value_col=self.value_col, interval=self.interval)
+        return self._form.partial(df)
 
     def refresh(self, spark: SparkSession) -> dict:
         """Bring the tier up to the raw table's current snapshot.
@@ -141,7 +238,7 @@ class ContinuousAggregate:
         try:
             wm_row = part.agg(
                 F.max('bucket_start').alias('wm'),
-                F.sum('cnt_points').alias('pts')).first()
+                F.sum(self._form.points_col).alias('pts')).first()
             live = (self.tier._live_snapshots(self.tier.current_snapshot_id())
                     if mode == 'full' and self.tier.current_snapshot_id() >= 0
                     else ())
@@ -191,11 +288,11 @@ class ContinuousAggregate:
 
     def read_partial(self, spark: SparkSession) -> DataFrame:
         """Merge-on-read view in partial form (one row per keys+bucket)."""
-        return merge_partials(self.tier.read(spark), self.keys)
+        return self._form.merge(self.tier.read(spark))
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Finalized tier view (avg derived, anchors dropped)."""
-        return finalize_rollup(self.read_partial(spark), self.keys)
+        return self._form.finalize(self.read_partial(spark))
 
     def read_realtime(self, spark: SparkSession) -> DataFrame:
         """TimescaleDB-style REAL-TIME aggregate: the materialized tier
@@ -220,8 +317,8 @@ class ContinuousAggregate:
         assert to >= 0, f'source table {self.source.root} has no snapshots'
         if frm < 0:
             # never refreshed: everything on the fly
-            return finalize_rollup(
-                self._partial(self.source.read(spark, to)), self.keys)
+            return self._form.finalize(
+                self._form.merge(self._partial(self.source.read(spark, to))))
         if to == frm:
             return self.read(spark)
         try:
@@ -229,13 +326,13 @@ class ContinuousAggregate:
                 spark, frm, to,
                 tolerate_ops=('expire', 'compact', 'tier-compact'))
         except ValueError:
-            return finalize_rollup(
-                self._partial(self.source.read(spark, to)), self.keys)
+            return self._form.finalize(
+                self._form.merge(self._partial(self.source.read(spark, to))))
         part = self.tier.read(spark)
         if delta is not None:
             part = part.unionByName(self._partial(delta),
                                     allowMissingColumns=True)
-        return finalize_rollup(merge_partials(part, self.keys), self.keys)
+        return self._form.finalize(self._form.merge(part))
 
     def compact(self, spark: SparkSession) -> dict:
         """Collapse the merge-on-read pile into ONE merged-partial snapshot

@@ -418,3 +418,70 @@ def test_transform_rejected_on_partial_source(tmp_path):
     with pytest.raises(AssertionError, match='raw sources only'):
         ContinuousAggregate(raw, str(tmp_path / 'tier'), [],
                             source_kind='partial', transform=lambda df: df)
+
+
+# -- sketch-form tiers ---------------------------------------------------------
+
+def test_hll_ca_incremental_equals_one_shot(spark, events, tmp_path):
+    """HLL continuous aggregate: snapshot-delta refreshes + a mid-stream
+    tier compaction produce BIT-identical distinct estimates to one pass
+    over raw (sketch union is order-independent)."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), [],
+                             interval='1 hour', partition_by=(),
+                             agg_form='hll', distinct_col='user_id')
+    for i, b in enumerate(_batches(events)):
+        raw.append(b, partition_by=())
+        ca.refresh(spark)
+        if i == 1:
+            ca.compact(spark)
+    got = (ca.read(spark).toPandas()
+             .sort_values('bucket_start').reset_index(drop=True))
+    exp = (rollup.sketch_estimate(
+               rollup.sketch_rollup(events, [], 'user_id',
+                                    interval='1 hour'), [])
+           .toPandas().sort_values('bucket_start').reset_index(drop=True))
+    assert list(got['bucket_start']) == list(exp['bucket_start'])
+    assert list(got['n_distinct_est']) == list(exp['n_distinct_est'])
+    assert list(got['cnt_points']) == list(exp['cnt_points'])
+
+
+def _dd_pdf(df):
+    pdf = df.toPandas().sort_values('bucket_start').reset_index(drop=True)
+    pdf['pos_sketch'] = pdf['pos_sketch'].map(lambda m: sorted(dict(m).items()))
+    pdf['neg_sketch'] = pdf['neg_sketch'].map(lambda m: sorted(dict(m).items()))
+    return pdf
+
+
+def test_dd_ca_realtime_equals_one_shot(spark, events, tmp_path):
+    """DD quantile-sketch continuous aggregate: two materialized refreshes
+    + a realtime tail over the third append produce the integer-exact same
+    histogram as sketching all raw points in one pass; hierarchical 1h->1d
+    rebucket matches the direct 1d sketch."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    ca = ContinuousAggregate(raw, str(tmp_path / 't1h'), [],
+                             interval='1 hour', partition_by=(),
+                             agg_form='dd')
+    b0, b1, b2 = _batches(events)
+    for i, b in enumerate((b0, b1, b2)):
+        raw.append(b, partition_by=())
+        if i < 2:
+            ca.refresh(spark)
+    got = _dd_pdf(ca.read_realtime(spark))
+    exp = _dd_pdf(rollup.dd_sketch_from_points(events, [], interval='1 hour'))
+    for col in ('bucket_start', 'zero_cnt', 'pos_sketch', 'neg_sketch',
+                'n_points'):
+        assert list(got[col]) == list(exp[col]), col
+
+    # hierarchical: the 1d tier refreshes from the 1h TIER's exchange rows
+    ca.refresh(spark)
+    ca_1d = ContinuousAggregate(ca.tier, str(tmp_path / 't1d'), [],
+                                interval='1 day', partition_by=(),
+                                agg_form='dd', source_kind='partial')
+    ca_1d.refresh(spark)
+    got_1d = _dd_pdf(ca_1d.read(spark))
+    exp_1d = _dd_pdf(rollup.dd_sketch_from_points(events, [],
+                                                  interval='1 day'))
+    for col in ('bucket_start', 'zero_cnt', 'pos_sketch', 'neg_sketch',
+                'n_points'):
+        assert list(got_1d[col]) == list(exp_1d[col]), col
