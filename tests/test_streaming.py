@@ -467,3 +467,73 @@ def test_streaming_gap_fill_matches_batch(spark, events_dir, tmp_path, method):
         assert (g.isna().to_numpy() == e.isna().to_numpy()).all(), c
         # BIT-identical (same IEEE op order as the batch window expression)
         assert np.array_equal(g.dropna().to_numpy(), e.dropna().to_numpy()), c
+
+
+def test_streaming_heavy_hitters_superset_and_exact_recount(spark, tmp_path):
+    """Bounded-memory streaming Misra-Gries: after the stream drains, every
+    (N_group/(candidate_k+1))-heavy item survives in its salt group's state
+    (pigeonhole — under ANY micro-batch split), the state never exceeds the
+    4*candidate_k cap, and the exact recount over the streamed candidates
+    equals the batch heavy_hitters top-k."""
+    import os
+    import pandas as pd
+    from changepoynt_spark.operators.frequent import heavy_hitters
+    from changepoynt_spark.streaming.frequent_stream import (
+        recount_candidates, streaming_heavy_hitter_state)
+
+    rng = __import__('numpy').random.default_rng(11)
+    # long-tail vocabulary + two planted heavy items spread across batches
+    batches = []
+    for i in range(4):
+        tail = [f'w{int(x)}' for x in rng.integers(0, 400, size=800)]
+        batches.append(pd.DataFrame({'item': tail + ['HH'] * 120 + ['H2'] * 60}))
+    src = str(tmp_path / 'items')
+    os.makedirs(src)
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).coalesce(1).write.parquet(f'{src}/batch={i}')
+    schema = spark.read.parquet(f'{src}/batch=0').schema
+    stream = (spark.readStream.schema(schema).option('maxFilesPerTrigger', 1)
+              .parquet(f'{src}/batch=*'))
+
+    ck, salt_n = 8, 4
+    st = streaming_heavy_hitter_state(stream, 'item', candidate_k=ck,
+                                      salt_n=salt_n)
+    q = (st.writeStream.outputMode('update').format('memory')
+         .queryName('hh_stream').trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    emitted = spark.sql('SELECT * FROM hh_stream').toPandas()
+    final = (emitted.sort_values('version')
+             .groupby('salt', as_index=False).apply(
+                 lambda g: g[g['version'] == g['version'].max()],
+                 include_groups=True)
+             .reset_index(drop=True))
+    # bounded state per group
+    assert final.groupby('salt').size().max() <= 4 * ck
+
+    batch_df = spark.read.parquet(f'{src}/batch=*')
+    from pyspark.sql import functions as F
+    salted = batch_df.select(
+        F.pmod(F.xxhash64('item'), F.lit(salt_n)).cast('int').alias('salt'),
+        'item')
+    gcounts = salted.groupBy('salt', 'item').count().toPandas()
+    gtot = gcounts.groupby('salt')['count'].sum()
+    cand = set(zip(final['salt'], final['item']))
+    for _, r in gcounts.iterrows():
+        if r['count'] > gtot[r['salt']] / (ck + 1):
+            assert (r['salt'], r['item']) in cand, \
+                f"heavy item {r['item']} missing from group {r['salt']}"
+
+    # exact recount over streamed candidates == batch operator's top-k
+    # WITHIN the guaranteed region: the MG pigeonhole only promises items
+    # heavier than N_group/(candidate_k+1), so equality is asserted for the
+    # top-k prefix above the loosest group bound (planted HH/H2 qualify by
+    # construction); tail items below the bound may legitimately differ
+    cands_df = spark.createDataFrame(final[['item']].drop_duplicates())
+    got = recount_candidates(batch_df, 'item', cands_df, k=5).toPandas()
+    exp = heavy_hitters(batch_df, 'item', k=5, candidate_k=256).toPandas()
+    bound = float(gtot.max()) / (ck + 1)
+    n_guar = int((exp['cnt'] > bound).sum())
+    assert n_guar >= 2            # the planted items are above the bound
+    assert got['item'].tolist()[:n_guar] == exp['item'].tolist()[:n_guar]
+    assert got['cnt'].tolist()[:n_guar] == exp['cnt'].tolist()[:n_guar]
+    assert got['item'].iloc[0] == 'HH' and got['item'].iloc[1] == 'H2'
