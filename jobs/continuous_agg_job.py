@@ -44,6 +44,13 @@ def main(argv=None, spark=None):
                    help='optional parquet of new raw points to append first')
     p.add_argument('--compact-above', type=int, default=None,
                    help='compact the tier when live snapshots exceed this')
+    p.add_argument('--agg-form', default='points',
+                   choices=('points', 'hll', 'dd'),
+                   help="tier monoid: 'points' (decimal-exact rollup "
+                        "partials), 'hll' (distinct sketches; needs "
+                        "--distinct-col), 'dd' (quantile log-bucket rows)")
+    p.add_argument('--distinct-col', default=None,
+                   help="column sketched by --agg-form hll")
     p.add_argument('--raw-retention', default=None,
                    help="downsample-then-drop: after the refresh, expire raw "
                         "rows older than this age behind the rollup "
@@ -64,7 +71,9 @@ def main(argv=None, spark=None):
         raw = IcebergishTable(args.raw)
         ca = ContinuousAggregate(raw, args.tier, keys, ts_col=args.ts_col,
                                  value_col=args.value_col,
-                                 interval=args.interval, partition_by=())
+                                 interval=args.interval, partition_by=(),
+                                 agg_form=args.agg_form,
+                                 distinct_col=args.distinct_col)
         if args.ingest:
             raw.append(spark.read.parquet(args.ingest), partition_by=())
         report = ca.refresh(spark)

@@ -487,3 +487,41 @@ def test_continuous_agg_job_raw_retention_downsample_then_drop(spark, tmp_path, 
                                       'dropped_bytes': 0, 'rewritten_bytes': 0})
     assert raw.current_snapshot_id() == sid_raw
     assert norm(ca.read(spark).toPandas()).equals(norm(want))
+
+
+def test_continuous_agg_job_dd_form(spark, tmp_path, capsys):
+    """--agg-form dd: the job maintains a quantile-sketch tier through the
+    same watermark machinery; the incremental result integer-exactly
+    matches sketching all points in one pass."""
+    import datetime as dt
+
+    from jobs import continuous_agg_job
+    from changepoynt_spark.operators import rollup
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    rows = [(dt.datetime(2026, 2, 1, i % 24, (i * 7) % 60, i % 60),
+             float(i) * 0.7 - 3) for i in range(600)]
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f'dd{i}.parquet')
+        df.filter(f'pmod(minute(ts), 3) = {i}').write.parquet(p)
+        paths.append(p)
+
+    base = ['--raw', str(tmp_path / 'raw'), '--tier', str(tmp_path / 'tier'),
+            '--keys', '', '--interval', '1 hour', '--agg-form', 'dd']
+    for p in paths:
+        assert continuous_agg_job.main(base + ['--ingest', p], spark=spark) == 0
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep['refresh']['mode'] == 'incremental'
+
+    ca = ContinuousAggregate(IcebergishTable(str(tmp_path / 'raw')),
+                             str(tmp_path / 'tier'), [], interval='1 hour',
+                             partition_by=(), agg_form='dd')
+    got = (rollup.dd_sketch_quantiles(ca.read(spark), []).toPandas()
+           .sort_values('bucket_start').reset_index(drop=True))
+    exp = (rollup.dd_sketch_quantiles(
+               rollup.dd_sketch_from_points(df, [], interval='1 hour'), [])
+           .toPandas().sort_values('bucket_start').reset_index(drop=True))
+    assert got.astype(str).equals(exp.astype(str))
