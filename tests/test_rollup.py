@@ -920,3 +920,25 @@ def test_sax_motif_verify_planted_pair_and_nonoverlap(spark):
         return np.array([zq[frames[i + j]] for j in range(w)], dtype=np.int64)
     d = vec(top['frame_a']) - vec(top['frame_b'])
     assert int((d * d).sum()) == int(top['dist2_micro'])
+
+
+def test_sax_motif_verify_keyed_paths(spark):
+    """Keyed verification: pair join and argmin window partition by key —
+    each key's best pair uses only its own occurrences, and a key whose
+    candidate words never recur non-overlapping emits nothing."""
+    import datetime as dt
+    rows = []
+    for key, mus in (('a', [10.0, 60.0] * 10),
+                     ('b', [5.0, 30.0, 90.0] * 6)):
+        for h, mu in enumerate(mus):
+            for m in range(4):
+                rows.append((key, dt.datetime(2026, 1, 1, h, m), mu + 0.1 * m))
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    sax = rollup.sax_rollup(df, ['k'], interval='1 hour', alphabet=4)
+    got = rollup.sax_motif_verify(sax, ['k'], w=3, frame_sec=3600,
+                                  k=4).toPandas()
+    assert set(got['k']) <= {'a', 'b'} and len(got) > 0
+    for _, r in got.iterrows():
+        assert (r['frame_b'] - r['frame_a']).total_seconds() >= 3 * 3600
+    # at most one row per (key, word)
+    assert not got.duplicated(['k', 'word']).any()

@@ -395,3 +395,51 @@ def test_in_list_delete_where(spark, events, tmp_path):
     got = _sorted_rows(t.read(spark))
     exp = _sorted_rows(events.filter(~F.col('event_id').isin(purge)))
     assert got == exp
+
+
+def test_bloom_soundness_property():
+    """Property (hypothesis): a bloom built over ANY column values never
+    yields a false negative — every inserted value (and its numeric-coerced
+    twin) may_contain; and values are judged independently of row order."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from changepoynt_spark.sources.tables import (
+        _bloom_may_contain, _build_file_bloom)
+
+    scalars = st.one_of(
+        st.integers(min_value=-2**50, max_value=2**50),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=24))
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(scalars, min_size=1, max_size=120))
+    def prop(values):
+        # a parquet column is homogeneous: group by python type
+        for typ in (int, float, str):
+            vals = [v for v in values if type(v) is typ]
+            if not vals:
+                continue
+            with tempfile.TemporaryDirectory() as d:
+                p = os.path.join(d, 'f.parquet')
+                pq.write_table(pa.table({'x': vals}), p)
+                b = _build_file_bloom(p, 'x')
+                assert b is not None
+                for v in vals:
+                    assert _bloom_may_contain(b, v), v
+                    if isinstance(v, int) and abs(v) < 2**52:
+                        assert _bloom_may_contain(b, float(v)), v
+                    if isinstance(v, float) and v.is_integer() \
+                            and abs(v) < 2**52:
+                        assert _bloom_may_contain(b, int(v)), v
+                # order independence: reversed build is bit-identical
+                p2 = os.path.join(d, 'g.parquet')
+                pq.write_table(pa.table({'x': list(reversed(vals))}), p2)
+                assert _build_file_bloom(p2, 'x') == b
+
+    prop()
