@@ -1926,6 +1926,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                               ['user_id'], window=21, k=3.5)
         return out.select('user_id', 'ts', 'value', 'med', 'mad', 'is_anomaly')
 
+    def events_seasonal_24h(spark, sf_dir):
+        # classical additive seasonal decomposition (statsmodels
+        # seasonal_decompose's moving-average method) over the global
+        # hourly tier, period 24: trend = 2x24 centered MA (decimal
+        # numerators), seasonal = centered per-phase mean of the detrended
+        # series (int64 micro-unit sums end to end, so even the cross-phase
+        # centering constant is order-free), resid = the rest.  Oracle
+        # mirrors every fixed-shape expression; hash-green proves the whole
+        # decomposition digit-for-digit cross-engine.
+        ev = _read(spark, sf_dir, 'events')
+        tier = (ev.groupBy(F.window('ts', '1 hour').alias('w'))
+                  .agg(F.round(F.sum(F.col('value').cast('decimal(18,6)'))
+                               .cast('double') / F.count('value'), 6)
+                       .alias('value'))
+                  .select(F.col('w.start').alias('ts'), 'value'))
+        return window_ops.seasonal_decompose(tier, [], period=24)
+
     def events_autocorr(spark, sf_dir):
         out = window_ops.rolling_autocorr(_read(spark, sf_dir, 'events'),
                                           ['user_id'], lag=1, window=30)
@@ -2484,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_changepoint_segments': events_changepoint_segments,
         'events_anomaly_flags': events_anomaly_flags,
         'events_autocorr': events_autocorr,
+        'events_seasonal_24h': events_seasonal_24h,
         'events_score_percentiles': events_score_percentiles,
         'events_moments_1d': events_moments_1d,
         'events_sax_1h': events_sax_1h,
@@ -3136,6 +3154,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mad > 0 THEN abs(value - med) > 3.5 * 1.4826 * mad
                         ELSE abs(value - med) > 0 END AS is_anomaly
             FROM m2
+        """,
+        # the full decomposition, every fixed-shape expression mirrored
+        'events_seasonal_24h': """
+            WITH tier AS (
+              SELECT date_trunc('hour', ts) AS ts,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(value), 6) AS value
+              FROM events GROUP BY 1),
+            b AS (
+              SELECT ts, value,
+                     row_number() OVER (ORDER BY ts) - 1 AS rn,
+                     CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wa
+                          + SUM(CAST(value AS DECIMAL(18,6))) OVER wb
+                          AS DOUBLE) AS num,
+                     COUNT(value) OVER sp AS nf
+              FROM tier
+              WINDOW wa AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+                     wb AS (ORDER BY ts ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING),
+                     sp AS (ORDER BY ts ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+            d AS (
+              SELECT ts, value, rn % 24 AS phase,
+                     CASE WHEN nf = 25 THEN num / 48 END AS trend,
+                     CASE WHEN nf = 25 THEN CAST(round(
+                         (value - num / 48) * 1000000.0) AS BIGINT) END AS dq
+              FROM b),
+            pm AS (SELECT phase,
+                          CAST(round(CAST(SUM(dq) AS DOUBLE) / COUNT(dq))
+                               AS BIGINT) AS smq
+                   FROM d WHERE dq IS NOT NULL GROUP BY phase),
+            c AS (SELECT CAST(SUM(smq) AS DOUBLE) / COUNT(smq) AS cq FROM pm),
+            s AS (SELECT phase,
+                         (CAST(smq AS DOUBLE) - (SELECT cq FROM c))
+                         / 1000000.0 AS seasonal
+                  FROM pm)
+            SELECT d.ts, d.value,
+                   ROUND(d.trend, 6) AS trend,
+                   ROUND(s.seasonal, 6) AS seasonal,
+                   CASE WHEN d.trend IS NOT NULL
+                        THEN ROUND(d.value - d.trend - s.seasonal, 6)
+                   END AS resid
+            FROM d LEFT JOIN s USING (phase)
         """,
         'events_autocorr': """
             WITH d AS (SELECT user_id, ts,

@@ -347,3 +347,76 @@ def rolling_autocorr(df: DataFrame, keys, ts_col: str = 'ts',
     return (d.withColumn('n_pairs', n)
              .withColumn('autocorr', corr)
              .drop('_x', '_y'))
+
+
+def seasonal_decompose(df: DataFrame, keys, period: int,
+                       ts_col: str = 'ts', value_col: str = 'value') -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average method
+    of statsmodels' ``seasonal_decompose`` / the X-11 first pass):
+    ``value = trend + seasonal + resid`` per key over a REGULAR series
+    (e.g. a rollup tier's round-6 averages — gap-fill first if sparse).
+
+    * ``trend``: centered moving average — for even ``period`` the standard
+      2xMA (half weights on the two ends), for odd the plain centered MA;
+      NULL at the edges where the full span is unavailable.
+    * ``seasonal``: per-phase mean of the detrended series, centered so the
+      seasonal component sums to ~0 over one period (phase =
+      row_number % period per key — position-based, so any regular grid
+      works).
+    * ``resid``: what remains; NULL wherever trend is NULL.
+
+    Cross-engine exactness (the moving_window discipline): every SUM runs
+    in DECIMAL (trend numerators) or INT64 micro-units (detrended values
+    and the per-phase means, each quantized once by a fixed-shape round),
+    so accumulation order cannot move a digit anywhere — including the
+    cross-phase centering constant, which is an INTEGER sum of the
+    quantized phase means.  Derived doubles are single fixed-shape
+    expressions of exact operands.  Output trend/seasonal/resid are
+    rounded to 6 decimals.
+
+    One key-partitioned window pass + one tiny (keys x period, broadcast)
+    phase-mean join: same scale shape as the moving-window operators.
+    """
+    keys = list(keys)
+    p = int(period)
+    assert p >= 2, 'period must be >= 2'
+    order = Window.partitionBy(*keys).orderBy(ts_col)
+    dec = F.col(value_col).cast('decimal(18,6)')
+    half = p // 2
+    if p % 2 == 0:
+        # 2xMA: (sum of rows [-half, half-1]) + (sum of rows [-half+1, half])
+        wa = order.rowsBetween(-half, half - 1)
+        wb = order.rowsBetween(-half + 1, half)
+        span = order.rowsBetween(-half, half)
+        num = (F.sum(dec).over(wa) + F.sum(dec).over(wb)).cast('double')
+        trend = num / F.lit(2 * p)
+        full = F.count(value_col).over(span) == (p + 1)
+    else:
+        wc = order.rowsBetween(-half, half)
+        trend = F.sum(dec).over(wc).cast('double') / F.lit(p)
+        full = F.count(value_col).over(wc) == p
+    d = (df.withColumn('_rn', F.row_number().over(order) - 1)
+           .withColumn('_trend', F.when(full, trend))
+           .withColumn('_phase', F.pmod('_rn', F.lit(p)).cast('int'))
+           .withColumn('_dq', F.round((F.col(value_col) - F.col('_trend'))
+                                      * F.lit(1_000_000.0)).cast('long')))
+    pm = (d.filter(F.col('_dq').isNotNull())
+           .groupBy(*keys, '_phase')
+           .agg(F.round(F.sum('_dq').cast('double') / F.count('_dq'))
+                 .cast('long').alias('_smq')))     # phase mean, micro-units
+    # centering constant per key: INTEGER sum of the quantized phase means
+    cent = (pm.groupBy(*keys)
+              .agg((F.sum('_smq').cast('double') / F.count('_smq'))
+                   .alias('_cq')))
+    pm = pm.join(F.broadcast(cent), keys) if keys else \
+        pm.crossJoin(F.broadcast(cent))
+    pm = pm.select(*keys, '_phase',
+                   ((F.col('_smq').cast('double') - F.col('_cq'))
+                    / F.lit(1_000_000.0)).alias('_seasonal'))
+    out = d.join(F.broadcast(pm), keys + ['_phase'], 'left')
+    resid = (F.col(value_col) - F.col('_trend') - F.col('_seasonal'))
+    return (out.select(*keys, ts_col, value_col,
+                       F.round('_trend', 6).alias('trend'),
+                       F.round('_seasonal', 6).alias('seasonal'),
+                       F.when(F.col('_trend').isNotNull(),
+                              F.round(resid, 6)).alias('resid')))

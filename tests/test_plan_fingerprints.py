@@ -42,6 +42,9 @@ BNLJ_ALLOWLIST = {
     # same one-broadcast-row stats join, appearing once per sax-tier
     # reference (occurrence windows + candidate words share the tier)
     'events_sax_motif_pairs',
+    # one broadcast row (the keys=[] seasonal centering constant) joined to
+    # the 24-row phase-mean table
+    'events_seasonal_24h',
     # one broadcast row (raw/target corpus totals) joined to the dim-sized
     # bucket stats for the smoothed log-ratio weights
     'doc_dsir_weights',
