@@ -1926,6 +1926,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                               ['user_id'], window=21, k=3.5)
         return out.select('user_id', 'ts', 'value', 'med', 'mad', 'is_anomaly')
 
+    def events_xcorr_types(spark, sf_dir):
+        # lead-lag CROSS-correlation between two series of the hourly tier
+        # (does 'click' lead 'view'?): Pearson corr of (a[t], b[t+lag]) for
+        # lags -3..3, decimal-exact moment sums, one fixed-shape double
+        # correlation — digit-exact cross-engine
+        ev = _read(spark, sf_dir, 'events')
+        tier = (ev.groupBy('event_type', F.window('ts', '1 hour').alias('w'))
+                  .agg(F.round(F.sum(F.col('value').cast('decimal(18,6)'))
+                               .cast('double') / F.count('value'), 6)
+                       .alias('value'))
+                  .select('event_type', F.col('w.start').alias('ts'), 'value'))
+        return window_ops.cross_correlation(tier, 'event_type', 'click',
+                                            'view', lags=range(-3, 4))
+
     def events_seasonal_24h(spark, sf_dir):
         # classical additive seasonal decomposition (statsmodels
         # seasonal_decompose's moving-average method) over the global
@@ -2502,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_anomaly_flags': events_anomaly_flags,
         'events_autocorr': events_autocorr,
         'events_seasonal_24h': events_seasonal_24h,
+        'events_xcorr_types': events_xcorr_types,
         'events_score_percentiles': events_score_percentiles,
         'events_moments_1d': events_moments_1d,
         'events_sax_1h': events_sax_1h,
@@ -3154,6 +3169,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mad > 0 THEN abs(value - med) > 3.5 * 1.4826 * mad
                         ELSE abs(value - med) > 0 END AS is_anomaly
             FROM m2
+        """,
+        # lead-lag cross-correlation: same decimal moments per lag
+        'events_xcorr_types': """
+            WITH tier AS (
+              SELECT event_type, date_trunc('hour', ts) AS ts,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(value), 6) AS value
+              FROM events GROUP BY 1, 2),
+            a AS (SELECT ts, CAST(value AS DECIMAL(18,4)) AS xa
+                  FROM tier WHERE event_type = 'click'),
+            b AS (SELECT ts, CAST(value AS DECIMAL(18,4)) AS xb,
+                         row_number() OVER (ORDER BY ts) - 1 AS rn
+                  FROM tier WHERE event_type = 'view'),
+            lagt AS (SELECT CAST(unnest(range(-3, 4)) AS INTEGER) AS lag),
+            pairs AS (
+              SELECT l.lag, t0.ts, t1.xb
+              FROM lagt l JOIN b t0 ON TRUE
+              JOIN b t1 ON t1.rn - l.lag = t0.rn),
+            j AS (SELECT p.lag, a.xa, p.xb
+                  FROM pairs p JOIN a ON a.ts = p.ts),
+            m AS (SELECT lag, COUNT(*) AS n_pairs,
+                         CAST(SUM(xa) AS DOUBLE) AS sx,
+                         CAST(SUM(xb) AS DOUBLE) AS sy,
+                         CAST(SUM(xa * xa) AS DOUBLE) AS sxx,
+                         CAST(SUM(xb * xb) AS DOUBLE) AS syy,
+                         CAST(SUM(xa * xb) AS DOUBLE) AS sxy
+                  FROM j GROUP BY lag)
+            SELECT lag, n_pairs,
+                   CASE WHEN n_pairs >= 3
+                             AND n_pairs * sxx - sx * sx > 0
+                             AND n_pairs * syy - sy * sy > 0
+                        THEN ROUND((n_pairs * sxy - sx * sy)
+                                   / sqrt((n_pairs * sxx - sx * sx)
+                                          * (n_pairs * syy - sy * sy)), 6)
+                   END AS xcorr
+            FROM m
         """,
         # the full decomposition, every fixed-shape expression mirrored
         'events_seasonal_24h': """

@@ -420,3 +420,57 @@ def seasonal_decompose(df: DataFrame, keys, period: int,
                        F.round('_seasonal', 6).alias('seasonal'),
                        F.when(F.col('_trend').isNotNull(),
                               F.round(resid, 6)).alias('resid')))
+
+
+def cross_correlation(df: DataFrame, key_col: str, key_a, key_b,
+                      lags, ts_col: str = 'ts',
+                      value_col: str = 'value') -> DataFrame:
+    """Lead-lag cross-correlation between two series of one keyed tier:
+    Pearson corr of (a[t], b[t+lag]) for each requested lag — "does gauge A
+    lead gauge B, and by how much?" (positive-lag argmax: A leads).  The
+    pair analogue of :func:`rolling_autocorr`.
+
+    Buckets are aligned by ``ts_col`` equality (feed a regular tier;
+    gap-fill first if sparse).  The lag shift is by ROW on b's ordered
+    series, so one lag unit = one tier interval.
+
+    Decimal-exact moment sums over the aligned pairs (order-independent);
+    the correlation is one fixed-shape double expression of exact operands
+    — bit-identical cross-engine.  Output: (lag, n_pairs, xcorr), one row
+    per lag, NULL xcorr on degenerate variance.  Scale shape: the two
+    series are filtered scans of the tier (pushdown) + one ts-hash join
+    per lag batch; all lags share the two scans.
+    """
+    lags = [int(x) for x in lags]
+    a = (df.filter(F.col(key_col) == key_a)
+           .select(F.col(ts_col).alias('_ts'),
+                   F.col(value_col).cast('decimal(18,4)').alias('_xa')))
+    order = Window.orderBy('_ts')
+    b = (df.filter(F.col(key_col) == key_b)
+           .select(F.col(ts_col).alias('_ts'),
+                   F.col(value_col).cast('decimal(18,4)').alias('_xb'))
+           .withColumn('_rn', F.row_number().over(order) - 1))
+    out = None
+    for lag in lags:
+        shifted = b.select((F.col('_rn') - F.lit(lag)).alias('_rn_s'),
+                           '_xb', F.col('_ts').alias('_ts_b'))
+        # b[t+lag] aligned to b's row t: join on row index
+        base = b.select('_rn', '_ts').join(
+            shifted, F.col('_rn') == F.col('_rn_s')).select('_ts', '_xb')
+        pairs = a.join(base, '_ts')
+        agg = pairs.agg(
+            F.count('*').alias('n_pairs'),
+            F.sum('_xa').cast('double').alias('sx'),
+            F.sum('_xb').cast('double').alias('sy'),
+            F.sum(F.col('_xa') * F.col('_xa')).cast('double').alias('sxx'),
+            F.sum(F.col('_xb') * F.col('_xb')).cast('double').alias('syy'),
+            F.sum(F.col('_xa') * F.col('_xb')).cast('double').alias('sxy'),
+        ).withColumn('lag', F.lit(lag))
+        out = agg if out is None else out.unionByName(agg)
+    nd = F.col('n_pairs').cast('double')
+    num = nd * F.col('sxy') - F.col('sx') * F.col('sy')
+    var_x = nd * F.col('sxx') - F.col('sx') * F.col('sx')
+    var_y = nd * F.col('syy') - F.col('sy') * F.col('sy')
+    corr = F.when((F.col('n_pairs') >= 3) & (var_x > 0) & (var_y > 0),
+                  F.round(num / F.sqrt(var_x * var_y), 6))
+    return out.select('lag', 'n_pairs', corr.alias('xcorr')).orderBy('lag')

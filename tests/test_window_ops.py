@@ -49,3 +49,28 @@ def test_seasonal_decompose_keyed_and_partition_invariant(spark):
     sa = a[a['k'] == 'a']['seasonal'].abs().max()
     sb = a[a['k'] == 'b']['seasonal'].abs().max()
     assert 1.8 < sb / sa < 2.8
+
+
+def test_cross_correlation_planted_lead_lag(spark):
+    """b is a shifted by 2 rows (b[t] = a[t-2]) plus noise: xcorr peaks at
+    lag +2 (a leads b); n_pairs shrinks by |lag|; lag 0 stays below the
+    peak."""
+    import datetime as dt
+    import math
+    from changepoynt_spark.operators.window_ops import cross_correlation
+    rows = []
+    vals = [round(math.sin(i / 5.0) * 10 + (i % 7) * 0.3, 6)
+            for i in range(200)]
+    for i in range(200):
+        ts = dt.datetime(2026, 1, 1) + dt.timedelta(hours=i)
+        rows.append(('a', ts, vals[i]))
+        rows.append(('b', ts, vals[i - 2] if i >= 2 else 0.0))
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    out = (cross_correlation(df, 'k', 'a', 'b', lags=range(-4, 5))
+           .toPandas().set_index('lag'))
+    assert out['xcorr'].idxmax() == 2
+    assert out.loc[2, 'xcorr'] > 0.999
+    assert out.loc[2, 'xcorr'] > out.loc[0, 'xcorr'] + 0.05
+    # row alignment: lag L loses |L| pairs off one end
+    assert out.loc[0, 'n_pairs'] - out.loc[4, 'n_pairs'] == 4
+    assert out.loc[0, 'n_pairs'] - out.loc[-4, 'n_pairs'] == 4
