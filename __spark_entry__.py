@@ -1926,6 +1926,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                               ['user_id'], window=21, k=3.5)
         return out.select('user_id', 'ts', 'value', 'med', 'mad', 'is_anomaly')
 
+    def events_holt_1h(spark, sf_dir):
+        # Holt linear exponential smoothing + 12-step forecast over the
+        # global hourly tier: the sequential recursion is re-quantized to
+        # 1e-6 each step (floor-based q6 — neither engine's round() is
+        # used), so the DuckDB recursive-CTE twin stepping the same
+        # expression shapes is digit-exact for the whole fit AND the
+        # forecast horizon (the LTTB oracle pattern, applied to state
+        # recursion instead of bucket argmax).
+        from changepoynt_spark.operators.forecast import holt_forecast
+        ev = _read(spark, sf_dir, 'events')
+        tier = (ev.groupBy(F.window('ts', '1 hour').alias('w'))
+                  .agg(F.round(F.sum(F.col('value').cast('decimal(18,6)'))
+                               .cast('double') / F.count('value'), 6)
+                       .alias('value'))
+                  .select(F.col('w.start').alias('ts'), 'value'))
+        return holt_forecast(tier, [], alpha=0.5, beta=0.25, horizon=12)
+
     def events_xcorr_types(spark, sf_dir):
         # lead-lag CROSS-correlation between two series of the hourly tier
         # (does 'click' lead 'view'?): Pearson corr of (a[t], b[t+lag]) for
@@ -2517,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'events_autocorr': events_autocorr,
         'events_seasonal_24h': events_seasonal_24h,
         'events_xcorr_types': events_xcorr_types,
+        'events_holt_1h': events_holt_1h,
         'events_score_percentiles': events_score_percentiles,
         'events_moments_1d': events_moments_1d,
         'events_sax_1h': events_sax_1h,
@@ -3169,6 +3187,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mad > 0 THEN abs(value - med) > 3.5 * 1.4826 * mad
                         ELSE abs(value - med) > 0 END AS is_anomaly
             FROM m2
+        """,
+        # Holt recursion stepped as a recursive CTE, q6-quantized each step
+        'events_holt_1h': """
+            WITH RECURSIVE tier AS (
+              SELECT date_trunc('hour', ts) AS ts,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                           / COUNT(value), 6) AS value
+              FROM events GROUP BY 1),
+            ser AS (
+              SELECT list(value ORDER BY ts) AS xs,
+                     list(epoch_us(ts) ORDER BY ts) AS tss,
+                     CAST(count(*) AS INTEGER) AS n
+              FROM tier),
+            walk AS (
+              SELECT 1 AS t, xs, tss, n,
+                     xs[1] AS l, CAST(0.0 AS DOUBLE) AS b,
+                     CAST(NULL AS DOUBLE) AS fitted
+              FROM ser
+              UNION ALL
+              SELECT t + 1, xs, tss, n, l_new,
+                     floor((0.25 * (l_new - l) + 0.75 * b) * 1000000.0
+                           + 0.5) / 1000000.0,
+                     floor((l + b) * 1000000.0 + 0.5) / 1000000.0
+              FROM (SELECT *,
+                           floor((0.5 * xs[t + 1] + 0.5 * (l + b))
+                                 * 1000000.0 + 0.5) / 1000000.0 AS l_new
+                    FROM walk WHERE t < n)),
+            obs AS (
+              SELECT CAST(t - 1 AS INTEGER) AS rn,
+                     make_timestamp(tss[t]) AS ts, xs[t] AS value,
+                     l AS level, b AS trend, fitted
+              FROM walk),
+            lastrow AS (SELECT * FROM walk WHERE t = n),
+            fc AS (
+              SELECT CAST(n - 1 + h AS INTEGER) AS rn,
+                     make_timestamp(tss[n]
+                                    + h * (tss[n] - tss[n - 1])) AS ts,
+                     CAST(NULL AS DOUBLE) AS value,
+                     CAST(NULL AS DOUBLE) AS level,
+                     CAST(NULL AS DOUBLE) AS trend,
+                     floor((l + h * b) * 1000000.0 + 0.5) / 1000000.0
+                       AS fitted
+              FROM lastrow, (SELECT unnest(range(1, 13)) AS h))
+            SELECT * FROM obs UNION ALL SELECT * FROM fc
         """,
         # lead-lag cross-correlation: same decimal moments per lag
         'events_xcorr_types': """

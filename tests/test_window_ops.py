@@ -74,3 +74,33 @@ def test_cross_correlation_planted_lead_lag(spark):
     # row alignment: lag L loses |L| pairs off one end
     assert out.loc[0, 'n_pairs'] - out.loc[4, 'n_pairs'] == 4
     assert out.loc[0, 'n_pairs'] - out.loc[-4, 'n_pairs'] == 4
+
+
+def test_holt_forecast_linear_convergence_and_keyed(spark):
+    """On a pure line Holt's trend converges to the exact slope and the
+    forecast extends the line exactly (q6 state is noise-free on round-6
+    inputs); keyed series fit independently; forecast ts advances by the
+    observed step."""
+    import datetime as dt
+    from changepoynt_spark.operators.forecast import holt_forecast
+    rows = []
+    for key, slope in (('a', 0.5), ('b', -1.25)):
+        for i in range(60):
+            rows.append((key, dt.datetime(2026, 1, 1) + dt.timedelta(hours=i),
+                         round(2.0 + slope * i, 6)))
+    df = spark.createDataFrame(rows, 'k string, ts timestamp, value double')
+    out = (holt_forecast(df, ['k'], alpha=0.5, beta=0.25, horizon=4)
+           .toPandas().sort_values(['k', 'rn']).reset_index(drop=True))
+    for key, slope in (('a', 0.5), ('b', -1.25)):
+        sub = out[out['k'] == key].reset_index(drop=True)
+        assert abs(sub['trend'].iloc[59] - slope) < 2e-6   # q6 floor
+        last_v = 2.0 + slope * 59
+        for h in range(1, 5):
+            fc = sub[sub['rn'] == 59 + h]
+            assert len(fc) == 1
+            assert abs(fc['fitted'].iloc[0] - (last_v + slope * h)) < 1e-5
+            assert fc['ts'].iloc[0] == (dt.datetime(2026, 1, 1)
+                                        + dt.timedelta(hours=59 + h))
+        # interior fitted == actual on a line once converged
+        mid = sub[(sub['rn'] > 40) & (sub['rn'] < 60)]
+        assert (mid['fitted'] - mid['value']).abs().max() < 1e-5
