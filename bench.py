@@ -116,7 +116,9 @@ def run_queries(spark, sf_dir: str) -> dict:
              'events_realtime_agg', 'tokens_continuous_agg',
              'events_bloom_point_scan', 'events_tier_routed_6h',
              'events_sax_motifs', 'events_sax_motif_pairs',
-             'events_upsert_merge']
+             'events_upsert_merge', 'events_seasonal_24h',
+             'events_xcorr_types', 'events_holt_1h',
+             'events_ca_dd_quantiles_1d']
     qs = entrymod.queries()
     out = {}
     for name in names:
