@@ -104,3 +104,33 @@ def test_holt_forecast_linear_convergence_and_keyed(spark):
         # interior fitted == actual on a line once converged
         mid = sub[(sub['rn'] > 40) & (sub['rn'] < 60)]
         assert (mid['fitted'] - mid['value']).abs().max() < 1e-5
+
+
+def test_seasonal_adjustment_unmasks_anomalies(spark):
+    """The composition that motivates the decomposition: a spike INSIDE the
+    seasonal swing is invisible to raw deviation-from-mean (the daily cycle
+    dwarfs it) but obvious in the decomposition residual."""
+    import datetime as dt
+    import math
+    import numpy as np
+    from changepoynt_spark.operators.window_ops import seasonal_decompose
+    rows = []
+    for i in range(240):
+        v = 50.0 * math.sin(2 * math.pi * (i % 24) / 24)
+        if i == 96:   # phase 0: the sine is ~0 here
+            v += 8.0            # small vs the +/-50 seasonal swing
+        rows.append((dt.datetime(2026, 1, 1) + dt.timedelta(hours=i),
+                     round(v, 6)))
+    df = spark.createDataFrame(rows, 'ts timestamp, value double')
+    out = (seasonal_decompose(df, [], period=24).toPandas()
+           .sort_values('ts').reset_index(drop=True))
+    vals = out['value'].to_numpy()
+    resid = out['resid'].to_numpy(dtype=float)
+    # raw z: the spike row is nowhere near the most extreme raw value
+    raw_z = np.abs(vals - vals.mean()) / vals.std()
+    assert raw_z[96] < 0.5 * np.nanmax(raw_z)
+    # residual: the spike row IS the extreme, by a wide margin
+    r = np.abs(np.nan_to_num(resid))
+    assert r.argmax() == 96
+    second = np.partition(r, -2)[-2]
+    assert r[96] > 5 * max(second, 1e-9)
