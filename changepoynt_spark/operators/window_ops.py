@@ -437,36 +437,61 @@ def cross_correlation(df: DataFrame, key_col: str, key_a, key_b,
     Decimal-exact moment sums over the aligned pairs (order-independent);
     the correlation is one fixed-shape double expression of exact operands
     — bit-identical cross-engine.  Output: (lag, n_pairs, xcorr), one row
-    per lag, NULL xcorr on degenerate variance.  Scale shape: the two
-    series are filtered scans of the tier (pushdown) + one ts-hash join
-    per lag batch; all lags share the two scans.
+    per lag, NULL xcorr on degenerate variance.
+
+    Scale shape (one pass, all lags): every lag is a ``lead(value, lag)``
+    column over ONE per-series sort of b (window partitioned by the key
+    column — a single series, but the plan stays a partitioned window),
+    then ONE a↔b equality join on ``ts_col``, then ONE aggregation that
+    emits every per-lag decimal moment as a conditional sum (valid iff the
+    lagged ROW exists, tracked by a led presence indicator so a null value
+    in an existing row still pairs, exactly like the former row-index
+    join).  The single moment row is unpivoted to one row per lag with
+    ``inline`` — no per-lag joins, no unpartitioned row_number, ≤4
+    exchanges total regardless of len(lags).
     """
     lags = [int(x) for x in lags]
     a = (df.filter(F.col(key_col) == key_a)
            .select(F.col(ts_col).alias('_ts'),
                    F.col(value_col).cast('decimal(18,4)').alias('_xa')))
-    order = Window.orderBy('_ts')
     b = (df.filter(F.col(key_col) == key_b)
-           .select(F.col(ts_col).alias('_ts'),
-                   F.col(value_col).cast('decimal(18,4)').alias('_xb'))
-           .withColumn('_rn', F.row_number().over(order) - 1))
-    out = None
-    for lag in lags:
-        shifted = b.select((F.col('_rn') - F.lit(lag)).alias('_rn_s'),
-                           '_xb', F.col('_ts').alias('_ts_b'))
-        # b[t+lag] aligned to b's row t: join on row index
-        base = b.select('_rn', '_ts').join(
-            shifted, F.col('_rn') == F.col('_rn_s')).select('_ts', '_xb')
-        pairs = a.join(base, '_ts')
-        agg = pairs.agg(
-            F.count('*').alias('n_pairs'),
-            F.sum('_xa').cast('double').alias('sx'),
-            F.sum('_xb').cast('double').alias('sy'),
-            F.sum(F.col('_xa') * F.col('_xa')).cast('double').alias('sxx'),
-            F.sum(F.col('_xb') * F.col('_xb')).cast('double').alias('syy'),
-            F.sum(F.col('_xa') * F.col('_xb')).cast('double').alias('sxy'),
-        ).withColumn('lag', F.lit(lag))
-        out = agg if out is None else out.unionByName(agg)
+           .select(F.col(key_col).alias('_k'),
+                   F.col(ts_col).alias('_ts'),
+                   F.col(value_col).cast('decimal(18,4)').alias('_xb'),
+                   F.lit(1).alias('_one')))
+    w = Window.partitionBy('_k').orderBy('_ts')
+    shift_cols = []
+    for i, lag in enumerate(lags):
+        mk = (lambda c: F.lead(c, lag)) if lag >= 0 else \
+             (lambda c: F.lag(c, -lag))
+        shift_cols += [mk(F.col('_xb')).over(w).alias(f'_xb_{i}'),
+                       mk(F.col('_one')).over(w).alias(f'_p_{i}')]
+    b = b.select('_ts', *shift_cols)
+    pairs = a.join(b, '_ts')
+    aggs = []
+    for i, _lag in enumerate(lags):
+        xb = F.col(f'_xb_{i}')
+        ok = F.col(f'_p_{i}').isNotNull()   # lagged ROW exists
+        aggs += [
+            F.count(F.when(ok, F.lit(1))).alias(f'n_{i}'),
+            F.sum(F.when(ok, F.col('_xa'))).cast('double').alias(f'sx_{i}'),
+            F.sum(F.when(ok, xb)).cast('double').alias(f'sy_{i}'),
+            F.sum(F.when(ok, F.col('_xa') * F.col('_xa')))
+             .cast('double').alias(f'sxx_{i}'),
+            F.sum(F.when(ok, xb * xb)).cast('double').alias(f'syy_{i}'),
+            F.sum(F.when(ok, F.col('_xa') * xb))
+             .cast('double').alias(f'sxy_{i}'),
+        ]
+    row = pairs.agg(*aggs)
+    structs = [F.struct(F.lit(lag).alias('lag'),
+                        F.col(f'n_{i}').alias('n_pairs'),
+                        F.col(f'sx_{i}').alias('sx'),
+                        F.col(f'sy_{i}').alias('sy'),
+                        F.col(f'sxx_{i}').alias('sxx'),
+                        F.col(f'syy_{i}').alias('syy'),
+                        F.col(f'sxy_{i}').alias('sxy'))
+               for i, lag in enumerate(lags)]
+    out = row.select(F.inline(F.array(*structs)))
     nd = F.col('n_pairs').cast('double')
     num = nd * F.col('sxy') - F.col('sx') * F.col('sy')
     var_x = nd * F.col('sxx') - F.col('sx') * F.col('sx')
