@@ -150,12 +150,17 @@ def lsh_bucket_topk(df: DataFrame, query_vec, k: int = 10, n_planes: int = 8, se
     qlit = F.array(*[F.lit(b).cast('long') for b in qbuckets])
     matches_any = F.exists(F.zip_with(buckets, qlit, lambda b, qb: b == qb),
                            lambda m: m)
-    # dropDuplicates guards against duplicate-id corpora: the pre-round-5
-    # per-table union path deduplicated ids as a side effect of its final
-    # dropDuplicates, and without it a repeated id would consume multiple
-    # top-k slots.  The exchange it adds covers only the candidate rows
-    # (~L/2^b of the corpus), not the scan.
-    candidates = df.filter(matches_any).dropDuplicates([id_col])
+    # per-id dedup guards against duplicate-id corpora: without it a
+    # repeated id would consume multiple top-k slots.  The survivor is
+    # picked DETERMINISTICALLY (max_by on the vector's xxhash64, not
+    # dropDuplicates' arbitrary-first-row), so a duplicate id carrying
+    # DIFFERENT vectors yields the same candidate — hence the same top-k
+    # scores/order — on every run and plan.  The exchange covers only the
+    # candidate rows (~L/2^b of the corpus), not the scan.
+    candidates = (df.filter(matches_any)
+                    .groupBy(id_col)
+                    .agg(F.max_by(vec_col, F.xxhash64(vec_col))
+                          .alias(vec_col)))
     return cosine_topk(candidates, q, k=k, id_col=id_col, vec_col=vec_col)
 
 

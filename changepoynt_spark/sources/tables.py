@@ -177,9 +177,16 @@ def _build_file_bloom(path: str, col: str) -> Optional[dict]:
     n_bits = 1 << max(10, min(20, (16 * n - 1).bit_length()))
     bits = bytearray(n_bits // 8)
     for v in arr.to_pylist():
+        if v is None:
+            continue          # nulls are invisible to the bloom by design
         c = _bloom_canon(v)
         if c is None:
-            continue          # null / unhashable: bloom can't speak for it
+            # a NON-NULL value the canon can't hash (Decimal, bytes, bool,
+            # nested): the bloom would be blind to it while the probe side
+            # still hashes int/float/str literals — an unsound 'definitely
+            # absent' that silently prunes matching files.  No bloom at all
+            # for this column; the probe falls through to conservative keep.
+            return None
         for pos in _bloom_hashes(c, n_bits, _BLOOM_K):
             bits[pos >> 3] |= 1 << (pos & 7)
     return {'n_bits': n_bits, 'k': _BLOOM_K,
@@ -250,13 +257,49 @@ def zorder_key(df: DataFrame, cols, bits_per_col: int = 8,
 
 def _path_partition_values(relpath: str) -> dict:
     """Hive-style key=value segments of a data file path (the hidden
-    partition values a reader prunes on without knowing the layout)."""
+    partition values a reader prunes on without knowing the layout).
+    Values (and keys) are URL-unescaped: Spark percent-escapes path-unsafe
+    chars when writing (':' → '%3A' in timestamp values, etc.), and pruning
+    must compare the VALUE, not its escaped spelling."""
+    from urllib.parse import unquote
     out = {}
     for seg in relpath.split(os.sep):
         if '=' in seg and not seg.endswith('.parquet'):
             k, _, v = seg.partition('=')
-            out[k] = v
+            out[unquote(k)] = unquote(v)
     return out
+
+
+def _partition_eq(pv: str, val):
+    """Typed equality of a Hive path partition value against a predicate
+    literal — the '=' analogue of :func:`_coerce_partition_value`, honoring
+    the same typeless-equality rule the bloom path (:func:`_bloom_canon`)
+    implements: ``1.0 == 1``, timestamps compare on epoch micros.  Returns
+    True/False when decidable, None when the coercion is unsound (null
+    partition marker, unparseable path value) — the caller must then fall
+    through to the conservative keep."""
+    import datetime
+    if pv == '__HIVE_DEFAULT_PARTITION__':
+        return None
+    c = _bloom_canon(val)
+    if c is None:
+        return None
+    if isinstance(c, str):
+        return pv == c
+    # numeric or epoch-micros predicate: coerce the path string identically
+    try:
+        n = int(pv)
+    except ValueError:
+        try:
+            f = float(pv)
+        except ValueError:
+            try:  # timestamp-formatted path value ('2026-01-01 00:00:00')
+                dt = datetime.datetime.fromisoformat(pv)
+            except ValueError:
+                return None
+            return _norm_stat(dt) == c
+        n = int(f) if f.is_integer() else f
+    return n == c
 
 
 class IcebergishTable:
@@ -493,9 +536,17 @@ class IcebergishTable:
         :meth:`publish` fast-forwards the hint atomically; an abandoned
         stage is just unreachable metadata (``_next_sid`` skips it, and no
         reader can reach its files).  Accepts everything :meth:`append`
-        does (cluster_by/zorder_by/invalidates/...)."""
+        does (cluster_by/zorder_by/invalidates/...).
+
+        The snapshot is marked ``wap.staged`` so maintenance :meth:`vacuum`
+        between stage and publish does NOT reclaim it as an orphan
+        (Iceberg's branch/ref retention rule) — without the marker a vacuum
+        in that window would silently delete the staged data dir while
+        publish still succeeds on the surviving metadata."""
         return self.append(df, partition_by=partition_by,
-                           properties=properties, _advance_hint=False, **kw)
+                           properties={**(properties or {}),
+                                       'wap.staged': 'true'},
+                           _advance_hint=False, **kw)
 
     def publish(self, snapshot_id: int) -> int:
         """WRITE-AUDIT-PUBLISH, step 2: atomically fast-forward the table to
@@ -506,13 +557,25 @@ class IcebergishTable:
         half-published."""
         cur = self.current_snapshot_id()
         sid = snapshot_id
+        chained = []
         while sid >= 0 and sid != cur:
+            chained.append(sid)
             sid = self.snapshot(sid).get('parent', -1)
         if sid != cur:
             raise ValueError(
                 f'staged snapshot {snapshot_id} does not chain to the '
                 f'current snapshot {cur} (concurrent commit landed after '
                 f'staging); re-stage on the new tip')
+        # refuse to publish data that no longer exists (e.g. a forced
+        # vacuum(retain_staged=False) reclaimed it): publishing would
+        # succeed on metadata alone and read() would silently drop the
+        # missing dir — fail loudly instead
+        for s in chained:
+            d = os.path.join(self.data_dir, f'snap-{s}')
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f'staged snapshot {s} has no data dir ({d}): it was '
+                    f'vacuumed between stage() and publish(); re-stage')
         self._advance_hint(snapshot_id)
         return snapshot_id
 
@@ -526,8 +589,23 @@ class IcebergishTable:
         assert sid >= 0, f'table {self.root} has no snapshots'
         data, dels = self._split_live(sid)
         pairs = [(c, os.path.join(self.data_dir, f'snap-{c}')) for c in data]
+        # a metadata-only snapshot (expire surgery, empty watermark append)
+        # never wrote a data dir — skip it; a snapshot that HAS manifest
+        # entries but no dir was vacuumed: raise, don't silently drop rows
+        gone = [c for c, d in pairs if not os.path.isdir(d)
+                and self.snapshot(c)['manifest']['entries']]
+        assert not gone, (f'snapshot(s) {gone} live at {sid} have no data '
+                          f'dirs: time travel to a vacuumed snapshot')
         pairs = [(c, d) for c, d in pairs if os.path.isdir(d)]
-        assert pairs, f'no live data files at snapshot {sid}'
+        if not pairs:
+            # fully-expired / metadata-only lineage (e.g. retention aged out
+            # every raw row after it was rolled up, leaving only watermark
+            # appends): an Iceberg table whose data files all expired still
+            # reads as EMPTY with the table schema — a downstream refresh
+            # must no-op, not crash
+            from pyspark.sql import types as T
+            schema = T.StructType.fromJson(self.snapshot(sid)['schema'])
+            return spark.createDataFrame([], schema)
         # one read per snapshot dir (each with its own partition discovery),
         # unioned by name — the snap-N level is not a partition column
         from pyspark.sql import functions as F
@@ -820,10 +898,13 @@ class IcebergishTable:
                 # is the only chance to prune it.  Coercion failure
                 # (e.g. __HIVE_DEFAULT_PARTITION__) falls through
                 # conservatively.
-                if op == '=' and part[col] != str(val):
-                    return False
                 if op == '=':
-                    continue
+                    eq = _partition_eq(part[col], val)
+                    if eq is False:
+                        return False
+                    if eq is True:
+                        continue
+                    # undecidable coercion: fall through to footer stats
                 pv = _coerce_partition_value(part[col], val)
                 if pv is not None:
                     if ((op == '<' and pv >= val)
@@ -1019,14 +1100,21 @@ class IcebergishTable:
     def properties_by_snapshot(self) -> dict:
         return {s['snapshot_id']: s['manifest']['properties'] for s in self.history()}
 
-    def vacuum(self) -> list:
+    def vacuum(self, retain_staged: bool = True) -> list:
         """Physically delete data files of snapshots invalidated by the
         current lineage (logical deletes become physical) AND of snapshots
         not reachable from it at all — :meth:`rollback` forks and crashed
         multi-snapshot commits leave such orphans, whose ids are never
         reused but whose bytes would otherwise leak forever.  Returns the
         removed snapshot ids.  Metadata is kept (history stays auditable);
-        time travel to a vacuumed snapshot raises on read."""
+        time travel to a vacuumed snapshot raises on read.
+
+        Staged-but-unpublished WAP snapshots (``wap.staged`` property) are
+        deliberately unreachable between :meth:`stage` and :meth:`publish`
+        — they are RETAINED by default (Iceberg branch/ref retention), not
+        treated as orphans; pass ``retain_staged=False`` to reclaim
+        abandoned stages (a later publish of one then raises instead of
+        silently publishing missing data)."""
         import re
         import shutil
         dead, reachable = set(), set()
@@ -1039,8 +1127,16 @@ class IcebergishTable:
         if os.path.isdir(self.meta_dir):
             for name in os.listdir(self.meta_dir):
                 m = re.match(r'snapshot-(\d+)\.json$', name)
-                if m and int(m.group(1)) not in reachable:
-                    dead.add(int(m.group(1)))   # orphaned fork / crash debris
+                if not m or int(m.group(1)) in reachable:
+                    continue
+                sid = int(m.group(1))
+                if retain_staged and sid not in dead:
+                    snap = self.snapshot(sid)
+                    props = (snap or {}).get('manifest', {}).get(
+                        'properties', {})
+                    if props.get('wap.staged') == 'true':
+                        continue            # live WAP stage, not an orphan
+                dead.add(sid)               # orphaned fork / crash debris
         removed = []
         for sid in sorted(dead):
             d = os.path.join(self.data_dir, f'snap-{sid}')

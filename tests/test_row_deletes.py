@@ -292,3 +292,61 @@ def test_write_audit_publish(spark, events, tmp_path):
     t.append(events.limit(3), partition_by=())
     with pytest.raises(ValueError, match='re-stage'):
         t.publish(stale['snapshot_id'])
+
+
+def test_vacuum_retains_staged_wap_snapshots(spark, events, tmp_path):
+    """ADVICE r6: a maintenance vacuum between stage() and publish() must
+    NOT reclaim the staged snapshot (Iceberg branch/ref retention) — and a
+    forced reclaim makes the later publish raise loudly instead of
+    publishing metadata whose data dir is gone (silent data loss)."""
+    import os
+    t = IcebergishTable(str(tmp_path / 'wapvac'))
+    t.append(events.filter(F.dayofmonth('ts') <= 15), partition_by=())
+    staged = t.stage(events.filter(F.dayofmonth('ts') > 15), partition_by=())
+    sid = staged['snapshot_id']
+    d = os.path.join(t.data_dir, f'snap-{sid}')
+    # default vacuum: the live stage survives; publish then works
+    assert t.vacuum() == []
+    assert os.path.isdir(d)
+    # leave a genuine orphan too: vacuum reclaims IT but not the stage
+    t.append(events.limit(7), partition_by=(), _advance_hint=False)
+    orphan = [s for s in
+              (int(n.split('-')[1].split('.')[0])
+               for n in os.listdir(t.meta_dir) if n.startswith('snapshot-'))
+              if s not in (0, sid)]
+    assert t.vacuum() == orphan and os.path.isdir(d)
+    t.publish(sid)
+    assert _rows(t.read(spark)) == _rows(events)
+    # abandoned-stage reclaim is explicit, and a stale publish of it raises
+    stale = t.stage(events.limit(5), partition_by=())
+    removed = t.vacuum(retain_staged=False)
+    assert stale['snapshot_id'] in removed
+    with pytest.raises(ValueError, match='vacuumed'):
+        t.publish(stale['snapshot_id'])
+
+
+def test_fully_expired_table_reads_empty_and_refresh_noops(spark, events,
+                                                           tmp_path):
+    """ADVICE r6: once retention ages out every raw row (downsample-then-
+    drop), the table must read as EMPTY with its schema — and a continuous
+    aggregate refresh over it must advance its watermark, not crash."""
+    import datetime
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    t = IcebergishTable(str(tmp_path / 'exp'))
+    t.append(events.limit(300), partition_by=())
+    ca = ContinuousAggregate(t, str(tmp_path / 'tier'), keys=['event_type'],
+                             interval='1 hour')
+    assert ca.refresh(spark)['mode'] in ('full', 'incremental')
+    n_tier = ca.read(spark).count()
+    assert n_tier > 0
+    # expire EVERYTHING from the raw table (metadata-only surgery)
+    t.expire_before(spark, datetime.datetime(2100, 1, 1), ts_col='ts')
+    t.vacuum()
+    raw = t.read(spark)
+    assert raw.count() == 0 and 'event_type' in raw.columns
+    # the refresh over the empty table advances the watermark and no-ops
+    rep = ca.refresh(spark)
+    assert rep['rows'] == 0 or rep['mode'] in ('noop', 'empty', 'full')
+    assert ca.refreshed_through() == t.current_snapshot_id()
+    # the tier's history is intact (downsample-then-drop invariant)
+    assert ca.read(spark).count() == n_tier or rep['mode'] == 'full'

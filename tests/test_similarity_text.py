@@ -868,3 +868,26 @@ def test_dedup_ranges_partition_invariance_and_guard(spark):
     assert len(one) == 6
     with pytest.raises(ValueError):
         dedup.dedup_ranges(df, n=10, min_docs=1)
+
+
+def test_lsh_topk_duplicate_ids_deterministic(spark, embeddings):
+    """ADVICE r6: a duplicate id carrying DIFFERENT vectors must survive
+    candidate dedup deterministically (max_by on the vector hash), so the
+    top-k set and scores are identical across runs and physical plans —
+    and one id never consumes two top-k slots."""
+    from pyspark.sql import functions as F
+    pdf = embeddings.toPandas()
+    q = np.stack(pdf[pdf.vec_id == 0]['embedding'].to_numpy())[0]
+    base = embeddings.filter('vec_id <> 0')
+    # clone every row under the SAME id with a perturbed vector
+    clone = base.withColumn(
+        'embedding', F.transform('embedding', lambda x: x * F.lit(0.5)))
+    dup = base.unionByName(clone)
+    runs = []
+    for part in (1, 7, 32):
+        out = (similarity.lsh_bucket_topk(dup.repartition(part), q, k=10,
+                                          n_planes=4, n_tables=8)
+               .toPandas())
+        assert out['vec_id'].is_unique
+        runs.append(list(zip(out['vec_id'], out['cos_sim'].round(6))))
+    assert runs[0] == runs[1] == runs[2]

@@ -443,3 +443,56 @@ def test_bloom_soundness_property():
                 assert _build_file_bloom(p2, 'x') == b
 
     prop()
+
+
+def test_bloom_declines_unhashable_column_types(tmp_path):
+    """ADVICE r6: a bloom over a column whose values _bloom_canon cannot
+    hash (Decimal) must NOT be built at all — a silently-empty bloom would
+    answer 'definitely absent' for int/float/str probes and unsoundly prune
+    files that DO contain matching rows."""
+    import decimal
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from changepoynt_spark.sources.tables import (
+        _build_file_bloom, _bloom_may_contain)
+    p = os.path.join(str(tmp_path), 'dec.parquet')
+    vals = [decimal.Decimal('1.5000'), decimal.Decimal('2.0000'), None]
+    pq.write_table(pa.table({'x': pa.array(vals, pa.decimal128(18, 4))}), p)
+    assert _build_file_bloom(p, 'x') is None
+    # nulls alone never poison a hashable column
+    p2 = os.path.join(str(tmp_path), 'ok.parquet')
+    pq.write_table(pa.table({'x': [1, None, 3]}), p2)
+    b = _build_file_bloom(p2, 'x')
+    assert b is not None and _bloom_may_contain(b, 3)
+
+
+def test_partition_equality_unescapes_and_coerces(spark, events, tmp_path):
+    """ADVICE r6: Hive path partition values are percent-escaped by Spark
+    (':' -> '%3A' in timestamps) and stringly typed; '=' pruning must
+    compare the unescaped TYPED value — predicate 1.0 matches an int
+    partition '1', a datetime literal matches its escaped path spelling —
+    or every matching file is wrongly pruned (silently empty scans)."""
+    t = IcebergishTable(str(tmp_path / 'esc'))
+    df = (events.limit(200)
+                .withColumn('day', F.date_trunc('day', 'ts'))
+                .withColumn('bucket', (F.col('event_id') % 3).cast('int')))
+    t.append(df, partition_by=('day', 'bucket'))
+    ent = t.snapshot(0)['manifest']['entries'][0]
+    assert ':' in ent['partition']['day'], 'expected unescaped timestamp'
+    some_day = datetime.datetime.fromisoformat(ent['partition']['day'])
+    # timestamp equality on the partition column keeps the matching files
+    plan = t.plan_files([('day', '=', some_day)])
+    assert 0 < plan['n_kept'] < plan['n_total']
+    got = sorted(r['event_id'] for r in
+                 t.scan(spark, [('day', '=', some_day)]).collect())
+    exp = sorted(r['event_id'] for r in
+                 df.filter(F.col('day') == F.lit(some_day)).collect())
+    assert got == exp and got
+    # typeless numeric equality: float probe on an int partition value
+    got_f = t.scan(spark, [('bucket', '=', 1.0)]).count()
+    exp_f = df.filter(F.col('bucket') == 1).count()
+    assert got_f == exp_f > 0
+    # and a definitely-absent day prunes everything
+    assert t.plan_files([('day', '=', datetime.datetime(1999, 1, 1))
+                         ])['n_kept'] == 0
