@@ -206,3 +206,217 @@ def bpe_detokenize(df: DataFrame, id_col: str = 'doc_id',
     return df.select(
         F.col(id_col).alias(id_col),
         F.substr(glued, F.lit(1), F.length(glued) - 1).alias('text'))
+
+
+# -- windowed (cross-word) BPE at realistic vocab size -----------------------
+#
+# The synthetic documents corpus has a 31-word vocabulary, so classic
+# per-word BPE EXHAUSTS after 82 merges (measured; see BENCH/R7_NOTES.md) —
+# no amount of batching reaches a realistic merge count.  The windowed
+# variant lifts the end-of-word barrier GPT-2-style: merges may span word
+# boundaries, but only within aligned non-overlapping W-word windows (the
+# pre-tokenization unit becomes the window, exactly as the word was before).
+# The pair space then grows with word SEQUENCES, supporting 1k+ merges.
+#
+# Scale shape: the counting table is the DISTINCT-window table (bounded by
+# distinct W-grams, not corpus size) — the same role the distinct-word table
+# plays for classic BPE.  Learning is BATCHED: each round counts pairs once
+# and accepts up to `batch` mutually rank-independent pairs (greedy in rank
+# order; a pair is skipped if either symbol collides with a symbol — or the
+# merged output — of a pair already accepted this round), so K merges cost
+# ~K/batch shuffles instead of K.  Application is a broadcast join of the
+# learned window→symbols table — documents never see a K-deep expression.
+#
+# Both learning and application remain DuckDB-expressible (recursive-CTE
+# greedy selection + chained round CTEs), so the driver oracle checks the
+# full 1k-merge pipeline end to end.
+
+
+def _word_windows(text_col, window: int):
+    """Non-overlapping aligned W-word windows of a document, as strings
+    (space-joined).  The last window may be shorter.  Concatenating the
+    windows' delimited streams (each :func:`_delimited` doc-style, i.e. an
+    EOW symbol after every word) reproduces the document's full delimited
+    stream byte-for-byte."""
+    words = F.split(text_col, ' ')
+    n = F.floor((F.size(words) + F.lit(window - 1)) / F.lit(window)) \
+         .cast('int')
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(words, i * window + 1, window), ' '))
+
+
+def _pair_structs(syms):
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias('lhs'),
+                F.element_at(syms, i + 1).alias('rhs'))))
+
+
+def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 32,
+                              batch: int = 64, candidates: int = 2048,
+                              window: int = 4, text_col: str = 'text'):
+    """Batched windowed BPE learning.  Returns ``(merges, window_reprs)``:
+    ``merges`` is the global-rank-ordered list of merge dicts (merge_rank,
+    lhs, rhs, merged, pair_count — pair_count as of its round's start), and
+    ``window_reprs`` is the distinct-window table (chunk, cnt, repr) with
+    every learned merge applied — the application vocabulary, persisted
+    (caller unpersists).
+
+    Per round: ONE pair-count aggregate over the cached distinct-window
+    table, a driver-side greedy rank scan of the top ``candidates`` pairs
+    (bounded, deterministic: ties broken (count DESC, lhs, rhs); a pair is
+    skipped iff lhs or rhs is blocked — blocked = every accepted pair's
+    lhs, rhs and merged string), then the accepted batch applied as
+    ``batch`` chained literal replaces.  Driver traffic is ≤ ``candidates``
+    rows per round."""
+    rep = (df.select(F.explode(_word_windows(F.col(text_col),
+                                             window)).alias('chunk'))
+             .groupBy('chunk').agg(F.count('*').alias('cnt'))
+             .withColumn('repr', _delimited(F.col('chunk'), per_word=False))
+             .coalesce(8)
+             .persist())
+    rep.count()
+    merges: list = []
+    for _ in range(n_rounds):
+        syms = _symbols(F.col('repr'))
+        cand = (rep.select('cnt', F.explode(_pair_structs(syms)).alias('p'))
+                   .groupBy('p.lhs', 'p.rhs')
+                   .agg(F.sum('cnt').alias('pair_count'))
+                   .orderBy(F.col('pair_count').desc(),
+                            F.col('lhs').asc(), F.col('rhs').asc())
+                   .take(candidates))
+        accepted, blocked = [], set()
+        for row in cand:
+            l, r = row['lhs'], row['rhs']
+            if l in blocked or r in blocked:
+                continue
+            accepted.append({'merge_rank': len(merges) + len(accepted) + 1,
+                             'lhs': l, 'rhs': r, 'merged': l + r,
+                             'pair_count': int(row['pair_count'])})
+            blocked.update((l, r, l + r))
+            if len(accepted) == batch:
+                break
+        if not accepted:
+            break
+        new = rep.withColumn(
+            'repr', _apply_merges(F.col('repr'), accepted)).persist()
+        new.count()
+        rep.unpersist()
+        rep = new
+        merges += accepted
+    return merges, rep
+
+
+def bpe_merges_windowed(df: DataFrame, n_rounds: int = 32, batch: int = 64,
+                        candidates: int = 2048, window: int = 4,
+                        text_col: str = 'text') -> DataFrame:
+    """The windowed learned merge table as a DataFrame — the contract-query
+    face of :func:`learn_bpe_merges_windowed`."""
+    spark = df.sparkSession
+    merges, rep = learn_bpe_merges_windowed(
+        df, n_rounds=n_rounds, batch=batch, candidates=candidates,
+        window=window, text_col=text_col)
+    rep.unpersist()
+    return spark.createDataFrame(
+        [(m['merge_rank'], m['lhs'], m['rhs'], m['merged'], m['pair_count'])
+         for m in merges], MERGE_SCHEMA)
+
+
+def bpe_tokenize_windowed(df: DataFrame, merges=None, window_reprs=None,
+                          n_rounds: int = 32, batch: int = 64,
+                          candidates: int = 2048, window: int = 4,
+                          id_col: str = 'doc_id', text_col: str = 'text',
+                          vocab: int = VOCAB,
+                          with_roundtrip: bool = False) -> DataFrame:
+    """documents -> (doc_id, tokens, token_ids, n_bpe[, roundtrip], source)
+    under the windowed merge table: each document's aligned W-word windows
+    are looked up in the learned window→symbol-stream table (a BROADCAST
+    join — the window table is the bounded vocabulary) and reassembled in
+    window order.  No K-deep replace chain ever touches the corpus; the
+    reassembly is the one exchange (groupBy doc_id).
+
+    ``window_reprs`` (from :func:`learn_bpe_merges_windowed`) is reused
+    when given; otherwise it is rebuilt from ``merges`` in ``batch``-sized
+    stages, or learned from scratch."""
+    own = False
+    if window_reprs is None:
+        if merges is None:
+            merges, window_reprs = learn_bpe_merges_windowed(
+                df, n_rounds=n_rounds, batch=batch, candidates=candidates,
+                window=window, text_col=text_col)
+            own = True
+        else:
+            window_reprs = (
+                df.select(F.explode(_word_windows(F.col(text_col),
+                                                  window)).alias('chunk'))
+                  .distinct()
+                  .withColumn('repr',
+                              _delimited(F.col('chunk'), per_word=False)))
+            for i in range(0, len(merges), batch):
+                window_reprs = window_reprs.withColumn(
+                    'repr',
+                    _apply_merges(F.col('repr'), merges[i:i + batch]))
+                window_reprs = window_reprs.persist()
+                window_reprs.count()
+                own = True
+    carry = ['source'] if 'source' in df.columns else []
+    ch = df.select(F.col(id_col).cast('string').alias(id_col),
+                   F.col(text_col).alias('_text'), *carry,
+                   F.posexplode(_word_windows(F.col(text_col), window))
+                    .alias('_pos', 'chunk'))
+    j = ch.join(F.broadcast(window_reprs.select('chunk', 'repr')), 'chunk')
+    agg = [F.first('_text').alias('_text'),
+           F.concat_ws('', F.transform(
+               F.array_sort(F.collect_list(F.struct('_pos', 'repr'))),
+               lambda s: s['repr'])).alias('_applied')]
+    agg += [F.first(c).alias(c) for c in carry]
+    per_doc = j.groupBy(id_col).agg(*agg)
+    toks = _symbols(F.col('_applied'))
+    tok_id = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast('long'),
+        F.lit(vocab)).cast('int')
+    cols = [F.col(id_col),
+            toks.alias('tokens'),
+            F.transform(toks, tok_id).alias('token_ids'),
+            F.size(toks).cast('int').alias('n_bpe')]
+    if with_roundtrip:
+        cols.append(
+            (F.replace(F.replace(F.col('_applied'), F.lit(SEP), F.lit('')),
+                       F.lit(EOW), F.lit(' '))
+             == F.concat(F.col('_text'), F.lit(' '))).alias('roundtrip'))
+    out = per_doc.select(*cols, *carry)
+    if own:
+        window_reprs.unpersist()
+    return out
+
+
+def write_merge_table(spark, root: str, merges,
+                      properties: dict = None) -> dict:
+    """Persist a learned merge table as an Icebergish artifact (one
+    snapshot, ordered by merge_rank) so tokenization jobs can load the
+    SAME vocabulary without relearning — the tokenizer-artifact step of a
+    training-data pipeline.  Returns the snapshot dict."""
+    from changepoynt_spark.sources.tables import IcebergishTable
+    t = IcebergishTable(root)
+    df = spark.createDataFrame(
+        [(m['merge_rank'], m['lhs'], m['rhs'], m['merged'], m['pair_count'])
+         for m in merges], MERGE_SCHEMA)
+    return t.append(df.coalesce(1), partition_by=(),
+                    properties={**(properties or {}),
+                                'artifact': 'bpe-merges',
+                                'n_merges': len(merges)})
+
+
+def read_merge_table(spark, root: str) -> list:
+    """Load a merge table written by :func:`write_merge_table`, in
+    application (merge_rank) order."""
+    from changepoynt_spark.sources.tables import IcebergishTable
+    rows = (IcebergishTable(root).read(spark)
+            .orderBy('merge_rank').collect())
+    return [{'merge_rank': r['merge_rank'], 'lhs': r['lhs'],
+             'rhs': r['rhs'], 'merged': r['merged'],
+             'pair_count': r['pair_count']} for r in rows]

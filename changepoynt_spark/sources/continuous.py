@@ -131,7 +131,7 @@ class ContinuousAggregate:
                  interval: str = '1 minute', partition_by=None,
                  source_kind: str = 'points', transform=None,
                  agg_form: str = 'points', distinct_col: str = None,
-                 lg_k: int = 12):
+                 lg_k: int = 12, auto_compact_snapshots: int = 64):
         self.source = source
         self.tier = IcebergishTable(tier_root)
         self.keys = list(keys)
@@ -178,6 +178,15 @@ class ContinuousAggregate:
         # rollup_partial, and the upstream's own maintenance commits
         # ('tier-compact') are tolerated like raw expiry/compaction
         self.source_kind = source_kind
+        # auto-compaction policy: every refresh appends one merge-on-read
+        # snapshot, so an always-on pipeline's read cost grows with the
+        # number of live tier snapshots (union + merge width), not bytes.
+        # When a refresh leaves MORE than this many live snapshots, the
+        # refresh itself folds the pile with :meth:`compact` (watermark-
+        # preserving) — readers stay O(1) snapshots amortized, and the
+        # compaction cost is bounded: it re-reads tier PARTIALS (≤ one row
+        # per keys×bucket), never raw history.  None/0 disables.
+        self.auto_compact_snapshots = auto_compact_snapshots
 
     # -- watermark ---------------------------------------------------------
 
@@ -253,8 +262,15 @@ class ContinuousAggregate:
                 })
         finally:
             part.unpersist()
-        return {'mode': mode, 'from': frm, 'to': to,
-                'rows': snap['manifest']['row_count']}
+        out = {'mode': mode, 'from': frm, 'to': to,
+               'rows': snap['manifest']['row_count']}
+        k = self.auto_compact_snapshots
+        if k:
+            live = self.tier._live_snapshots(self.tier.current_snapshot_id())
+            if len(live) > k:
+                rep = self.compact(spark)
+                out['compacted'] = rep['replaced']
+        return out
 
     def _commit_watermark(self, spark: SparkSession, frm: int, to: int) -> dict:
         """Advance the watermark with an empty partial append (keeps the

@@ -485,3 +485,39 @@ def test_dd_ca_realtime_equals_one_shot(spark, events, tmp_path):
     for col in ('bucket_start', 'zero_cnt', 'pos_sketch', 'neg_sketch',
                 'n_points'):
         assert list(got_1d[col]) == list(exp_1d[col]), col
+
+
+def test_auto_compaction_bounds_live_snapshots(spark, events, tmp_path):
+    """r7: an always-on refresh pipeline must not let the merge-on-read pile
+    grow without bound — refresh() auto-compacts (watermark-preserving)
+    once live tier snapshots exceed the policy K, so read cost stays O(K)
+    snapshots amortized while results remain EXACTLY the one-shot rollup."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    K = 6
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=(),
+                             auto_compact_snapshots=K)
+    n = 20
+    b = F.pmod(F.xxhash64('user_id', 'ts'), F.lit(n))
+    compactions = 0
+    for i in range(n):
+        raw.append(events.filter(b == i), partition_by=())
+        rep = ca.refresh(spark)
+        assert rep['mode'] == 'incremental'
+        compactions += 1 if 'compacted' in rep else 0
+        live = ca.tier._live_snapshots(ca.tier.current_snapshot_id())
+        assert len(live) <= K, f'batch {i}: {len(live)} live snapshots'
+    assert compactions >= 2, 'policy never triggered'
+    # watermark preserved across compactions; results exact; realtime reads
+    # (which union the live pile) see the same bounded pile
+    assert ca.refreshed_through() == raw.current_snapshot_id()
+    expected = rollup.rollup_from_points(events, KEYS, interval='1 hour',
+                                         exact_sum=True)
+    _assert_tier_equal(ca.read(spark), expected)
+    _assert_tier_equal(ca.read_realtime(spark), expected)
+    # disabled policy: the pile grows monotonically (control)
+    ca2 = ContinuousAggregate(raw, str(tmp_path / 'tier2'), KEYS,
+                              interval='1 hour', partition_by=(),
+                              auto_compact_snapshots=None)
+    assert ca2.refresh(spark)['mode'] in ('incremental', 'full')
+    assert 'compacted' not in ca2.refresh(spark)
