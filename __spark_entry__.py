@@ -1027,6 +1027,93 @@ SELECT doc_id,
 FROM syms"""
 
 
+def _bpe_windowed_sql(rounds: int = 18, batch: int = 64, window: int = 4,
+                      final: str = 'merges', vocab: int = 50257) -> str:
+    """DuckDB twin of the WINDOWED rank-batched BPE (operators/bpe.py,
+    learn_bpe_merges_windowed mode='rank'): rounds x batch merges learned
+    over the distinct W-word-window table, counts as-of round start, the
+    batch applied in rank order as literal replaces.  Each round is ONE
+    pair-count CTE + a top-`batch` rank CTE + the replaces folded into one
+    single-row CTE cross-joined in (scalar subqueries re-evaluate PER ROW
+    in DuckDB — 280 s vs 6 s, measured).  Tokens are produced the way the
+    Spark side does it: per-window lookup against the learned window-repr
+    table, reassembled in window order."""
+    sep, eow = 'chr(31)', 'chr(23)'
+    W = window
+    parts = [
+        """docs AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, text,
+         string_split(text, ' ') AS words FROM documents)""",
+        f"""chunks AS MATERIALIZED (
+  SELECT doc_id, source, text, i AS pos,
+         array_to_string(list_slice(words, CAST(i*{W}+1 AS BIGINT),
+                                    CAST(i*{W}+{W} AS BIGINT)), ' ') AS chunk
+  FROM docs, UNNEST(range(0, CAST(floor((len(words)+{W - 1})/{W})
+                             AS BIGINT))) AS t(i))""",
+        """wc AS MATERIALIZED (
+  SELECT chunk, COUNT(*) AS cnt FROM chunks GROUP BY chunk)""",
+        f"""r0 AS MATERIALIZED (SELECT chunk, cnt,
+  regexp_replace(replace(chunk || ' ', ' ', {eow}), '(.)',
+                 '\\1' || {sep}, 'gs') AS repr
+  FROM wc)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT lhs, rhs, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, lhs, rhs) AS br
+  FROM (
+    SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+      SELECT cnt,
+        unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS lhs,
+        unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS rhs
+      FROM (SELECT cnt, list_filter(string_split(repr, {sep}), x -> x <> '')
+              AS syms FROM r{k - 1}))
+    GROUP BY lhs, rhs)
+  ORDER BY pair_count DESC, lhs, rhs LIMIT {batch})""")
+        mcols = ',\n    '.join(
+            f"COALESCE(MAX(CASE WHEN br = {j} THEN lhs || {sep} || rhs END),"
+            f" chr(1)) AS p{j},"
+            f" COALESCE(MAX(CASE WHEN br = {j} THEN lhs || rhs END), '')"
+            f" AS s{j}" for j in range(1, batch + 1))
+        parts.append(f"m{k} AS MATERIALIZED (SELECT {mcols} FROM a{k})")
+        applied = 'repr'
+        for j in range(1, batch + 1):
+            applied = f"replace({applied}, m.p{j}, m.s{j})"
+        parts.append(f"r{k} AS MATERIALIZED (SELECT chunk, cnt, {applied}"
+                     f" AS repr FROM r{k - 1}, m{k} m)")
+    sql = 'WITH ' + ',\n'.join(parts)
+    if final == 'merges':
+        sel = '\nUNION ALL\n'.join(
+            f"SELECT {k} AS rnd, br, lhs, rhs, lhs || rhs AS merged,"
+            f" pair_count FROM a{k}" for k in range(1, rounds + 1))
+        return sql + f""",
+allm AS ({sel})
+SELECT CAST(row_number() OVER (ORDER BY rnd, br) AS INT) AS merge_rank,
+       lhs, rhs, merged, pair_count
+FROM allm ORDER BY merge_rank"""
+    tok_id = f"CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {vocab}"
+    return sql + f""",
+dapp AS MATERIALIZED (
+  SELECT c.doc_id, c.text, c.source,
+         string_agg(r.repr, '' ORDER BY c.pos) AS applied
+  FROM chunks c JOIN r{rounds} r ON r.chunk = c.chunk
+  GROUP BY c.doc_id, c.text, c.source),
+syms AS (SELECT doc_id, source, text, applied,
+                list_filter(string_split(applied, {sep}), x -> x <> '')
+                  AS toks FROM dapp)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_bpe,
+       CAST(list_sum(list_transform(toks, t -> {tok_id})) AS BIGINT)
+         AS tok_sum,
+       CAST('0x' || substring(md5(toks[1]), 1, 8) AS BIGINT) % {vocab}
+         AS tok_first,
+       CAST('0x' || substring(md5(toks[-1]), 1, 8) AS BIGINT) % {vocab}
+         AS tok_last,
+       (replace(replace(applied, {sep}, ''), {eow}, ' ') = text || ' ')
+         AS roundtrip,
+       source
+FROM syms"""
+
+
 def _pii_scrub_sql() -> str:
     """Identical regexes (Java-regex ∩ RE2 common subset) and identical
     sequential replacement order as text.pii_scrub; DuckDB regexp_replace
@@ -2304,6 +2391,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             'roundtrip',
             'source')
 
+    def doc_bpe_merges_1k(spark, sf_dir):
+        # realistic-vocab BPE: the 31-word corpus EXHAUSTS per-word BPE at
+        # 82 merges (measured), so the 1k-scale surface is the WINDOWED
+        # variant — merges may span word boundaries inside aligned 4-word
+        # windows (GPT-2-style lifted EOW barrier), learned in rank-ordered
+        # batches of 64 over the distinct-window table (18 rounds -> 1152
+        # merges; counts as-of round start; the driver oracle re-learns the
+        # whole table in SQL, one CTE chain per round)
+        from changepoynt_spark.operators import bpe
+        return bpe.bpe_merges_windowed(_read(spark, sf_dir, 'documents'),
+                                       n_rounds=18, batch=64, window=4)
+
+    def doc_bpe_tokens_1k(spark, sf_dir):
+        # 1152-merge windowed-BPE tokenization: documents never see the
+        # 1k-deep replace chain — each 4-word window is looked up in the
+        # learned window->symbols table (broadcast join; the window table
+        # IS the bounded vocabulary) and reassembled in window order;
+        # sum/first/last pin the token-id stream, `roundtrip` pins
+        # byte-exact detokenization
+        from changepoynt_spark.operators import bpe
+        docs = _read(spark, sf_dir, 'documents')
+        merges, reprs = bpe.learn_bpe_merges_windowed(
+            docs, n_rounds=18, batch=64, window=4)
+        t = bpe.bpe_tokenize_windowed(docs, merges=merges,
+                                      window_reprs=reprs, window=4,
+                                      with_roundtrip=True)
+        out = t.select(
+            'doc_id',
+            'n_bpe',
+            F.aggregate('token_ids', F.lit(0).cast('long'),
+                        lambda a, x: a + x).alias('tok_sum'),
+            F.element_at('token_ids', 1).alias('tok_first'),
+            F.element_at('token_ids', -1).alias('tok_last'),
+            'roundtrip',
+            'source')
+        return out
+
     def events_sessions(spark, sf_dir):
         from changepoynt_spark.operators.window_ops import session_stats
         return session_stats(_read(spark, sf_dir, 'events'), keys=['user_id'],
@@ -2596,6 +2720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_tokenize': doc_tokenize,
         'doc_bpe_merges': doc_bpe_merges,
         'doc_bpe_tokens': doc_bpe_tokens,
+        'doc_bpe_merges_1k': doc_bpe_merges_1k,
+        'doc_bpe_tokens_1k': doc_bpe_tokens_1k,
         'doc_pii_scrub': doc_pii_scrub,
         'doc_contamination': doc_contamination,
         'corpus_mixture_sample': corpus_mixture_sample,
@@ -2921,6 +3047,8 @@ def oracle_sql() -> dict[str, str]:
         'doc_tokenize': _TOKENIZE_SQL,
         'doc_bpe_merges': _bpe_sql(16, 'merges'),
         'doc_bpe_tokens': _bpe_sql(16, 'tokens'),
+        'doc_bpe_merges_1k': _bpe_windowed_sql(18, 64, 4, 'merges'),
+        'doc_bpe_tokens_1k': _bpe_windowed_sql(18, 64, 4, 'tokens'),
         'doc_pii_scrub': _pii_scrub_sql(),
         'doc_contamination': _CONTAMINATION_SQL,
         'corpus_mixture_sample': _MIXTURE_SAMPLE_SQL,

@@ -221,11 +221,20 @@ def bpe_detokenize(df: DataFrame, id_col: str = 'doc_id',
 # Scale shape: the counting table is the DISTINCT-window table (bounded by
 # distinct W-grams, not corpus size) — the same role the distinct-word table
 # plays for classic BPE.  Learning is BATCHED: each round counts pairs once
-# and accepts up to `batch` mutually rank-independent pairs (greedy in rank
-# order; a pair is skipped if either symbol collides with a symbol — or the
-# merged output — of a pair already accepted this round), so K merges cost
-# ~K/batch shuffles instead of K.  Application is a broadcast join of the
-# learned window→symbols table — documents never see a K-deep expression.
+# and accepts a rank-ordered batch, so K merges cost ~K/batch shuffles
+# instead of K.  Two batch modes, both deterministic:
+#   'rank' (contract default): the top `batch` pairs land in one round and
+#     apply in rank order.  Within a round, recorded pair_counts are as-of
+#     round start; where a higher-ranked replace consumed an occurrence the
+#     lower-ranked replace simply matches less — well-defined under ordered
+#     literal replaces, and a plain ORDER BY ... LIMIT in the SQL twin.
+#   'independent': greedy rank scan that skips a pair if either symbol
+#     collides with a symbol (or merged output) of a pair already accepted
+#     this round — closer to sequential BPE per merge, but acceptance per
+#     round is corpus-dependent (8-50 measured here), so reaching a fixed
+#     vocab takes an input-dependent round count.
+# Application is a broadcast join of the learned window→symbols table —
+# documents never see a K-deep expression.
 #
 # Both learning and application remain DuckDB-expressible (recursive-CTE
 # greedy selection + chained round CTEs), so the driver oracle checks the
@@ -256,9 +265,10 @@ def _pair_structs(syms):
                 F.element_at(syms, i + 1).alias('rhs'))))
 
 
-def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 32,
+def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 18,
                               batch: int = 64, candidates: int = 2048,
-                              window: int = 4, text_col: str = 'text'):
+                              window: int = 4, text_col: str = 'text',
+                              mode: str = 'rank'):
     """Batched windowed BPE learning.  Returns ``(merges, window_reprs)``:
     ``merges`` is the global-rank-ordered list of merge dicts (merge_rank,
     lhs, rhs, merged, pair_count — pair_count as of its round's start), and
@@ -267,12 +277,15 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 32,
     (caller unpersists).
 
     Per round: ONE pair-count aggregate over the cached distinct-window
-    table, a driver-side greedy rank scan of the top ``candidates`` pairs
-    (bounded, deterministic: ties broken (count DESC, lhs, rhs); a pair is
-    skipped iff lhs or rhs is blocked — blocked = every accepted pair's
-    lhs, rhs and merged string), then the accepted batch applied as
-    ``batch`` chained literal replaces.  Driver traffic is ≤ ``candidates``
-    rows per round."""
+    table, a driver-side rank scan (bounded, deterministic: ties broken
+    (count DESC, lhs, rhs)), then the accepted batch applied as chained
+    literal replaces.  ``mode='rank'`` accepts the top ``batch`` pairs
+    outright (n_rounds * batch merges guaranteed while pairs last);
+    ``mode='independent'`` greedily skips pairs colliding with an earlier
+    acceptance this round (blocked = accepted lhs/rhs/merged strings),
+    scanning up to ``candidates`` pairs.  Driver traffic is ≤
+    ``candidates`` rows per round."""
+    assert mode in ('rank', 'independent'), mode
     rep = (df.select(F.explode(_word_windows(F.col(text_col),
                                              window)).alias('chunk'))
              .groupBy('chunk').agg(F.count('*').alias('cnt'))
@@ -288,11 +301,11 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 32,
                    .agg(F.sum('cnt').alias('pair_count'))
                    .orderBy(F.col('pair_count').desc(),
                             F.col('lhs').asc(), F.col('rhs').asc())
-                   .take(candidates))
+                   .take(batch if mode == 'rank' else candidates))
         accepted, blocked = [], set()
         for row in cand:
             l, r = row['lhs'], row['rhs']
-            if l in blocked or r in blocked:
+            if mode == 'independent' and (l in blocked or r in blocked):
                 continue
             accepted.append({'merge_rank': len(merges) + len(accepted) + 1,
                              'lhs': l, 'rhs': r, 'merged': l + r,
@@ -302,24 +315,29 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 32,
                 break
         if not accepted:
             break
+        # localCheckpoint, not persist: it truncates the LOGICAL plan too,
+        # so round k+1's analysis starts from a leaf instead of re-walking
+        # k*batch accumulated replace expressions (O(K^2) driver-side
+        # catalyst work — measured minutes by round 18 with plain persist)
         new = rep.withColumn(
-            'repr', _apply_merges(F.col('repr'), accepted)).persist()
-        new.count()
+            'repr', _apply_merges(F.col('repr'), accepted)) \
+            .localCheckpoint(eager=True)
         rep.unpersist()
         rep = new
         merges += accepted
     return merges, rep
 
 
-def bpe_merges_windowed(df: DataFrame, n_rounds: int = 32, batch: int = 64,
+def bpe_merges_windowed(df: DataFrame, n_rounds: int = 18, batch: int = 64,
                         candidates: int = 2048, window: int = 4,
-                        text_col: str = 'text') -> DataFrame:
+                        text_col: str = 'text',
+                        mode: str = 'rank') -> DataFrame:
     """The windowed learned merge table as a DataFrame — the contract-query
     face of :func:`learn_bpe_merges_windowed`."""
     spark = df.sparkSession
     merges, rep = learn_bpe_merges_windowed(
         df, n_rounds=n_rounds, batch=batch, candidates=candidates,
-        window=window, text_col=text_col)
+        window=window, text_col=text_col, mode=mode)
     rep.unpersist()
     return spark.createDataFrame(
         [(m['merge_rank'], m['lhs'], m['rhs'], m['merged'], m['pair_count'])
@@ -327,10 +345,10 @@ def bpe_merges_windowed(df: DataFrame, n_rounds: int = 32, batch: int = 64,
 
 
 def bpe_tokenize_windowed(df: DataFrame, merges=None, window_reprs=None,
-                          n_rounds: int = 32, batch: int = 64,
+                          n_rounds: int = 18, batch: int = 64,
                           candidates: int = 2048, window: int = 4,
                           id_col: str = 'doc_id', text_col: str = 'text',
-                          vocab: int = VOCAB,
+                          vocab: int = VOCAB, mode: str = 'rank',
                           with_roundtrip: bool = False) -> DataFrame:
     """documents -> (doc_id, tokens, token_ids, n_bpe[, roundtrip], source)
     under the windowed merge table: each document's aligned W-word windows
@@ -347,7 +365,7 @@ def bpe_tokenize_windowed(df: DataFrame, merges=None, window_reprs=None,
         if merges is None:
             merges, window_reprs = learn_bpe_merges_windowed(
                 df, n_rounds=n_rounds, batch=batch, candidates=candidates,
-                window=window, text_col=text_col)
+                window=window, text_col=text_col, mode=mode)
             own = True
         else:
             window_reprs = (
@@ -359,9 +377,8 @@ def bpe_tokenize_windowed(df: DataFrame, merges=None, window_reprs=None,
             for i in range(0, len(merges), batch):
                 window_reprs = window_reprs.withColumn(
                     'repr',
-                    _apply_merges(F.col('repr'), merges[i:i + batch]))
-                window_reprs = window_reprs.persist()
-                window_reprs.count()
+                    _apply_merges(F.col('repr'), merges[i:i + batch])) \
+                    .localCheckpoint(eager=True)   # truncate, as in learning
                 own = True
     carry = ['source'] if 'source' in df.columns else []
     ch = df.select(F.col(id_col).cast('string').alias(id_col),
