@@ -173,13 +173,18 @@ def main():
     # window the pipeline actually ran in — record one between the two runs
     probe_mid = round(_hw_probe_work(None), 3)
     rolled2, raw2, wall2, comp2, stage2 = headline_pipeline(spark, stages=True)
-    run_probe = (probe_sec + probe_mid) / 2   # probes bracketing the kept run
+    # post probe RIGHT AFTER the second run (not after run_queries), so all
+    # three probes bracket the headline window
+    probe_post = round(_hw_probe_work(None), 3)
+    # PINNED PAIRING RULE (r7): the normalization probe is the MEDIAN of
+    # (launch, mid, post) — one documented statistic, independent of which
+    # pipeline run is kept.  Earlier rounds paired differently (r6:
+    # mean(launch,mid) or mid-only depending on the kept run); the
+    # round-over-round series under THIS rule is in BENCH/R7_NOTES.md.
+    run_probe = sorted((probe_sec, probe_mid, probe_post))[1]
     if rolled2 / wall2 > rolled / wall:
         rolled, raw, wall, comp, stage_sec = rolled2, raw2, wall2, comp2, stage2
-        run_probe = probe_mid  # post probe lands after run_queries; mid is
-        #                        the only in-bracket measurement for run 2
     qtimes = run_queries(spark, SF_DIR)
-    probe_post = round(_hw_probe_work(None), 3)
     conf = {
         'master': spark.sparkContext.master,
         'shuffle_partitions': spark.conf.get('spark.sql.shuffle.partitions'),
@@ -210,11 +215,14 @@ def main():
             'hw_probe_post_sec': probe_post,
             # round-over-round comparable headline: throughput rescaled to
             # the 0.30 s reference probe clock (probe > 0.30 = slower host,
-            # so multiply by probe/0.30).  Uses the probe(s) bracketing the
-            # KEPT run; interpretation history in BENCH/R5_NOTES.md.
+            # so multiply by probe/0.30).  PINNED rule since r7: probe =
+            # median(launch, mid, post), all three measured around the two
+            # headline runs, regardless of which run is kept.  History and
+            # the recomputed prior-round series: BENCH/R7_NOTES.md.
             'headline_normalized_pts_per_sec': round(
                 rolled / wall * run_probe / 0.30, 1),
             'headline_probe_used': round(run_probe, 3),
+            'headline_probe_rule': 'median(launch,mid,post)/0.30s',
             # per-stage CPU seconds summed over all tasks (kernel-side
             # accumulators); stage share = stage / sum(stages)
             'stage_cpu_sec': stage_sec,
