@@ -157,20 +157,17 @@ def _bloom_hashes(canon, n_bits: int, k: int):
 _BLOOM_K = 5
 
 
-def _build_file_bloom(path: str, col: str) -> Optional[dict]:
-    """Bloom filter over one column of one parquet file (Iceberg puffin /
-    parquet bloom semantics, stored in the manifest): ~16 bits/row (<3%
-    false positives at k=5), sized to the file, capped at 128 KiB of bits.
-    Reads ONLY the target column (columnar projection) — at a real writer
-    this folds into the write itself.  Returns None when the column is
-    missing/unsupported."""
+def _bloom_from_column(arr) -> Optional[dict]:
+    """Bloom filter over one in-memory arrow column: ~16 bits/row (<3%
+    false positives at k=5), sized to the file, capped at 128 KiB of bits
+    (Iceberg puffin / parquet bloom semantics, stored in the manifest).
+    Returns None for an empty column, or when any NON-NULL value
+    canonicalizes to None (Decimal, bytes, bool, nested): such a bloom
+    would be blind to those values while the probe side still hashes
+    int/float/str literals — an unsound 'definitely absent' that silently
+    prunes files containing matching rows.  No bloom at all means the
+    probe falls through to the conservative keep."""
     import base64
-    import pyarrow.parquet as pq
-    try:
-        tbl = pq.read_table(path, columns=[col])
-    except Exception:
-        return None
-    arr = tbl.column(0)
     n = len(arr)
     if n == 0:
         return None
@@ -181,16 +178,68 @@ def _build_file_bloom(path: str, col: str) -> Optional[dict]:
             continue          # nulls are invisible to the bloom by design
         c = _bloom_canon(v)
         if c is None:
-            # a NON-NULL value the canon can't hash (Decimal, bytes, bool,
-            # nested): the bloom would be blind to it while the probe side
-            # still hashes int/float/str literals — an unsound 'definitely
-            # absent' that silently prunes matching files.  No bloom at all
-            # for this column; the probe falls through to conservative keep.
             return None
         for pos in _bloom_hashes(c, n_bits, _BLOOM_K):
             bits[pos >> 3] |= 1 << (pos & 7)
     return {'n_bits': n_bits, 'k': _BLOOM_K,
             'bits': base64.b64encode(bytes(bits)).decode()}
+
+
+def _build_file_bloom(path: str, col: str) -> Optional[dict]:
+    """Post-pass bloom build for one column of one written parquet file
+    (columnar projection — reads ONLY the target column).  Kept for
+    hidden-partitioned bloom tables; unpartitioned bloom writes fold the
+    build into the write task itself (:func:`_write_with_blooms`) so the
+    data is never scanned twice."""
+    import pyarrow.parquet as pq
+    try:
+        tbl = pq.read_table(path, columns=[col])
+    except Exception:
+        return None
+    return _bloom_from_column(tbl.column(0))
+
+
+def _write_with_blooms(df: DataFrame, snap_dir: str, bloom_cols) -> dict:
+    """Single-pass writer for bloom-enabled UNPARTITIONED snapshots: every
+    task writes its partition as one parquet file AND builds that file's
+    blooms from the same in-memory batch — the write is the only scan (a
+    post-pass bloom build re-reads the table, which at 10^12-sequence
+    scale doubles write-path I/O).  File names are the task partition id,
+    so a task retry overwrites its own file (idempotent).  Returns
+    ``{file_name: {col: bloom}}``."""
+    import json as _json
+    os.makedirs(snap_dir, exist_ok=True)
+    cols = list(bloom_cols)
+    try:
+        from pyspark.sql.pandas.types import to_arrow_schema
+        aschema = to_arrow_schema(df.schema)
+    except Exception:                                 # pragma: no cover
+        aschema = None
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        # arrow in, arrow out — no pandas materialization in the write path
+        tbl = pa.Table.from_batches(got)
+        if aschema is not None:
+            tbl = tbl.cast(aschema)
+        name = f'part-{TaskContext.get().partitionId():05d}.parquet'
+        pq.write_table(tbl, os.path.join(snap_dir, name))
+        blooms = {}
+        for c in cols:
+            if c in tbl.column_names:
+                b = _bloom_from_column(tbl.column(c))
+                if b is not None:
+                    blooms[c] = b
+        yield pa.RecordBatch.from_pylist(
+            [{'file_name': name, 'blooms': _json.dumps(blooms)}])
+
+    rows = df.mapInArrow(fn, 'file_name string, blooms string').collect()
+    return {r['file_name']: _json.loads(r['blooms']) for r in rows}
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
@@ -441,10 +490,22 @@ class IcebergishTable:
                   else df.repartitionByRange(*cols)).sortWithinPartitions(*cols)
         elif n_files:
             df = df.repartition(n_files)  # unclustered: bound file count only
-        writer = df.write.mode('error')
-        if partition_by:
-            writer = writer.partitionBy(*list(partition_by))
-        writer.parquet(snap_dir)
+        folded_blooms = None
+        if bloom_cols and not partition_by:
+            # bloom-enabled unpartitioned write: one pass — each task
+            # writes its file AND builds its blooms from the same batch
+            folded_blooms = _write_with_blooms(df, snap_dir, bloom_cols)
+            if not folded_blooms:
+                # empty input wrote no files: lay down the standard
+                # schema-carrying empty dir the readers expect
+                import shutil
+                shutil.rmtree(snap_dir, ignore_errors=True)
+                df.write.mode('error').parquet(snap_dir)
+        else:
+            writer = df.write.mode('error')
+            if partition_by:
+                writer = writer.partitionBy(*list(partition_by))
+            writer.parquet(snap_dir)
         n_rows = df.sparkSession.read.parquet(snap_dir).count()
         files = []
         for dirpath, _, names in os.walk(snap_dir):
@@ -458,7 +519,11 @@ class IcebergishTable:
                              'rows': f_rows,
                              'partition': _path_partition_values(rel),
                              'stats': f_stats}
-                    if bloom_cols:
+                    if folded_blooms is not None:
+                        b = folded_blooms.get(name, {})
+                        if b:
+                            entry['blooms'] = b
+                    elif bloom_cols:
                         blooms = {c: _build_file_bloom(p, c)
                                   for c in bloom_cols}
                         entry['blooms'] = {c: b for c, b in blooms.items()

@@ -41,18 +41,50 @@ def main():
     spark = get_spark()
     ev = spark.read.parquet(f'{args.sf_dir}/events.parquet').select(
         'event_id', 'ts', 'user_id', 'event_type', 'value')
+    ev = ev.cache()
     n_rows = ev.count()
 
     root = os.path.join(tempfile.mkdtemp(prefix='bloomprobe-'), 'ev')
-    t = IcebergishTable(root)
-    t0 = time.perf_counter()
-    t.append(ev, partition_by=(), n_files=args.files,
-             bloom_cols=['event_id'])
-    write_wall = time.perf_counter() - t0
-    t_plain = IcebergishTable(root + '_plain')
-    t0 = time.perf_counter()
-    t_plain.append(ev, partition_by=(), n_files=args.files)
-    write_plain_wall = time.perf_counter() - t0
+    # warm-up: a throwaway table exercises BOTH write paths (JVM writer and
+    # the mapInPandas fold-in writer) so JVM/worker cold-start is not
+    # attributed to whichever path happens to run first
+    warm = IcebergishTable(root + '_warm')
+    warm.append(ev.limit(2000), partition_by=(), n_files=4,
+                bloom_cols=['event_id'])
+    warm.append(ev.limit(2000), partition_by=(), n_files=4)
+    warm.read(spark).count()
+
+    # best-of-2 appends (fresh table each time, keep the second table):
+    # first-run JVM/worker variance is 1.5-1.7x on this shared VM
+    write_wall = None
+    for i in range(2):
+        t = IcebergishTable(f'{root}_b{i}')
+        t0 = time.perf_counter()
+        t.append(ev, partition_by=(), n_files=args.files,
+                 bloom_cols=['event_id'])
+        dt = time.perf_counter() - t0
+        write_wall = dt if write_wall is None or dt < write_wall else write_wall
+    write_plain_wall = None
+    for i in range(2):
+        t_plain = IcebergishTable(f'{root}_p{i}')
+        t0 = time.perf_counter()
+        t_plain.append(ev, partition_by=(), n_files=args.files)
+        dt = time.perf_counter() - t0
+        write_plain_wall = dt if write_plain_wall is None \
+            or dt < write_plain_wall else write_plain_wall
+    # decomposition: the SAME fold-in writer with no bloom columns — the
+    # bloom cost proper vs the python-writer-vs-JVM-writer floor
+    from changepoynt_spark.sources.tables import _write_with_blooms
+    import shutil as _sh
+    write_nobloom_wall = None
+    for i in range(2):
+        d = f'{root}_nb{i}'
+        t0 = time.perf_counter()
+        _write_with_blooms(ev.repartition(args.files), d, [])
+        dt = time.perf_counter() - t0
+        _sh.rmtree(d, ignore_errors=True)
+        write_nobloom_wall = dt if write_nobloom_wall is None \
+            or dt < write_nobloom_wall else write_nobloom_wall
 
     max_id = int(ev.agg(F.max('event_id')).first()[0])
     step = max(1, max_id // (args.probes + 1))
@@ -73,13 +105,18 @@ def main():
                   for pth in ps}
     kept_bytes = sum(e['bytes'] for e in entries
                      if os.path.basename(e['path']) in kept_paths)
-    t0 = time.perf_counter()
-    n_hit = t.scan(spark, preds).count()
-    bloom_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    n_hit_full = (t_plain.read(spark)
-                  .filter(F.col('event_id').isin(probe_ids)).count())
-    full_wall = time.perf_counter() - t0
+    def best_of(fn, n=2):
+        best, val = None, None
+        for _ in range(n):
+            t0 = time.perf_counter()
+            val = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best, val
+    bloom_wall, n_hit = best_of(lambda: t.scan(spark, preds).count())
+    full_wall, n_hit_full = best_of(
+        lambda: t_plain.read(spark)
+                .filter(F.col('event_id').isin(probe_ids)).count())
     assert n_hit == n_hit_full == args.probes, (n_hit, n_hit_full)
 
     lines = [
@@ -98,14 +135,25 @@ def main():
         f'| full read + IN filter | {args.files} of {args.files} | '
         f'{total_bytes:,} | {full_wall:.2f} |',
         '',
+        '(write and scan walls are best-of-2 on a warmed session)',
+        '',
         f'- single-needle pruning: mean {sum(kept)/len(kept):.2f} / max '
         f'{max(kept)} of {args.files} files kept per id (bloom); the plain '
         f'table keeps {plain_kept} of {args.files} for the same mid-domain '
         'id — min/max stats cannot prune an unclustered point probe.',
         f'- bloom write overhead on this snapshot: {write_wall:.2f} s vs '
-        f'{write_plain_wall:.2f} s without blooms (one extra single-column '
-        'scan per file at write time; a real writer folds it into the '
-        'write itself).',
+        f'{write_plain_wall:.2f} s without blooms '
+        f'({write_wall / write_plain_wall:.2f}x end to end).  Blooms are '
+        'built IN the write task from the same in-memory batch that '
+        'writes the file (_write_with_blooms, mapInArrow): the write is '
+        'the only scan — no post-pass re-read of the data, which at '
+        '10^12-sequence scale would double write-path I/O.  '
+        f'Decomposition: the same fold-in writer with NO blooms takes '
+        f'{write_nobloom_wall:.2f} s — hashing the blooms costs '
+        f'{max(0.0, (write_wall - write_plain_wall) - max(0.0, write_nobloom_wall - write_plain_wall)):.2f} s; '
+        'the rest is the python-arrow writer vs JVM writer floor on '
+        f'{args.files} toy-sized tasks (~200 rows/file; amortized away at '
+        'real 128 MB files where parquet encoding dominates).',
         f'- at this TOY scale ({n_rows:,} rows) wall is driver-overhead '
         'dominated (per-file listing of the pruned read vs one directory '
         f'read), so walls are reported but not the headline: the scale '
