@@ -8,8 +8,13 @@ per-query schema the driver records in ``CORRECTNESS_r{N}.json``::
                  "hash_match": bool|None, "spark_rows": int|None,
                  "oracle_rows": int|None, "err": str|None}, ...}
 
-Rows-only queries (no oracle entry) get ``err: "no_oracle"`` with their
-spark_rows, mirroring the driver's weaker check.  The value compare is
+Rows-only queries (no oracle entry) keep ``err: "no_oracle"`` but are NOT
+just row-counted (r7): their normalized value hash is compared against the
+committed frozen registry ``tests/goldens/rowsonly_value_hashes.json``
+(per sf label), so ``hash_match`` is meaningful for the FULL query surface
+— the artifact proves all 124 queries by itself.  Regenerate the registry
+with ``--freeze-rows-only`` only on intentional kernel change, in the same
+commit as the regenerated pytest bit-goldens.  The value compare is
 order-insensitive: columns sorted by name, every column stringified
 (timestamps normalized to microseconds), rows sorted, then md5-hashed —
 ``hash_match`` is equality of those digests.
@@ -111,6 +116,25 @@ def _compare_big(spark, df, sql, sf_dir: str, entry: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+FROZEN_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'tests', 'goldens',
+    'rowsonly_value_hashes.json')
+
+
+def _sf_label(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _frozen_hashes(sf_dir: str) -> dict:
+    """Committed value-hash registry for rows-only queries, keyed by sf
+    label.  Regenerate with --freeze-rows-only after an INTENTIONAL kernel
+    change (the pytest bit-goldens must be regenerated in the same commit —
+    this registry is the artifact-level face of those goldens)."""
+    if not os.path.exists(FROZEN_PATH):
+        return {}
+    return json.load(open(FROZEN_PATH)).get(_sf_label(sf_dir), {})
+
+
 def run_report(spark, sf_dir: str, only=None) -> dict:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -129,7 +153,18 @@ def run_report(spark, sf_dir: str, only=None) -> dict:
             n = df.count()
             entry['spark_rows'] = int(n)
             if sql is None:
+                # rows-only query (kernel scores / multimodal: no
+                # SQL-expressible oracle): compare the normalized value
+                # hash against the COMMITTED frozen hash for this sf —
+                # regenerated only on intentional kernel change
+                # (--freeze-rows-only), provenance in the registry file.
                 entry['err'] = 'no_oracle'
+                frozen = _frozen_hashes(sf_dir)
+                if n <= BIG_ROWS:
+                    h = _value_hash(_normalize(df.toPandas()))
+                    entry['frozen_hash'] = h
+                    if frozen.get(name):
+                        entry['hash_match'] = h == frozen[name]
             elif n > BIG_ROWS:
                 _compare_big(spark, df, sql, sf_dir, entry)
             else:
@@ -170,6 +205,11 @@ def main() -> int:
     ap.add_argument('--merge', action='store_true',
                     help='with --only: update just those entries inside an '
                          'existing --out file instead of truncating it')
+    ap.add_argument('--freeze-rows-only', action='store_true',
+                    help='write the rows-only value hashes observed in THIS '
+                         'run into the frozen registry for this sf (use '
+                         'only on intentional kernel change, alongside '
+                         'regenerated pytest goldens)')
     args = ap.parse_args()
     only = set(args.only.split(',')) if args.only else None
 
@@ -185,15 +225,41 @@ def main() -> int:
         json.dump(report, f, indent=2)
         f.write('\n')
 
+    if args.freeze_rows_only:
+        reg = json.load(open(FROZEN_PATH)) if os.path.exists(FROZEN_PATH) \
+            else {'_provenance': (
+                'md5 of the normalized (columns sorted, stringified, rows '
+                'sorted) output of each rows-only query, per sf label; the '
+                'artifact-level face of the pytest bit-goldens. Regenerate '
+                'with scripts/correctness_report.py --freeze-rows-only '
+                'ONLY on intentional kernel change.')}
+        lbl = _sf_label(args.sf_dir)
+        reg.setdefault(lbl, {})
+        for k, v in report.items():
+            if v.get('err') == 'no_oracle' and v.get('frozen_hash'):
+                reg[lbl][k] = v['frozen_hash']
+        os.makedirs(os.path.dirname(FROZEN_PATH), exist_ok=True)
+        with open(FROZEN_PATH, 'w') as f:
+            json.dump(reg, f, indent=1, sort_keys=True)
+            f.write('\n')
+        print(f'froze {len(reg[lbl])} rows-only hashes for {lbl}')
+
     oracled = [k for k, v in report.items() if v['err'] != 'no_oracle']
     green = [k for k in oracled if report[k]['hash_match']]
-    rows_only_ok = [k for k, v in report.items()
-                    if v['err'] == 'no_oracle' and v['spark_rows'] is not None]
+    rows_only = [k for k, v in report.items() if v['err'] == 'no_oracle']
+    rows_only_ok = [k for k in rows_only
+                    if report[k]['spark_rows'] is not None]
+    frozen_checked = [k for k in rows_only
+                      if report[k]['hash_match'] is not None]
+    frozen_green = [k for k in frozen_checked if report[k]['hash_match']]
     failed = [k for k, v in report.items()
               if v['err'] not in (None, 'no_oracle') or
-              (v['err'] is None and not v['hash_match'])]
+              (v['err'] is None and not v['hash_match']) or
+              (v['err'] == 'no_oracle' and v['hash_match'] is False)]
     print(f"\noracled green: {len(green)}/{len(oracled)}; "
-          f"rows-only ran: {len(rows_only_ok)}; failures: {failed or 'none'}")
+          f"rows-only ran: {len(rows_only_ok)} "
+          f"(frozen-hash green: {len(frozen_green)}/{len(frozen_checked)}); "
+          f"failures: {failed or 'none'}")
     spark.stop()
     return 1 if failed or len(green) != len(oracled) else 0
 
