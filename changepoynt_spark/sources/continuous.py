@@ -224,6 +224,14 @@ class ContinuousAggregate:
         to = self.source.current_snapshot_id()
         if to < 0 or to == frm:
             return {'mode': 'noop', 'from': frm, 'to': to, 'rows': 0}
+        if frm < 0 and self.tier.current_snapshot_id() >= 0:
+            # the tier has snapshots but NO raw-snapshot watermark: it was
+            # fed by a stream (stream_sink), whose coverage is an event-time
+            # frontier, not a snapshot id.  Treating the whole raw history
+            # as a "delta" would double-count the stream's rows — take over
+            # with a full recompute that atomically invalidates the
+            # stream-fed snapshots instead.
+            return self._refresh_full(spark, frm, to)
         try:
             # raw-table maintenance that only touched reflected data never
             # re-triggers the aggregate: an expiry keeps the TIER's history
@@ -241,8 +249,16 @@ class ContinuousAggregate:
                 # new snapshot but no new data files (e.g. metadata-only)
                 return self._commit_watermark(spark, frm, to)
             part = self._partial(delta)
-        else:
-            part = self._partial(self.source.read(spark, to))
+            return self._commit_partial(spark, part, mode, frm, to)
+        return self._refresh_full(spark, frm, to)
+
+    def _refresh_full(self, spark: SparkSession, frm: int, to: int) -> dict:
+        return self._commit_partial(
+            spark, self._partial(self.source.read(spark, to)), 'full',
+            frm, to)
+
+    def _commit_partial(self, spark: SparkSession, part: DataFrame,
+                        mode: str, frm: int, to: int) -> dict:
         part = part.persist()
         try:
             wm_row = part.agg(
@@ -368,3 +384,83 @@ class ContinuousAggregate:
                         'replaced_snapshots': len(live)})
         return {'snapshot_id': snap['snapshot_id'], 'replaced': len(live),
                 'rows': snap['manifest']['row_count']}
+
+    # -- streaming interop ---------------------------------------------------
+
+    def _max_stream_batch_id(self):
+        """Highest Structured-Streaming batch id already committed to the
+        tier (walks the lineage for 'stream_batch_id' properties)."""
+        best = None
+        sid = self.tier.current_snapshot_id()
+        while sid >= 0:
+            snap = self.tier.snapshot(sid)
+            b = snap['manifest']['properties'].get('stream_batch_id')
+            if b is not None:
+                b = int(b)
+                best = b if best is None or b > best else best
+            sid = snap.get('parent', -1)
+        return best
+
+    def stream_sink(self):
+        """foreachBatch target for :func:`streaming_rollup_partial` (or any
+        stream emitting this tier's PARTIAL form): appends each
+        micro-batch's closed buckets to the SAME tier table batch refreshes
+        use — same partial schema, same append path, same watermark
+        metadata ('rollup_watermark' per snapshot), so every tier reader
+        (read/read_partial/read_realtime_stream, compaction, hierarchical
+        rebucketing) works unchanged on a stream-fed tier.
+
+        EXACTLY-ONCE across restarts: Structured Streaming replays the last
+        uncommitted micro-batch with the SAME batch_id after a crash; the
+        sink skips any batch_id <= the max already recorded in the tier
+        lineage (ids are monotone per checkpoint), so a replay cannot
+        double-append.  One checkpoint dir per tier — mixing checkpoints
+        restarts the id sequence and voids the guarantee.
+
+        A later BATCH refresh on a stream-fed tier is safe by fallback: the
+        stream snapshots carry no raw-snapshot watermark, so
+        refreshed_through() = -1 and refresh() full-recomputes, atomically
+        invalidating the stream's snapshots (asserted in tests)."""
+        from pyspark.sql import functions as F
+
+        def sink(batch_df, batch_id: int):
+            if batch_df.isEmpty():
+                return
+            committed = self._max_stream_batch_id()
+            if committed is not None and int(batch_id) <= committed:
+                return  # crash-replay of an already-committed micro-batch
+            stats = batch_df.agg(
+                F.max('bucket_start').alias('wm'),
+                F.sum(self._form.points_col).alias('pts')).first()
+            self.tier.append(
+                batch_df, partition_by=self.partition_by,
+                properties={
+                    'operation': 'stream-refresh',
+                    'stream_batch_id': int(batch_id),
+                    'rollup_watermark': str(stats['wm']),
+                    'points_rolled': int(stats['pts'] or 0),
+                })
+        return sink
+
+    def read_realtime_stream(self, spark: SparkSession) -> DataFrame:
+        """Realtime read for a STREAM-fed tier: the materialized closed
+        buckets merged with an on-the-fly partial over the raw rows AT OR
+        AFTER the stream frontier (max closed bucket end = rollup_watermark
+        + interval).  Append-mode emission closes every bucket ending at or
+        before the event-time watermark, so the frontier is a clean
+        event-time cut: tier rows and the on-the-fly leg cover disjoint
+        bucket ranges and merge to exactly the full rollup — EXCEPT rows
+        the watermark dropped as too late, which are absent from the tier
+        by the streaming lateness contract (and from this view: the
+        frontier filter excludes them by construction)."""
+        import pandas as pd
+        frontier = self.rollup_watermark()
+        raw = self.source.read(spark)
+        if frontier is None:
+            return self._form.finalize(
+                self._form.merge(self._partial(raw)))
+        cut = frontier + pd.Timedelta(self.interval)
+        tail = raw.filter(F.col(self.ts_col) >= F.lit(cut))
+        part = self.tier.read(spark).unionByName(
+            self._partial(tail), allowMissingColumns=True)
+        return self._form.finalize(self._form.merge(part))

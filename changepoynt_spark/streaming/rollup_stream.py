@@ -260,3 +260,35 @@ def streaming_gap_fill(tier_stream: DataFrame, keys, value_cols=('avg_value',),
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     outputMode='append',
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_rollup_partial(stream_df: DataFrame, keys, ts_col: str = 'ts',
+                             value_col: str = 'value',
+                             interval: str = '1 minute',
+                             watermark_delay: str = '2 minutes') -> DataFrame:
+    """Streaming twin of operators.rollup.rollup_partial: emits CLOSED
+    buckets in the tier's mergeable PARTIAL form (decimal-exact sums +
+    first/last ts anchors, identical column set and carry casts), so a
+    foreachBatch sink can append micro-batches straight into a
+    ContinuousAggregate tier table — the stream and batch refresh share
+    one substrate.  Append mode: a bucket is emitted exactly once when the
+    event-time watermark passes its end; rows later than
+    ``watermark_delay`` are dropped (the documented lateness contract)."""
+    keys = list(keys)
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast('timestamp'))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .groupBy(*keys, F.window(ts_col, interval).alias('w'))
+           .agg(F.count(value_col).alias('cnt_points'),
+                F.sum(F.col(value_col).cast('decimal(18,6)'))
+                 .cast('decimal(28,6)').alias('sum_value'),
+                F.min(value_col).alias('min_value'),
+                F.max(value_col).alias('max_value'),
+                F.min_by(value_col, ts_col).alias('first_value'),
+                F.min(ts_col).alias('first_ts'),
+                F.max_by(value_col, ts_col).alias('last_value'),
+                F.max(ts_col).alias('last_ts')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'cnt_points', 'sum_value',
+                       'min_value', 'max_value', 'first_value', 'first_ts',
+                       'last_value', 'last_ts'))

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Streaming continuous-aggregate refresh — the 9th spark-submit entry:
+the streaming counterpart of jobs/continuous_agg_job.py, keeping a
+ContinuousAggregate TIER table fresh from a Structured Streaming source
+instead of batch snapshot polling.
+
+A file stream over the raw Icebergish table's snapshot data dirs feeds the
+PARTIAL-form 1m/1h rollup (streaming_rollup_partial: decimal-exact sums +
+first/last ts anchors, the exact schema batch refreshes append); each
+micro-batch's CLOSED buckets land in the tier via foreachBatch ->
+IcebergishTable.append with the stream batch id and rollup watermark in the
+snapshot properties.  The stream and batch refresh share ONE tier
+substrate: every tier reader (read / read_partial / read_realtime_stream,
+compaction, hierarchical rebucketing) works unchanged, and a later BATCH
+refresh takes the tier over with a full recompute (the stream snapshots
+carry no raw-snapshot watermark, so refresh() falls back — asserted in
+tests/test_streaming.py).
+
+Exactly-once across restarts: Structured Streaming replays the last
+uncommitted micro-batch with the same batch_id; the sink skips ids already
+in the tier lineage.  One checkpoint dir per tier.
+
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/tier_stream_job.py \
+        --raw /path/raw_table --tier /path/tier_table \
+        --checkpoint /path/ckpt --keys user_id --interval '1 hour' \
+        --watermark-delay '30 minutes' [--available-now]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None, spark=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--raw', required=True,
+                    help='Iceberg-style raw points table root')
+    ap.add_argument('--tier', required=True,
+                    help='Iceberg-style tier table root')
+    ap.add_argument('--checkpoint', required=True)
+    ap.add_argument('--keys', default='user_id')
+    ap.add_argument('--ts-col', default='ts')
+    ap.add_argument('--value-col', default='value')
+    ap.add_argument('--interval', default='1 hour')
+    ap.add_argument('--watermark-delay', default='30 minutes')
+    ap.add_argument('--available-now', action='store_true',
+                    help='drain the current input and stop')
+    args = ap.parse_args(argv)
+    keys = [k for k in args.keys.split(',') if k]
+
+    own_session = spark is None
+    if own_session:
+        from changepoynt_spark.session import get_spark
+        spark = get_spark(app_name='tier-stream')
+    try:
+        from changepoynt_spark.sources.continuous import ContinuousAggregate
+        from changepoynt_spark.sources.tables import IcebergishTable
+        from changepoynt_spark.streaming.rollup_stream import \
+            streaming_rollup_partial
+        raw = IcebergishTable(args.raw)
+        ca = ContinuousAggregate(raw, args.tier, keys, ts_col=args.ts_col,
+                                 value_col=args.value_col,
+                                 interval=args.interval, partition_by=())
+        schema = raw.read(spark).schema
+        stream = (spark.readStream.schema(schema)
+                  .parquet(os.path.join(raw.data_dir, 'snap-*')))
+        tier = streaming_rollup_partial(
+            stream, keys=keys, ts_col=args.ts_col,
+            value_col=args.value_col, interval=args.interval,
+            watermark_delay=args.watermark_delay)
+        writer = (tier.writeStream.outputMode('append')
+                  .foreachBatch(ca.stream_sink())
+                  .option('checkpointLocation', args.checkpoint))
+        if args.available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:                                          # pragma: no cover
+            writer.start().awaitTermination()
+        print(json.dumps({
+            'tier_snapshots': ca.tier.current_snapshot_id() + 1,
+            'rollup_watermark': str(ca.rollup_watermark()),
+            'stream_batch_id': ca._max_stream_batch_id(),
+        }))
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == '__main__':
+    main()

@@ -525,3 +525,53 @@ def test_continuous_agg_job_dd_form(spark, tmp_path, capsys):
                rollup.dd_sketch_from_points(df, [], interval='1 hour'), [])
            .toPandas().sort_values('bucket_start').reset_index(drop=True))
     assert got.astype(str).equals(exp.astype(str))
+
+
+def test_tier_stream_job_feeds_ca_tier_and_restarts_exactly_once(
+        spark, tmp_path, capsys):
+    """r7: the streaming CA refresh job drains the raw table's snapshot
+    dirs into the tier via foreachBatch + IcebergishTable.append; a
+    restart with no new input commits nothing; read_realtime_stream over
+    the job's tier matches a one-shot batch rollup."""
+    import datetime as dt
+
+    from jobs import tier_stream_job
+    from changepoynt_spark.operators import rollup
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    rows = [(i % 4, dt.datetime(2026, 3, 1, (i // 25) % 24, (i * 7) % 60),
+             float(i) * 0.3 - 2) for i in range(600)]
+    df = spark.createDataFrame(rows,
+                               'user_id long, ts timestamp, value double')
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    for i in range(2):
+        raw.append(df.filter(f'pmod(user_id, 2) = {i}'), partition_by=())
+
+    args = ['--raw', str(tmp_path / 'raw'), '--tier', str(tmp_path / 'tier'),
+            '--checkpoint', str(tmp_path / 'ckpt'), '--keys', 'user_id',
+            '--interval', '1 hour', '--watermark-delay', '30 minutes',
+            '--available-now']
+    tier_stream_job.main(args, spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['tier_snapshots'] >= 1 and rep['stream_batch_id'] is not None
+
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), ['user_id'],
+                             interval='1 hour', partition_by=())
+    got = (ca.read_realtime_stream(spark)
+           .select('user_id', 'bucket_start', 'cnt_points', 'sum_value')
+           .toPandas().sort_values(['user_id', 'bucket_start'])
+           .reset_index(drop=True))
+    exp = (rollup.rollup_from_points(df, ['user_id'], interval='1 hour',
+                                     exact_sum=True)
+           .select('user_id', 'bucket_start', 'cnt_points', 'sum_value')
+           .toPandas().sort_values(['user_id', 'bucket_start'])
+           .reset_index(drop=True))
+    assert len(got) == len(exp) > 0
+    assert got.astype(str).equals(exp.astype(str))
+
+    # restart with no new input: zero new tier snapshots
+    before = rep['tier_snapshots']
+    tier_stream_job.main(args, spark=spark)
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2['tier_snapshots'] == before

@@ -537,3 +537,95 @@ def test_streaming_heavy_hitters_superset_and_exact_recount(spark, tmp_path):
     assert got['item'].tolist()[:n_guar] == exp['item'].tolist()[:n_guar]
     assert got['cnt'].tolist()[:n_guar] == exp['cnt'].tolist()[:n_guar]
     assert got['item'].iloc[0] == 'HH' and got['item'].iloc[1] == 'H2'
+
+
+def test_stream_fed_tier_realtime_read_matches_batch_refresh(spark, sf_dir,
+                                                             tmp_path):
+    """r7: the streaming 1m rollup feeds the SAME tier table a batch
+    ContinuousAggregate refresh would — foreachBatch appends PARTIAL-form
+    closed buckets via IcebergishTable.append with the watermark metadata.
+    read_realtime_stream (tier + raw tail past the event-time frontier)
+    must bit-match the batch-refreshed tier on the same input; a replayed
+    micro-batch must not double-append (restart exactly-once); a later
+    batch refresh takes over with a full recompute."""
+    import pandas as pd
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+    from changepoynt_spark.streaming.rollup_stream import \
+        streaming_rollup_partial
+
+    ev = (spark.read.parquet(f'{sf_dir}/events.parquet')
+          .select('user_id', 'ts', 'value'))
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    halves = [ev.filter(F.pmod('user_id', F.lit(2)) == i) for i in (0, 1)]
+    for h in halves:
+        raw.append(h, partition_by=())
+
+    # batch-refreshed twin on the same rows
+    ca_batch = ContinuousAggregate(raw, str(tmp_path / 'tb'), ['user_id'],
+                                   interval='1 hour', partition_by=())
+    ca_batch.refresh(spark)
+
+    # stream-fed tier: file stream over the raw table's snapshot dirs
+    ca = ContinuousAggregate(raw, str(tmp_path / 'ts'), ['user_id'],
+                             interval='1 hour', partition_by=())
+    schema = ev.schema
+    src_glob = os.path.join(raw.data_dir, 'snap-*')
+    ckpt = str(tmp_path / 'ckpt')
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option('maxFilesPerTrigger', 3).parquet(src_glob))
+        tier = streaming_rollup_partial(stream, keys=['user_id'],
+                                        interval='1 hour',
+                                        watermark_delay='30 minutes')
+        q = (tier.writeStream.outputMode('append')
+             .foreachBatch(ca.stream_sink())
+             .option('checkpointLocation', ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    n_snaps = ca.tier.current_snapshot_id()
+    assert n_snaps >= 0
+    assert ca.rollup_watermark() is not None       # watermark metadata rode along
+
+    # realtime view == the batch-refreshed tier, bit-for-bit
+    cols = ['user_id', 'bucket_start', 'cnt_points', 'sum_value',
+            'min_value', 'max_value', 'first_value', 'last_value',
+            'avg_value']
+    a = (ca.read_realtime_stream(spark).select(cols).toPandas()
+         .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    b = (ca_batch.read(spark).select(cols).toPandas()
+         .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert a.astype(str).equals(b.astype(str))
+    # the stream actually materialized buckets (not everything on-the-fly)
+    assert ca.read(spark).count() > 0
+
+    # restart from the same checkpoint with no new input: zero new snapshots
+    run_once()
+    assert ca.tier.current_snapshot_id() == n_snaps
+    # simulated crash-replay of an old micro-batch id: skipped
+    replay = ca._partial(ev.limit(50))
+    ca.stream_sink()(replay, 0)
+    assert ca.tier.current_snapshot_id() == n_snaps
+
+    # new raw data flows through on the next trigger and realtime stays exact
+    late = ev.withColumn('ts', F.col('ts') + F.expr('INTERVAL 40 DAYS'))
+    raw.append(late, partition_by=())
+    run_once()
+    ca_batch.refresh(spark)
+    a2 = (ca.read_realtime_stream(spark).select(cols).toPandas()
+          .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    b2 = (ca_batch.read(spark).select(cols).toPandas()
+          .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    assert len(a2) == len(b2) == 2 * len(a)
+    assert a2.astype(str).equals(b2.astype(str))
+
+    # batch refresh TAKES OVER a stream-fed tier: full recompute, still exact
+    rep = ca.refresh(spark)
+    assert rep['mode'] == 'full'
+    a3 = (ca.read(spark).select(cols).toPandas()
+          .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    assert a3.astype(str).equals(b2.astype(str))
