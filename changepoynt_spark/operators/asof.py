@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
               right_cols=None, direction: str = 'backward',
-              tolerance_seconds: float = None, suffix: str = '_r') -> DataFrame:
+              tolerance_seconds: float = None, suffix: str = '_r',
+              slice_interval: str = None) -> DataFrame:
     """Left as-of join: every ``left`` row gains, for each of ``right_cols``,
     the value from the nearest ``right`` row at-or-before it (``backward``)
     or at-or-after it (``forward``) with the same ``on`` keys, plus
@@ -35,7 +36,19 @@ def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
     ``tolerance_seconds`` nulls matches farther than the tolerance (the
     matched timestamp included), mirroring pandas merge_asof semantics.
     Rows with no match keep null columns (left join).
-    """
+
+    ``slice_interval`` (e.g. ``'1 hour'``) is the PER-KEY SKEW GUARD: the
+    default plan is one hash exchange + a running window per key, so a
+    single hot key (one sensor producing 90% of the points) serializes
+    into one task.  With a slice interval, rows are windowed by
+    (keys, time-slice) instead; every slice whose in-slice scan cannot see
+    an earlier/later right row gets a synthetic CARRY row — the boundary
+    as-of state, computed on the (keys x slices) SUMMARY table (tiny) by
+    the same running-window trick — injected at the slice edge, so results
+    are IDENTICAL to the unsliced plan (asserted in tests) while the hot
+    key parallelizes across its slices.  Same discipline as
+    chunk-with-halo for the kernels: slice the sequential scan, carry one
+    row of boundary state."""
     if direction not in ('backward', 'forward'):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     on = list(on)
@@ -58,12 +71,60 @@ def asof_join(left: DataFrame, right: DataFrame, on, ts_col: str = 'ts',
                       for c in left.columns if c not in on + [ts_col]])
     u = r.unionByName(l)
 
+    part_keys = list(on)
+    if slice_interval is not None:
+        ts_t = right.schema[ts_col].dataType
+        slice_of = F.window(F.col(ts_col).cast('timestamp'), slice_interval)
+
+        def with_slice(df):
+            return df.withColumn('_sl', slice_of.getField('start'))
+
+        u = with_slice(u)
+        # boundary state per (keys, slice): the last (backward) / first
+        # (forward) right row of each slice, carried across the
+        # (keys x slices) spine by the same running-window trick — one
+        # summary row per slice, so the sequential scan is summary-sized
+        pick = F.struct(F.col(matched_ts).alias('_c_ts'),
+                        *[F.col(f'_rv_{c}').alias(f'_c_{c}')
+                          for c in right_cols])
+        edge = (F.max_by(pick, F.col(ts_col)) if direction == 'backward'
+                else F.min_by(pick, F.col(ts_col)))
+        summ = (with_slice(r).groupBy(*on, '_sl').agg(edge.alias('_s')))
+        spine = u.select(*on, '_sl').distinct()
+        summ = spine.join(summ, on + ['_sl'], 'left')
+        worder = (F.col('_sl').asc() if direction == 'backward'
+                  else F.col('_sl').desc())
+        wprev = (Window.partitionBy(*on).orderBy(worder)
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        carry = (summ.withColumn('_c', F.last('_s', ignorenulls=True)
+                                        .over(wprev))
+                     .filter(F.col('_c').isNotNull()))
+        # inject the carry at the slice edge: backward scans meet it first
+        # at the slice start, forward scans at the slice end (rows with
+        # ts == end belong to the NEXT slice, so the edge sorts first in a
+        # descending scan); tag -1 keeps real right rows winning ties
+        edge_ts = (F.col('_sl') if direction == 'backward'
+                   else F.col('_sl') + F.expr(f'INTERVAL {slice_interval}'))
+        carry_rows = carry.select(
+            *on,
+            edge_ts.cast(ts_t).alias(ts_col),
+            F.col('_c._c_ts').alias(matched_ts),
+            *[F.col(f'_c._c_{c}').alias(f'_rv_{c}') for c in right_cols],
+            F.lit(-1).alias('_tag'),
+            *[F.lit(None).cast(left.schema[c].dataType).alias(f'_lv_{c}')
+              for c in left.columns if c not in on + [ts_col]],
+            F.col('_sl'))
+        u = u.unionByName(carry_rows)
+        part_keys = on + ['_sl']
+
     if direction == 'backward':
         # right rows (tag 0) sort before left rows at equal ts -> ties match
-        order = Window.partitionBy(*on).orderBy(F.col(ts_col).asc(), F.col('_tag').asc())
+        order = Window.partitionBy(*part_keys).orderBy(
+            F.col(ts_col).asc(), F.col('_tag').asc())
     else:
         # descending scan; right rows must still come first at equal ts
-        order = Window.partitionBy(*on).orderBy(F.col(ts_col).desc(), F.col('_tag').asc())
+        order = Window.partitionBy(*part_keys).orderBy(
+            F.col(ts_col).desc(), F.col('_tag').asc())
     w = order.rowsBetween(Window.unboundedPreceding, 0)
 
     picked = [F.last(f'_rv_{c}', ignorenulls=True).over(w).alias(f'_m_{c}')

@@ -137,3 +137,71 @@ def test_interval_join_randomized_vs_bruteforce(spark, seed):
     want = {(p[2], v[3]) for p in pts for v in ivs
             if p[0] == v[0] and v[1] <= p[1] <= v[2]}
     assert got == want
+
+
+@pytest.mark.parametrize('direction', ['backward', 'forward'])
+def test_asof_sliced_matches_unsliced_and_pandas(spark, frames, direction):
+    """r7 skew guard: slice_interval windows the scan by (key, time-slice)
+    with boundary-carry rows — results must be IDENTICAL to the unsliced
+    plan (and to pandas), including cross-slice matches and tolerance."""
+    left, right = frames
+    ld, rd = spark.createDataFrame(left), spark.createDataFrame(right)
+    for tol in (None, 900):
+        got = (asof_join(ld, rd, on=['sym'], ts_col='ts', right_cols=['px'],
+                         direction=direction, tolerance_seconds=tol,
+                         slice_interval='10 minutes')
+               .toPandas().sort_values(['sym', 'ts', 'qty'])
+               .reset_index(drop=True))
+        plain = (asof_join(ld, rd, on=['sym'], ts_col='ts',
+                           right_cols=['px'], direction=direction,
+                           tolerance_seconds=tol)
+                 .toPandas().sort_values(['sym', 'ts', 'qty'])
+                 .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, plain)
+        kw = {'direction': direction}
+        if tol is not None:
+            kw['tolerance'] = pd.Timedelta(seconds=tol)
+        exp = _expected(left, right, **kw)
+        pd.testing.assert_series_equal(got['px_r'], exp['px_r'],
+                                       check_names=False)
+
+
+def test_asof_sliced_hot_key_parallelizes(spark):
+    """A 90%-one-key distribution: the sliced plan spreads the hot key's
+    rows over many window partitions (asserted on the partition key's
+    distinct count), and the matches stay exact across slice boundaries
+    (sparse right side: most slices have NO right row, so carries do the
+    work)."""
+    import numpy as np
+    base = pd.Timestamp('2026-01-01')
+    rng = np.random.default_rng(11)
+    n = 20_000
+    keys = np.where(rng.uniform(size=n) < 0.9, 'HOT',
+                    rng.choice(['a', 'b', 'c'], n))
+    left = pd.DataFrame({
+        'sym': keys,
+        'ts': base + pd.to_timedelta(
+            np.sort(rng.integers(0, 2_000_000, n)), unit='s'),
+        'qty': rng.integers(1, 9, n).astype('int64'),
+    })
+    # sparse right: one row every ~6 hours -> most 1h slices carry
+    right = pd.DataFrame({
+        'sym': rng.choice(['HOT', 'a', 'b'], 90),
+        'ts': base + pd.to_timedelta(
+            np.sort(rng.integers(0, 2_000_000, 90)), unit='s'),
+        'px': np.round(rng.uniform(1, 2, 90), 4),
+    }).drop_duplicates(['sym', 'ts'])
+    ld, rd = spark.createDataFrame(left), spark.createDataFrame(right)
+    got = (asof_join(ld, rd, on=['sym'], right_cols=['px'],
+                     slice_interval='1 hour')
+           .toPandas().sort_values(['sym', 'ts', 'qty'])
+           .reset_index(drop=True))
+    exp = _expected(left, right, direction='backward')
+    pd.testing.assert_series_equal(got['px_r'], exp['px_r'],
+                                   check_names=False)
+    # the hot key's window state spreads across its slices
+    from pyspark.sql import functions as F
+    n_slices = (ld.filter(F.col('sym') == 'HOT')
+                .select(F.window('ts', '1 hour').start.alias('s'))
+                .distinct().count())
+    assert n_slices > 100
