@@ -118,7 +118,10 @@ def run_queries(spark, sf_dir: str) -> dict:
              'events_sax_motifs', 'events_sax_motif_pairs',
              'events_upsert_merge', 'events_seasonal_24h',
              'events_xcorr_types', 'events_holt_1h',
-             'events_ca_dd_quantiles_1d']
+             'events_ca_dd_quantiles_1d',
+             # round 7 addition (covers learning + application of the
+             # 1152-merge windowed BPE vocabulary)
+             'doc_bpe_tokens_1k']
     qs = entrymod.queries()
     out = {}
     for name in names:
