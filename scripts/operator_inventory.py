@@ -17,18 +17,24 @@ def main():
     rows = []
     for name in entry.queries():
         r = report.get(name, {})
-        status = ('DuckDB hash-green' if r.get('hash_match')
-                  else 'rows-only (documented)' if r.get('err') == 'no_oracle'
-                  else 'NOT IN LAST REPORT' if not r else 'FAILING')
+        if r.get('err') == 'no_oracle':
+            status = ('frozen-hash-green' if r.get('hash_match')
+                      else 'rows-only (documented)')
+        else:
+            status = ('DuckDB hash-green' if r.get('hash_match')
+                      else 'NOT IN LAST REPORT' if not r else 'FAILING')
         rows.append((name, 'yes' if name in oracles else 'no',
                      r.get('spark_rows', '-'), status))
     n_green = sum(1 for r in rows if r[3] == 'DuckDB hash-green')
+    n_frozen = sum(1 for r in rows if r[3] == 'frozen-hash-green')
     lines = [
         '# Contract-query inventory',
         '',
-        f'{len(rows)} queries; {n_green} DuckDB-oracled hash-green in the last',
-        'self-report (`CORRECTNESS_SELF.json`, sf0.01); the rest are rows-only',
-        'with in-code infeasibility notes.  Regenerate with',
+        f'{len(rows)} queries; {n_green} DuckDB-oracled hash-green and',
+        f'{n_frozen} frozen-value-hash green (kernel/multimodal queries with',
+        'no SQL-expressible oracle; registry',
+        'tests/goldens/rowsonly_value_hashes.json) in the last self-report',
+        '(`CORRECTNESS_SELF.json`, sf0.01).  Regenerate with',
         '`python scripts/operator_inventory.py` after a correctness run.',
         '',
         '| query | oracle | rows@sf0.01 | status |',
