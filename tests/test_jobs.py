@@ -575,3 +575,46 @@ def test_tier_stream_job_feeds_ca_tier_and_restarts_exactly_once(
     tier_stream_job.main(args, spark=spark)
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2['tier_snapshots'] == before
+
+
+def test_tokenize_job_chains_into_rollup_job(spark, tmp_path, capsys):
+    """r7: the full front door — documents -> tokenize_job (learn + persist
+    the BPE vocabulary artifact) -> tokens table in the north-rule input
+    shape -> rollup_job scores and rolls it up.  A second tokenize run
+    LOADING the persisted artifact produces byte-identical token arrays."""
+    from jobs import rollup_job, tokenize_job
+
+    docs_path = '/root/testdata/sf0.001/documents.parquet'
+    tok_root = str(tmp_path / 'tokens')
+    vocab_root = str(tmp_path / 'vocab')
+    tokenize_job.main(['--docs', docs_path, '--output', tok_root,
+                       '--learn', '--write-merges', vocab_root,
+                       '--rounds', '2', '--batch', '32'], spark=spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep['n_merges'] == 64 and rep['merge_table'] == vocab_root
+
+    from changepoynt_spark.sources.tables import IcebergishTable
+    out = IcebergishTable(tok_root).read(spark)
+    schema = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert schema['doc_id'] == 'string'
+    assert schema['tokens'].startswith('array<int')
+    assert schema['n_tok'] == 'int' and schema['source'] == 'string'
+    n_docs = spark.read.parquet(docs_path).count()
+    assert out.count() == n_docs
+
+    # reuse the persisted vocabulary: byte-identical token arrays
+    tok2_root = str(tmp_path / 'tokens2')
+    tokenize_job.main(['--docs', docs_path, '--output', tok2_root,
+                       '--merges', vocab_root], spark=spark)
+    capsys.readouterr()
+    a = {r['doc_id']: list(r['tokens']) for r in out.collect()}
+    b = {r['doc_id']: list(r['tokens'])
+         for r in IcebergishTable(tok2_root).read(spark).collect()}
+    assert a == b
+
+    # the tokens table feeds the scoring/rollup job unchanged
+    assert rollup_job.main(['--input', tok_root,
+                            '--output', str(tmp_path / 'rollup'),
+                            '--buckets', '4'], spark=spark) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep2['processed']) == 4 and rep2['remaining'] == []
