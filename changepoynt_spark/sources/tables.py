@@ -157,6 +157,52 @@ def _bloom_hashes(canon, n_bits: int, k: int):
 _BLOOM_K = 5
 
 
+_BLOOM_MAX_BITS = 1 << 20
+
+
+class _BloomAccumulator:
+    """Streaming bloom build for one column of one file being written batch
+    by batch: every batch hashes into a fixed 2^20-bit array (the size cap),
+    and ``finish`` folds it down to the row-count-sized power of two.  The
+    fold is EXACT because every bloom size here is a power of two: a bit
+    position is ``H mod 2^j`` = the low j bits of H, so OR-ing the
+    2^(20-j) aligned chunks of the max-size array yields bit-for-bit the
+    same filter as a direct build at 2^j (asserted in tests).  Memory is a
+    flat 128 KiB per column per task, independent of file size — the
+    whole-partition materialization this replaces grew with the file."""
+
+    def __init__(self):
+        self.bits = bytearray(_BLOOM_MAX_BITS // 8)
+        self.rows = 0
+        self.poisoned = False
+
+    def update(self, arr) -> None:
+        self.rows += len(arr)
+        if self.poisoned:
+            return
+        bits = self.bits
+        for v in arr.to_pylist():
+            if v is None:
+                continue          # nulls are invisible to the bloom by design
+            c = _bloom_canon(v)
+            if c is None:         # unhashable type: a bloom would be unsound
+                self.poisoned = True
+                return
+            for pos in _bloom_hashes(c, _BLOOM_MAX_BITS, _BLOOM_K):
+                bits[pos >> 3] |= 1 << (pos & 7)
+
+    def finish(self) -> Optional[dict]:
+        import base64
+        import numpy as np
+        if self.rows == 0 or self.poisoned:
+            return None
+        n_bits = 1 << max(10, min(20, (16 * self.rows - 1).bit_length()))
+        arr = np.frombuffer(bytes(self.bits), dtype=np.uint8)
+        folded = np.bitwise_or.reduce(arr.reshape(-1, n_bits // 8), axis=0)
+        return {'n_bits': n_bits, 'k': _BLOOM_K,
+                'bits': base64.b64encode(folded.tobytes()).decode()}
+
+
 def _bloom_from_column(arr) -> Optional[dict]:
     """Bloom filter over one in-memory arrow column: ~16 bits/row (<3%
     false positives at k=5), sized to the file, capped at 128 KiB of bits
@@ -201,12 +247,16 @@ def _build_file_bloom(path: str, col: str) -> Optional[dict]:
 
 def _write_with_blooms(df: DataFrame, snap_dir: str, bloom_cols) -> dict:
     """Single-pass writer for bloom-enabled UNPARTITIONED snapshots: every
-    task writes its partition as one parquet file AND builds that file's
-    blooms from the same in-memory batch — the write is the only scan (a
-    post-pass bloom build re-reads the table, which at 10^12-sequence
-    scale doubles write-path I/O).  File names are the task partition id,
-    so a task retry overwrites its own file (idempotent).  Returns
-    ``{file_name: {col: bloom}}``."""
+    task streams its partition batch-by-batch through a ParquetWriter AND
+    folds each batch into that file's bloom accumulators — the write is the
+    only scan (a post-pass bloom build re-reads the table, which at
+    10^12-sequence scale doubles write-path I/O) and nothing is ever
+    materialized whole-partition in memory (the bloom state is a flat
+    128 KiB per column).  Each attempt writes to an ATTEMPT-PRIVATE temp
+    name and publishes with one atomic rename to ``part-<pid>.parquet`` —
+    a speculative or zombie duplicate attempt can race only at the rename,
+    where either complete file wins whole; a torn/interleaved part file is
+    impossible.  Returns ``{file_name: {col: bloom}}``."""
     import json as _json
     os.makedirs(snap_dir, exist_ok=True)
     cols = list(bloom_cols)
@@ -220,23 +270,44 @@ def _write_with_blooms(df: DataFrame, snap_dir: str, bloom_cols) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark import TaskContext
-        got = [b for b in batches if b.num_rows]
-        if not got:
-            return
-        # arrow in, arrow out — no pandas materialization in the write path
-        tbl = pa.Table.from_batches(got)
-        if aschema is not None:
-            tbl = tbl.cast(aschema)
-        name = f'part-{TaskContext.get().partitionId():05d}.parquet'
-        pq.write_table(tbl, os.path.join(snap_dir, name))
-        blooms = {}
-        for c in cols:
-            if c in tbl.column_names:
-                b = _bloom_from_column(tbl.column(c))
-                if b is not None:
-                    blooms[c] = b
+        ctx = TaskContext.get()
+        name = f'part-{ctx.partitionId():05d}.parquet'
+        # '.…tmp' names are invisible to both the manifest walk (matches
+        # *.parquet) and Spark's parquet reader (dot-prefixed = hidden), so
+        # a crashed attempt's leftover can never be read as data
+        tmp = os.path.join(snap_dir,
+                           f'.{name}.attempt-{ctx.taskAttemptId()}.tmp')
+        writer = None
+        accs = {c: _BloomAccumulator() for c in cols}
+        try:
+            for b in batches:
+                if not b.num_rows:
+                    continue
+                # arrow in, arrow out — no pandas in the write path
+                tbl = pa.Table.from_batches([b])
+                if aschema is not None:
+                    tbl = tbl.cast(aschema)
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, tbl.schema)
+                writer.write_table(tbl)
+                for c in cols:
+                    if c in tbl.column_names:
+                        accs[c].update(tbl.column(c))
+            if writer is None:
+                return                      # empty partition: no file
+            writer.close()
+            writer = None
+            os.replace(tmp, os.path.join(snap_dir, name))
+        finally:
+            if writer is not None:          # failed mid-write
+                writer.close()
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        blooms = {c: a.finish() for c, a in accs.items()}
         yield pa.RecordBatch.from_pylist(
-            [{'file_name': name, 'blooms': _json.dumps(blooms)}])
+            [{'file_name': name,
+              'blooms': _json.dumps({c: b for c, b in blooms.items()
+                                     if b is not None})}])
 
     rows = df.mapInArrow(fn, 'file_name string, blooms string').collect()
     return {r['file_name']: _json.loads(r['blooms']) for r in rows}

@@ -496,3 +496,48 @@ def test_partition_equality_unescapes_and_coerces(spark, events, tmp_path):
     # and a definitely-absent day prunes everything
     assert t.plan_files([('day', '=', datetime.datetime(1999, 1, 1))
                          ])['n_kept'] == 0
+
+
+def test_bloom_accumulator_fold_matches_direct_build():
+    """ADVICE r7: the streaming write path builds blooms per BATCH at the
+    2^20-bit cap and folds down to the row-count size at the end; the fold
+    must be bit-identical to a direct single-shot build (power-of-two
+    moduli: H mod 2^j is the low j bits of H), at every size tier and for
+    every split of the rows into batches."""
+    import pyarrow as pa
+
+    from changepoynt_spark.sources.tables import (
+        _bloom_from_column, _BloomAccumulator)
+
+    for n in (3, 70, 5000, 80_000):          # 2^10 floor, mid, 2^20 cap tiers
+        vals = [f'v{i}' if i % 7 else None for i in range(n)]
+        direct = _bloom_from_column(pa.chunked_array([vals]))
+        for n_batches in (1, 4):
+            acc = _BloomAccumulator()
+            step = (n + n_batches - 1) // n_batches
+            for i in range(0, n, step):
+                acc.update(pa.array(vals[i:i + step]))
+            assert acc.finish() == direct, (n, n_batches)
+
+    # poisoning (unhashable value anywhere) and emptiness match too
+    assert _BloomAccumulator().finish() is None
+    acc = _BloomAccumulator()
+    acc.update(pa.array([1, 2]))
+    acc.update(pa.array([True]))             # bool canon is None: unsound
+    assert acc.finish() is None
+    assert _bloom_from_column(pa.array([True, False])) is None
+
+
+def test_bloom_write_leaves_no_temp_files(spark, events, tmp_path):
+    """The streaming bloom writer publishes via attempt-private temp +
+    atomic rename; after the commit no .tmp debris may remain and the read
+    must see exactly the input rows."""
+    import os
+    n_in = events.count()
+    t = IcebergishTable(str(tmp_path / 'bltmp'))
+    t.append(events, partition_by=(), n_files=4, bloom_cols=['event_id'])
+    snap_dir = os.path.join(t.data_dir, 'snap-0')
+    names = os.listdir(snap_dir)
+    assert not [n for n in names if n.endswith('.tmp')]
+    assert len([n for n in names if n.endswith('.parquet')]) == 4
+    assert t.read(spark).count() == n_in
