@@ -187,6 +187,13 @@ class ContinuousAggregate:
         # compaction cost is bounded: it re-reads tier PARTIALS (≤ one row
         # per keys×bucket), never raw history.  None/0 disables.
         self.auto_compact_snapshots = auto_compact_snapshots
+        # stream-sink batch-id cache: (tier tip snapshot id when last
+        # walked, max stream_batch_id found).  Batch ids are monotone per
+        # checkpoint and snapshot manifests are immutable, so each lookup
+        # only walks the lineage segment NEWER than the cached tip —
+        # without this every micro-batch re-walks the full lineage,
+        # O(committed batches) metadata reads per batch, unbounded
+        self._stream_bid_cache = (-1, None)
 
     # -- watermark ---------------------------------------------------------
 
@@ -389,16 +396,26 @@ class ContinuousAggregate:
 
     def _max_stream_batch_id(self):
         """Highest Structured-Streaming batch id already committed to the
-        tier (walks the lineage for 'stream_batch_id' properties)."""
+        tier ('stream_batch_id' snapshot properties).  Amortized O(new
+        snapshots): walks the lineage only down to the tip of the previous
+        walk (ids are monotone, manifests immutable), so a long-running
+        stream pays one json read per snapshot IT committed, not per batch
+        × history.  A rollback/fork that detaches the cached tip degrades
+        gracefully: the walk runs to the root and the cache re-pins."""
+        tip = self.tier.current_snapshot_id()
+        cached_tip, cached_best = self._stream_bid_cache
         best = None
-        sid = self.tier.current_snapshot_id()
-        while sid >= 0:
+        sid = tip
+        while sid >= 0 and sid != cached_tip:
             snap = self.tier.snapshot(sid)
             b = snap['manifest']['properties'].get('stream_batch_id')
             if b is not None:
                 b = int(b)
                 best = b if best is None or b > best else best
             sid = snap.get('parent', -1)
+        if sid == cached_tip and cached_best is not None:
+            best = cached_best if best is None else max(best, cached_best)
+        self._stream_bid_cache = (tip, best)
         return best
 
     def stream_sink(self):
@@ -416,6 +433,25 @@ class ContinuousAggregate:
         lineage (ids are monotone per checkpoint), so a replay cannot
         double-append.  One checkpoint dir per tier — mixing checkpoints
         restarts the id sequence and voids the guarantee.
+
+        SINGLE WRITER per tier, full stop — not just one checkpoint dir.
+        The skip check is check-then-append with no lock: a SECOND
+        concurrent writer on the same tier (a duplicate stream, or a batch
+        refresh() racing a micro-batch) can interleave between the
+        batch-id check and the append, double-committing or fork-racing
+        the lineage.  Run exactly one stream query per tier and stop it
+        before a batch refresh takes over (the takeover full-recompute
+        then atomically invalidates the stream's snapshots).
+
+        The sink honors ``auto_compact_snapshots`` exactly like batch
+        refresh: when a micro-batch leaves more than K live tier
+        snapshots, it folds the merge-on-read pile (watermark-preserving
+        tier-compact), so an always-on stream's read cost and per-batch
+        planning stay O(K) instead of growing with committed batches.
+        Exactly-once survives compaction: batch ids live in snapshot
+        properties on the LINEAGE (walked through invalidated snapshots),
+        and the walk itself is amortized O(new snapshots) via the monotone
+        batch-id cache.
 
         A later BATCH refresh on a stream-fed tier is safe by fallback: the
         stream snapshots carry no raw-snapshot watermark, so
@@ -440,6 +476,10 @@ class ContinuousAggregate:
                     'rollup_watermark': str(stats['wm']),
                     'points_rolled': int(stats['pts'] or 0),
                 })
+            k = self.auto_compact_snapshots
+            if k and len(self.tier._live_snapshots(
+                    self.tier.current_snapshot_id())) > k:
+                self.compact(batch_df.sparkSession)
         return sink
 
     def read_realtime_stream(self, spark: SparkSession) -> DataFrame:

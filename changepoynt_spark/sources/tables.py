@@ -23,6 +23,8 @@ import os
 import time
 from typing import Optional
 
+import pandas as pd  # module-level: PEP-563 udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 
 # manifest column-stat bounds for strings are truncated to this many chars
@@ -422,6 +424,90 @@ def _partition_eq(pv: str, val):
     return n == c
 
 
+# snapshot operations whose data files REWRITE or RETRACT already-committed
+# logical rows (maintenance / overwrite commits): a file stream over the
+# data dirs must NOT re-ingest them — 'compact'/'tier-compact'/'expire'
+# rewrite live rows a stream already saw (double count), 'delete' files are
+# key tuples, not table rows (schema mismatch), 'delete-cow' re-writes the
+# surviving rows of its targets, 'refresh-full' is a tier overwrite.
+_MAINTENANCE_OPS = frozenset({'compact', 'tier-compact', 'expire', 'delete',
+                              'delete-cow', 'refresh-full'})
+
+# executor-side cache: a snapshot's manifest is IMMUTABLE once its json is
+# committed, so (meta_dir, sid) -> operation can be cached forever
+_SNAP_OP_CACHE: dict = {}
+
+
+def _snapshot_operation(meta_dir: str, sid: int, retries: int = 20,
+                        delay: float = 0.1):
+    """Operation property of snapshot ``sid``, read from its metadata json
+    (one tiny file per NEW snapshot per executor, then cached).  Data files
+    land on disk BEFORE the snapshot json commits, so a just-listed file may
+    briefly have no json — retry ~2 s, then return the '__uncommitted__'
+    sentinel WITHOUT caching (the json may still appear for the next
+    micro-batch's lookup)."""
+    key = (meta_dir, sid)
+    if key in _SNAP_OP_CACHE:
+        return _SNAP_OP_CACHE[key]
+    path = os.path.join(meta_dir, f'snapshot-{sid}.json')
+    for attempt in range(retries):
+        try:
+            with open(path) as f:
+                op = json.load(f)['manifest']['properties'].get('operation')
+            _SNAP_OP_CACHE[key] = op
+            return op
+        except (FileNotFoundError, json.JSONDecodeError):
+            if attempt < retries - 1:
+                time.sleep(delay)
+    return '__uncommitted__'
+
+
+def content_stream_filter(stream_df: DataFrame, table_root: str) -> DataFrame:
+    """Restrict a file-stream read of an Icebergish table's ``snap-*`` dirs
+    to rows from CONTENT snapshots — appends, upsert data parts, incremental
+    refreshes — dropping maintenance rewrites (:data:`_MAINTENANCE_OPS`).
+    This is what lets :meth:`IcebergishTable.compact` / :meth:`expire_before`
+    run on a streamed table without the stream double-counting the rewritten
+    rows (the batch side tolerates the same ops via ``read_delta``).
+
+    Vectorized: a pandas_udf maps ``input_file_name()`` -> snap id -> cached
+    manifest operation; one metadata read per new snapshot per executor,
+    never a per-row file access.  A not-yet-committed snapshot (data files
+    visible before its json) is INGESTED after a bounded retry — the rare
+    crashed-append leftover overcounts exactly like the raw glob did, while
+    dropping would silently lose a slow commit's rows forever.
+
+    Out of contract (documented, not detectable from file paths alone):
+    commits that logically MUTATE reflected rows — ``upsert`` updates and
+    ``delete_keys``/``delete_where`` retractions.  An append stream cannot
+    retract emitted aggregates; take the tier over with a batch
+    ``ContinuousAggregate.refresh`` (full recompute) after such commits."""
+    from pyspark.sql import functions as F
+
+    meta_dir = os.path.join(table_root, 'metadata')
+
+    @F.pandas_udf('boolean')
+    def _is_content(paths: pd.Series) -> pd.Series:
+        import re as _re
+
+        def check(dirname: str) -> bool:
+            # hidden partitioning nests hive dirs under snap-N: search the
+            # whole dir path for the snapshot segment, not just its tail
+            m = _re.search(r'snap-(\d+)(?=/|$)', dirname)
+            if not m:
+                return True          # not a snapshot dir: glob matched wider
+            op = _snapshot_operation(meta_dir, int(m.group(1)))
+            if op == '__uncommitted__':
+                return True
+            return op not in _MAINTENANCE_OPS
+
+        dirs = {d: check(d) for d in
+                {os.path.dirname(p) for p in paths.unique()}}
+        return paths.map(lambda p: dirs[os.path.dirname(p)])
+
+    return stream_df.filter(_is_content(F.input_file_name()))
+
+
 class IcebergishTable:
 
     def __init__(self, root: str):
@@ -754,6 +840,28 @@ class IcebergishTable:
         if dels:
             out = self._apply_deletes(spark, out, dels).drop('_seq')
         return out
+
+    def stream_read(self, spark: SparkSession, schema=None) -> DataFrame:
+        """Structured-Streaming source over this table's data dirs that
+        ingests ONLY content snapshots (appends / upsert data parts /
+        incremental refreshes) — maintenance rewrites (compact, expire,
+        tier-compact, delete key-files, delete-cow, refresh-full) are
+        filtered out per micro-batch via the snapshot manifest, so batch
+        table maintenance can run concurrently without the stream
+        double-counting rewritten rows (see :func:`content_stream_filter`
+        for the exact contract, including the logical-mutation and
+        uncommitted-snapshot caveats).
+
+        ``vacuum`` remains subject to the standard streaming-read rule
+        (Iceberg has the same one): reclaim only files the stream has
+        already processed — schedule vacuum at least one trigger interval
+        behind the stream, or a listed-but-unread file can disappear
+        mid-batch."""
+        if schema is None:
+            schema = self.read(spark).schema
+        stream = (spark.readStream.schema(schema)
+                  .parquet(os.path.join(self.data_dir, 'snap-*')))
+        return content_stream_filter(stream, self.root)
 
     def _live_snapshots(self, snapshot_id: int) -> list:
         """Snapshot ids whose data files are visible at ``snapshot_id``

@@ -4,12 +4,22 @@ the streaming counterpart of jobs/continuous_agg_job.py, keeping a
 ContinuousAggregate TIER table fresh from a Structured Streaming source
 instead of batch snapshot polling.
 
-A file stream over the raw Icebergish table's snapshot data dirs feeds the
-PARTIAL-form 1m/1h rollup (streaming_rollup_partial: decimal-exact sums +
-first/last ts anchors, the exact schema batch refreshes append); each
-micro-batch's CLOSED buckets land in the tier via foreachBatch ->
-IcebergishTable.append with the stream batch id and rollup watermark in the
-snapshot properties.  The stream and batch refresh share ONE tier
+A MANIFEST-AWARE file stream over the raw Icebergish table
+(IcebergishTable.stream_read) feeds the PARTIAL-form 1m/1h rollup
+(streaming_rollup_partial: decimal-exact sums + first/last ts anchors, the
+exact schema batch refreshes append); each micro-batch's CLOSED buckets
+land in the tier via foreachBatch -> IcebergishTable.append with the stream
+batch id and rollup watermark in the snapshot properties.
+
+The stream ingests only CONTENT snapshots: raw-table maintenance (compact /
+expire rewrites, MoR delete key-files) is filtered out per micro-batch via
+the snapshot manifests, so it can run concurrently without double-counting
+rewritten rows into the tier — the same ops the batch refresh tolerates via
+read_delta.  Still out of contract: commits that logically MUTATE reflected
+raw rows (upsert updates, delete retractions) — an append stream cannot
+retract emitted buckets; run a batch ContinuousAggregate.refresh (full
+recompute takeover) after such commits.  vacuum must lag the stream by one
+trigger interval (standard streaming-read retention rule).  The stream and batch refresh share ONE tier
 substrate: every tier reader (read / read_partial / read_realtime_stream,
 compaction, hierarchical rebucketing) works unchanged, and a later BATCH
 refresh takes the tier over with a full recompute (the stream snapshots
@@ -30,7 +40,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 
 def main(argv=None, spark=None):
@@ -63,9 +72,7 @@ def main(argv=None, spark=None):
         ca = ContinuousAggregate(raw, args.tier, keys, ts_col=args.ts_col,
                                  value_col=args.value_col,
                                  interval=args.interval, partition_by=())
-        schema = raw.read(spark).schema
-        stream = (spark.readStream.schema(schema)
-                  .parquet(os.path.join(raw.data_dir, 'snap-*')))
+        stream = raw.stream_read(spark)
         tier = streaming_rollup_partial(
             stream, keys=keys, ts_col=args.ts_col,
             value_col=args.value_col, interval=args.interval,

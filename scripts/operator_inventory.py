@@ -30,10 +30,13 @@ def main():
     lines = [
         '# Contract-query inventory',
         '',
-        f'{len(rows)} queries; {n_green} DuckDB-oracled hash-green and',
-        f'{n_frozen} frozen-value-hash green (kernel/multimodal queries with',
-        'no SQL-expressible oracle; registry',
-        'tests/goldens/rowsonly_value_hashes.json) in the last self-report',
+        f'{len(rows)} queries; {n_green} independently VERIFIED (DuckDB-oracled',
+        f'hash-green) and {n_frozen} pinned by FROZEN REGRESSION HASHES',
+        '(kernel/multimodal queries with no SQL-expressible oracle; registry',
+        'tests/goldens/rowsonly_value_hashes.json — seeded from the',
+        "implementation's own output, so they guard against drift, not a",
+        'bug present at freeze time; those queries lean on the kernel',
+        'goldens + pytest suites for verification) in the last self-report',
         '(`CORRECTNESS_SELF.json`, sf0.01).  Regenerate with',
         '`python scripts/operator_inventory.py` after a correctness run.',
         '',

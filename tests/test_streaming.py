@@ -629,3 +629,135 @@ def test_stream_fed_tier_realtime_read_matches_batch_refresh(spark, sf_dir,
     a3 = (ca.read(spark).select(cols).toPandas()
           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
     assert a3.astype(str).equals(b2.astype(str))
+
+
+def test_stream_read_tolerates_raw_maintenance(spark, sf_dir, tmp_path):
+    """ADVICE r7 (medium): the raw glob re-ingested maintenance rewrites —
+    a raw-table compact() mid-stream rewrote all live rows into a new snap
+    dir the file stream counted AGAIN (double-counting the watermark-window
+    tail into the tier), and a MoR delete's key-tuple files flowed in as
+    null-rows.  stream_read filters to content snapshots via the snapshot
+    manifests: with compact + delete_keys + expire running mid-stream, the
+    realtime view must still equal the batch rollup exactly, and pure-
+    maintenance triggers must add NO tier snapshots."""
+    import datetime
+
+    from changepoynt_spark.operators.rollup import rollup_from_points
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    ev = (spark.read.parquet(f'{sf_dir}/events.parquet')
+          .select('user_id', 'ts', 'value').cache())
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    raw.append(ev, partition_by=())
+
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), ['user_id'],
+                             interval='1 hour', partition_by=())
+    ckpt = str(tmp_path / 'ckpt')
+
+    def run_once():
+        from changepoynt_spark.streaming.rollup_stream import \
+            streaming_rollup_partial
+        stream = raw.stream_read(spark, schema=ev.schema)
+        tier = streaming_rollup_partial(stream, keys=['user_id'],
+                                        interval='1 hour',
+                                        watermark_delay='30 minutes')
+        q = (tier.writeStream.outputMode('append')
+             .foreachBatch(ca.stream_sink())
+             .option('checkpointLocation', ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()
+    # mid-stream maintenance: compact rewrites ALL live rows into a new
+    # snap dir.  The rewritten rows inside the watermark window would
+    # re-aggregate into still-open buckets if the stream ingested them —
+    # the filtered stream must not.
+    raw.compact(spark)
+    late = ev.withColumn('ts', F.col('ts') + F.expr('INTERVAL 40 DAYS'))
+    raw.append(late, partition_by=())
+    run_once()
+
+    cols = ['user_id', 'bucket_start', 'cnt_points', 'sum_value']
+    got = (ca.read_realtime_stream(spark).select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    exp = (rollup_from_points(ev.unionByName(late), ['user_id'], ts_col='ts',
+                              value_col='value', interval='1 hour')
+           .select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got, exp, cols)
+
+    # pure maintenance commits (MoR delete key-files, expire rewrite of the
+    # straddling snapshot) must contribute ZERO rows: the filtered stream
+    # sees only non-content snapshots and the sink skips the empty batch
+    some_user = int(ev.first()['user_id'])
+    raw.delete_keys(spark.createDataFrame([(some_user,)], 'user_id bigint'),
+                    ['user_id'])
+    cut = ev.agg(F.min('ts')).first()[0]
+    raw.expire_before(spark, cut + datetime.timedelta(hours=1))
+    tier_before = (ca.read(spark).select(cols).toPandas()
+                   .sort_values(['user_id', 'bucket_start'])
+                   .reset_index(drop=True))
+    n_before = ca.tier.current_snapshot_id()
+    run_once()
+    assert ca.tier.current_snapshot_id() == n_before
+    tier_after = (ca.read(spark).select(cols).toPandas()
+                  .sort_values(['user_id', 'bucket_start'])
+                  .reset_index(drop=True))
+    _cmp_rollup(tier_after, tier_before, cols)
+    ev.unpersist()
+
+
+def _cmp_rollup(got, exp, cols):
+    assert len(got) == len(exp) > 0
+    for c in cols:
+        a, b = got[c], exp[c]
+        if c == 'sum_value':                   # decimal string scale differs
+            assert np.allclose(a.astype(float), b.astype(float),
+                               rtol=0, atol=1e-9)
+            continue
+        assert a.astype(str).equals(b.astype(str)), c
+
+
+def test_stream_sink_auto_compacts_and_batch_ids_survive(spark, sf_dir,
+                                                         tmp_path):
+    """ADVICE r7: the stream path never auto-compacted, so live-snapshot
+    count (and per-batch lineage walks) grew with committed batches.  The
+    sink now folds the pile past auto_compact_snapshots, exactly-once
+    replay still holds across compaction (ids live on the walked lineage,
+    amortized by the monotone cache), and reads stay exact."""
+    from changepoynt_spark.operators.rollup import rollup_from_points
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    ev = (spark.read.parquet(f'{sf_dir}/events.parquet')
+          .select('user_id', 'ts', 'value').limit(2000).cache())
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    raw.append(ev, partition_by=())
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), ['user_id'],
+                             interval='1 hour', partition_by=(),
+                             auto_compact_snapshots=3)
+    sink = ca.stream_sink()
+    # 8 hand-driven micro-batches (disjoint slices in PARTIAL form)
+    for i in range(8):
+        part = ca._partial(ev.filter(F.pmod('user_id', F.lit(8)) == i))
+        sink(part, i)
+    live = ca.tier._live_snapshots(ca.tier.current_snapshot_id())
+    assert len(live) <= 4          # bounded by policy (K=3 checked post-append)
+    assert ca._max_stream_batch_id() == 7
+    # replay of every already-committed id is a no-op (exactly-once across
+    # the compactions)
+    tip = ca.tier.current_snapshot_id()
+    for i in range(8):
+        sink(ca._partial(ev.limit(50)), i)
+    assert ca.tier.current_snapshot_id() == tip
+    # and the merged tier content is exact
+    cols = ['user_id', 'bucket_start', 'cnt_points', 'sum_value']
+    got = (ca.read(spark).select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    exp = (rollup_from_points(ev, ['user_id'], ts_col='ts',
+                              value_col='value', interval='1 hour')
+           .select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got, exp, cols)
+    ev.unpersist()
