@@ -309,17 +309,26 @@ class ContinuousAggregate:
     def rollup_watermark(self):
         """Max bucket_start ever rolled into the tier (``None`` if the tier
         never refreshed with data).  Read from the per-snapshot
-        ``rollup_watermark`` properties — monotone metadata, so the walk
-        covers the FULL lineage including invalidated snapshots."""
+        ``rollup_watermark`` properties on the lineage (including
+        invalidated snapshots).  The walk STOPS at the first tier-compact
+        snapshot carrying the property: compaction records the max it
+        preserves, summarizing everything below — so with auto-compaction
+        this is O(snapshots since the last compact), not O(every refresh
+        ever committed) metadata reads per realtime read (a year of
+        minutely refreshes is ~525k snapshot jsons; the bound keeps the
+        read path at ~auto_compact_snapshots of them)."""
         import datetime
         best = None
         sid = self.tier.current_snapshot_id()
         while sid >= 0:
             snap = self.tier.snapshot(sid)
-            w = snap['manifest']['properties'].get('rollup_watermark')
+            props = snap['manifest']['properties']
+            w = props.get('rollup_watermark')
             if w and w != 'None':
                 d = datetime.datetime.fromisoformat(w)
                 best = d if best is None or d > best else best
+                if props.get('operation') == 'tier-compact':
+                    break       # summarizes the whole lineage below it
             sid = snap.get('parent', -1)
         return best
 
@@ -384,11 +393,21 @@ class ContinuousAggregate:
         assert cur >= 0, f'tier {self.tier.root} has no snapshots to compact'
         live = self.tier._live_snapshots(cur)
         merged = self.read_partial(spark)
+        # summary properties: the compact snapshot re-records the max
+        # rollup watermark and stream batch id it preserves, so the
+        # per-read/per-batch lineage walks can STOP here instead of
+        # visiting every refresh ever committed (see rollup_watermark /
+        # _max_stream_batch_id)
+        props = {'operation': 'tier-compact',
+                 WATERMARK_PROP: int(self.refreshed_through()),
+                 'rollup_watermark': str(self.rollup_watermark()),
+                 'replaced_snapshots': len(live)}
+        max_bid = self._max_stream_batch_id()
+        if max_bid is not None:
+            props['stream_batch_id'] = int(max_bid)
         snap = self.tier.append(
             merged, partition_by=self.partition_by, invalidates=live,
-            properties={'operation': 'tier-compact',
-                        WATERMARK_PROP: int(self.refreshed_through()),
-                        'replaced_snapshots': len(live)})
+            properties=props)
         return {'snapshot_id': snap['snapshot_id'], 'replaced': len(live),
                 'rows': snap['manifest']['row_count']}
 
@@ -408,10 +427,16 @@ class ContinuousAggregate:
         sid = tip
         while sid >= 0 and sid != cached_tip:
             snap = self.tier.snapshot(sid)
-            b = snap['manifest']['properties'].get('stream_batch_id')
+            props = snap['manifest']['properties']
+            b = props.get('stream_batch_id')
             if b is not None:
                 b = int(b)
                 best = b if best is None or b > best else best
+                if props.get('operation') == 'tier-compact':
+                    # compaction re-records the max id it preserves: every
+                    # id below is <= this summary, so a COLD walk (fresh
+                    # process, empty cache) is bounded too
+                    break
             sid = snap.get('parent', -1)
         if sid == cached_tip and cached_best is not None:
             best = cached_best if best is None else max(best, cached_best)

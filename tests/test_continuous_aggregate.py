@@ -521,3 +521,63 @@ def test_auto_compaction_bounds_live_snapshots(spark, events, tmp_path):
                               auto_compact_snapshots=None)
     assert ca2.refresh(spark)['mode'] in ('incremental', 'full')
     assert 'compacted' not in ca2.refresh(spark)
+
+
+def test_compact_summary_bounds_lineage_walks(spark, events, tmp_path):
+    """r8: rollup_watermark()/​_max_stream_batch_id() walked EVERY snapshot
+    ever committed (O(refresh history) metadata reads per realtime read).
+    compact() now re-records the max rollup watermark + stream batch id it
+    preserves, and the walks stop at that summary — with auto-compaction
+    the per-read metadata cost is O(auto_compact_snapshots), not O(every
+    minutely refresh of the past year)."""
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    b = F.pmod('user_id', F.lit(8))
+    raw.append(events.filter(b == 0), partition_by=())
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                             interval='1 hour', partition_by=(),
+                             auto_compact_snapshots=None)
+    ca.refresh(spark)
+    for i in range(1, 8):
+        raw.append(events.filter(b == i), partition_by=())
+        assert ca.refresh(spark)['mode'] == 'incremental'
+    wm_full = ca.rollup_watermark()
+    assert wm_full is not None
+    ca.compact(spark)
+
+    # the compact snapshot summarizes: value unchanged, walk bounded
+    reads = []
+    orig = ca.tier.snapshot
+
+    def counting(sid=None):
+        reads.append(sid)
+        return orig(sid)
+
+    ca.tier.snapshot = counting
+    assert ca.rollup_watermark() == wm_full
+    assert len(reads) <= 2, f'walk visited {len(reads)} snapshots past compact'
+    ca.tier.snapshot = orig
+
+    # a post-compact refresh still advances the watermark correctly
+    late = events.withColumn('ts', F.col('ts') + F.expr('INTERVAL 40 DAYS'))
+    raw.append(late, partition_by=())
+    assert ca.refresh(spark)['mode'] == 'incremental'
+    assert ca.rollup_watermark() > wm_full
+
+    # stream batch ids survive a compact via the summary property (fresh
+    # CA instance = cold cache, walk from the tip)
+    sink = ca.stream_sink()
+    sink(ca._partial(late.limit(100)), 41)
+    ca.compact(spark)
+    ca_cold = ContinuousAggregate(raw, str(tmp_path / 'tier'), KEYS,
+                                  interval='1 hour', partition_by=())
+    reads2 = []
+    orig2 = ca_cold.tier.snapshot
+
+    def counting2(sid=None):
+        reads2.append(sid)
+        return orig2(sid)
+
+    ca_cold.tier.snapshot = counting2
+    assert ca_cold._max_stream_batch_id() == 41
+    assert len(reads2) <= 2, f'cold walk visited {len(reads2)} snapshots'
+    ca_cold.tier.snapshot = orig2
