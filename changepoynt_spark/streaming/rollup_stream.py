@@ -292,3 +292,55 @@ def streaming_rollup_partial(stream_df: DataFrame, keys, ts_col: str = 'ts',
                .select(*keys, 'bucket_start', 'cnt_points', 'sum_value',
                        'min_value', 'max_value', 'first_value', 'first_ts',
                        'last_value', 'last_ts'))
+
+
+def streaming_rebucket_partials(stream_df: DataFrame, keys,
+                                interval: str,
+                                watermark_delay: str = '2 minutes'
+                                ) -> DataFrame:
+    """Streaming twin of operators.rollup.rebucket_partials — the missing
+    piece of STREAMING HIERARCHICAL continuous aggregates: a file stream
+    over a (stream- or batch-fed) fine tier's snapshot dirs
+    (``IcebergishTable.stream_read``) folds PARTIAL rows into coarser
+    PARTIAL buckets (same decimal-exact sums and first/last ts anchors, so
+    the result appends into the coarse ``ContinuousAggregate`` tier via
+    the SAME ``stream_sink``).  raw -> 1m tier -> 1h tier then runs as two
+    always-on streams with no batch refresh in the loop, and every tier
+    reader (merge-on-read, realtime, compaction, batch takeover) works
+    unchanged on both levels.
+
+    The event time is ``bucket_start``: the upstream emits a bucket once,
+    when ITS watermark closes it, so arrival order already respects event
+    time — ``watermark_delay`` only needs to cover the upstream emission
+    jitter (one upstream trigger interval is plenty), not data lateness
+    (the fine tier absorbed that).  A mid-chain fine-tier ``compact()`` is
+    invisible: stream_read drops maintenance snapshots by manifest op.
+    A fine-tier batch-refresh TAKEOVER (refresh-full overwrite) is a
+    logical mutation and needs the same takeover downstream — documented
+    in content_stream_filter.
+
+    Visibility at level 2 is exact over everything level 1 has
+    MATERIALIZED: raw points still inside the fine stream's open tail
+    (past its event-time frontier) are not yet visible to the coarse
+    level's realtime view — the coarse ``read_realtime_stream`` covers
+    the fine TIER's tail, by design (asserted in
+    test_streaming_hierarchical_continuous_aggregates against the raw
+    rollup cut at the fine frontier)."""
+    keys = list(keys)
+    stream_df = stream_df.withColumn(
+        'bucket_start', F.col('bucket_start').cast('timestamp'))
+    agg = (stream_df
+           .withWatermark('bucket_start', watermark_delay)
+           .groupBy(*keys, F.window('bucket_start', interval).alias('w'))
+           .agg(F.sum('cnt_points').alias('cnt_points'),
+                F.sum('sum_value').cast('decimal(28,6)').alias('sum_value'),
+                F.min('min_value').alias('min_value'),
+                F.max('max_value').alias('max_value'),
+                F.min_by('first_value', 'first_ts').alias('first_value'),
+                F.min('first_ts').alias('first_ts'),
+                F.max_by('last_value', 'last_ts').alias('last_value'),
+                F.max('last_ts').alias('last_ts')))
+    return (agg.withColumn('bucket_start', F.col('w.start')).drop('w')
+               .select(*keys, 'bucket_start', 'cnt_points', 'sum_value',
+                       'min_value', 'max_value', 'first_value', 'first_ts',
+                       'last_value', 'last_ts'))

@@ -30,6 +30,13 @@ Exactly-once across restarts: Structured Streaming replays the last
 uncommitted micro-batch with the same batch_id; the sink skips ids already
 in the tier lineage.  One checkpoint dir per tier.
 
+--source-kind partial chains the job into STREAMING HIERARCHICAL
+continuous aggregates: --raw is then itself a CA tier in partial form
+(e.g. the 1m tier this job keeps fresh from raw), and micro-batches fold
+with streaming_rebucket_partials — raw -> 1m -> 1h as two always-on
+streams, each tier-compactable mid-stream (the manifest-aware source
+skips maintenance snapshots at every level).
+
     spark-submit --master local[32] --py-files engine.zip \
         jobs/tier_stream_job.py \
         --raw /path/raw_table --tier /path/tier_table \
@@ -54,6 +61,14 @@ def main(argv=None, spark=None):
     ap.add_argument('--value-col', default='value')
     ap.add_argument('--interval', default='1 hour')
     ap.add_argument('--watermark-delay', default='30 minutes')
+    ap.add_argument('--source-kind', default='points',
+                    choices=('points', 'partial'),
+                    help="'partial': --raw is itself a CA tier in partial "
+                         'form (streaming HIERARCHICAL continuous '
+                         'aggregates, e.g. a stream-fed 1m tier feeding '
+                         'this 1h tier); folds with '
+                         'streaming_rebucket_partials instead of the raw '
+                         'rollup')
     ap.add_argument('--available-now', action='store_true',
                     help='drain the current input and stop')
     args = ap.parse_args(argv)
@@ -66,17 +81,27 @@ def main(argv=None, spark=None):
     try:
         from changepoynt_spark.sources.continuous import ContinuousAggregate
         from changepoynt_spark.sources.tables import IcebergishTable
-        from changepoynt_spark.streaming.rollup_stream import \
-            streaming_rollup_partial
+        from changepoynt_spark.streaming.rollup_stream import (
+            streaming_rebucket_partials, streaming_rollup_partial)
         raw = IcebergishTable(args.raw)
-        ca = ContinuousAggregate(raw, args.tier, keys, ts_col=args.ts_col,
-                                 value_col=args.value_col,
-                                 interval=args.interval, partition_by=())
-        stream = raw.stream_read(spark)
-        tier = streaming_rollup_partial(
-            stream, keys=keys, ts_col=args.ts_col,
+        partial_src = args.source_kind == 'partial'
+        ca = ContinuousAggregate(
+            raw, args.tier, keys,
+            # a partial source's event time IS its bucket_start (used by
+            # realtime reads to cut the on-the-fly tail)
+            ts_col='bucket_start' if partial_src else args.ts_col,
             value_col=args.value_col, interval=args.interval,
-            watermark_delay=args.watermark_delay)
+            partition_by=(), source_kind=args.source_kind)
+        stream = raw.stream_read(spark)
+        if partial_src:
+            tier = streaming_rebucket_partials(
+                stream, keys=keys, interval=args.interval,
+                watermark_delay=args.watermark_delay)
+        else:
+            tier = streaming_rollup_partial(
+                stream, keys=keys, ts_col=args.ts_col,
+                value_col=args.value_col, interval=args.interval,
+                watermark_delay=args.watermark_delay)
         writer = (tier.writeStream.outputMode('append')
                   .foreachBatch(ca.stream_sink())
                   .option('checkpointLocation', args.checkpoint))

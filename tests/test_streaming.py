@@ -761,3 +761,84 @@ def test_stream_sink_auto_compacts_and_batch_ids_survive(spark, sf_dir,
            .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
     _cmp_rollup(got, exp, cols)
     ev.unpersist()
+
+
+def test_streaming_hierarchical_continuous_aggregates(spark, sf_dir,
+                                                      tmp_path):
+    """r8: raw -> 1m tier -> 1h tier as TWO chained streams — the 1h level
+    re-buckets the 1m tier's PARTIAL snapshots (streaming_rebucket_partials
+    over IcebergishTable.stream_read) into the same CA substrate via the
+    same stream_sink.  The finalized 1h view must equal the direct batch
+    1h rollup over raw exactly, a mid-chain 1m tier-compact must be
+    invisible to the 1h stream (manifest filter), and restart replays at
+    both levels must be no-ops."""
+    import jobs.tier_stream_job as tier_job
+    from changepoynt_spark.operators.rollup import rollup_from_points
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    ev = (spark.read.parquet(f'{sf_dir}/events.parquet')
+          .select('user_id', 'ts', 'value').cache())
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    raw.append(ev, partition_by=())
+
+    t1m, t1h = str(tmp_path / 't1m'), str(tmp_path / 't1h')
+    args_1m = ['--raw', str(tmp_path / 'raw'), '--tier', t1m,
+               '--checkpoint', str(tmp_path / 'ck1m'), '--keys', 'user_id',
+               '--interval', '1 minute', '--watermark-delay', '30 minutes',
+               '--available-now']
+    args_1h = ['--raw', t1m, '--tier', t1h,
+               '--checkpoint', str(tmp_path / 'ck1h'), '--keys', 'user_id',
+               '--interval', '1 hour', '--watermark-delay', '2 minutes',
+               '--source-kind', 'partial', '--available-now']
+    tier_job.main(args_1m, spark=spark)
+    tier_job.main(args_1h, spark=spark)
+
+    ca_1m = ContinuousAggregate(raw, t1m, ['user_id'], interval='1 minute',
+                                partition_by=())
+    ca_1h = ContinuousAggregate(ca_1m.tier, t1h, ['user_id'],
+                                ts_col='bucket_start', interval='1 hour',
+                                partition_by=(), source_kind='partial')
+    # the 1h view is exact over everything the 1m stream has MATERIALIZED:
+    # raw points still inside the 1m stream's open tail (ts past its
+    # event-time frontier) are not yet visible at level 2 — the expected
+    # rollup is raw cut at the 1m frontier (frontier + one 1m interval)
+    import pandas as pd
+
+    def exp_until_1m_frontier(points):
+        cut = ca_1m.rollup_watermark() + pd.Timedelta('1 minute')
+        return rollup_from_points(
+            points.filter(F.col('ts') < F.lit(cut)), ['user_id'],
+            ts_col='ts', value_col='value', interval='1 hour')
+
+    cols = ['user_id', 'bucket_start', 'cnt_points', 'sum_value']
+    got = (ca_1h.read_realtime_stream(spark).select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    exp = (exp_until_1m_frontier(ev)
+           .select(cols).toPandas()
+           .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got, exp, cols)
+
+    # mid-chain maintenance on the FINE tier + late raw data: the 1h
+    # stream must pick up only the new 1m content snapshots
+    ca_1m.compact(spark)
+    late = ev.withColumn('ts', F.col('ts') + F.expr('INTERVAL 40 DAYS'))
+    raw.append(late, partition_by=())
+    tier_job.main(args_1m, spark=spark)
+    tier_job.main(args_1h, spark=spark)
+    got2 = (ca_1h.read_realtime_stream(spark).select(cols).toPandas()
+            .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    exp2 = (exp_until_1m_frontier(ev.unionByName(late))
+            .select(cols).toPandas()
+            .sort_values(['user_id', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got2, exp2, cols)
+    assert len(got2) > len(got)        # the late data actually flowed through
+
+    # restart with no new input: zero new snapshots at either level
+    n1m, n1h = (ca_1m.tier.current_snapshot_id(),
+                ca_1h.tier.current_snapshot_id())
+    tier_job.main(args_1m, spark=spark)
+    tier_job.main(args_1h, spark=spark)
+    assert (ca_1m.tier.current_snapshot_id(),
+            ca_1h.tier.current_snapshot_id()) == (n1m, n1h)
+    ev.unpersist()
