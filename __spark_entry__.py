@@ -1530,13 +1530,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         toks = text.tokenize_documents(_read(spark, sf_dir, 'documents'),
                                        hash_fn='md5')
 
+        from changepoynt_spark.operators.scoring import tokens_to_points
+
         def transform(df):
-            return df.select(
-                'source', F.posexplode('tokens').alias('pos', 'tok')).select(
-                'source',
-                F.expr("timestampadd(SECOND, pos, TIMESTAMP '2026-01-01')")
-                 .alias('ts'),
-                F.col('tok').cast('double').alias('value'))
+            return tokens_to_points(df, keys=('source',),
+                                    epoch='2026-01-01')
 
         root = tempfile.mkdtemp(prefix='tokca-')
         raw = IcebergishTable(_os.path.join(root, 'raw'))

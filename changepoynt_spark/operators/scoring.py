@@ -155,3 +155,26 @@ def explode_scores(df: DataFrame, score_col: str = 'score') -> DataFrame:
         'doc_id', 'source',
         F.posexplode(score_col).alias('pos', score_col),
     )
+
+
+def tokens_to_points(df: DataFrame, keys=('source',),
+                     tokens_col: str = 'tokens',
+                     epoch: str = '2026-01-01',
+                     ts_col: str = 'ts',
+                     value_col: str = 'value') -> DataFrame:
+    """ROW-LOCAL transform from the north-rule sequence shape
+    (doc_id, tokens:array<int>, n_tok, source) to timestamped points:
+    token position becomes a seconds offset from ``epoch``, token id the
+    value.  posexplode is a narrow transformation (no shuffle) and every
+    output row derives from exactly one input row, which is the
+    ContinuousAggregate ``transform`` contract — transform(delta) ==
+    delta-of-transform, so the tokens table flows into tiers
+    incrementally (batch refresh) or via the state-free streaming sink
+    (``stream_sink_raw`` / tier_stream_job --transform tokens-points)."""
+    keys = list(keys)
+    return df.select(
+        *keys, F.posexplode(tokens_col).alias('pos', '_tok')).select(
+        *keys,
+        F.expr(f"timestampadd(SECOND, pos, TIMESTAMP '{epoch}')")
+         .alias(ts_col),
+        F.col('_tok').cast('double').alias(value_col))

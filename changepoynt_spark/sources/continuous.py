@@ -485,27 +485,63 @@ class ContinuousAggregate:
         from pyspark.sql import functions as F
 
         def sink(batch_df, batch_id: int):
-            if batch_df.isEmpty():
+            self._append_stream_batch(batch_df, batch_id)
+        return sink
+
+    def stream_sink_raw(self):
+        """STATE-FREE streaming ingest: foreachBatch target for a stream of
+        RAW rows (``IcebergishTable.stream_read`` over the source, run
+        through the :attr:`transform` hook if set) — each micro-batch is
+        rolled up BATCH-LOCALLY (:meth:`_partial`, the same code batch
+        refresh runs on a snapshot delta) and appended as one partial
+        snapshot.  No watermark, no streaming aggregation state, and
+        NOTHING is ever dropped as late: exactness is carried entirely by
+        the merge-on-read monoid (same-bucket partials from different
+        micro-batches merge to exactly the one-shot rollup, asserted in
+        tests).  This is the mode for ingesting/backfilling the
+        pre-tokenized SEQUENCE table, whose position-derived timestamps
+        all land in one fixed window — under a watermarked aggregation
+        every batch after the first would be 'late' and silently dropped;
+        here the 100 TB table drains through availableNow micro-batches
+        with zero agg state, and :meth:`compact` (or the auto-compaction
+        policy) folds the per-batch partials.
+
+        Trade-off vs :meth:`stream_sink`: buckets are re-appended by every
+        micro-batch that touches them (read-side merge width grows with
+        batches until compaction — bounded by ``auto_compact_snapshots``),
+        and the tier covers EVERYTHING ingested, so the realtime view is
+        plain :meth:`read` — ``read_realtime_stream``'s frontier cut does
+        not apply to this mode (it assumes watermark-closed coverage).
+        Same exactly-once batch-id skip, same single-writer rule."""
+        def sink(batch_df, batch_id: int):
+            self._append_stream_batch(self._partial(batch_df), batch_id)
+        return sink
+
+    def _append_stream_batch(self, part: DataFrame, batch_id: int) -> None:
+        part = part.persist()
+        try:
+            if part.isEmpty():
                 return
             committed = self._max_stream_batch_id()
             if committed is not None and int(batch_id) <= committed:
                 return  # crash-replay of an already-committed micro-batch
-            stats = batch_df.agg(
+            stats = part.agg(
                 F.max('bucket_start').alias('wm'),
                 F.sum(self._form.points_col).alias('pts')).first()
             self.tier.append(
-                batch_df, partition_by=self.partition_by,
+                part, partition_by=self.partition_by,
                 properties={
                     'operation': 'stream-refresh',
                     'stream_batch_id': int(batch_id),
                     'rollup_watermark': str(stats['wm']),
                     'points_rolled': int(stats['pts'] or 0),
                 })
-            k = self.auto_compact_snapshots
-            if k and len(self.tier._live_snapshots(
-                    self.tier.current_snapshot_id())) > k:
-                self.compact(batch_df.sparkSession)
-        return sink
+        finally:
+            part.unpersist()
+        k = self.auto_compact_snapshots
+        if k and len(self.tier._live_snapshots(
+                self.tier.current_snapshot_id())) > k:
+            self.compact(part.sparkSession)
 
     def read_realtime_stream(self, spark: SparkSession) -> DataFrame:
         """Realtime read for a STREAM-fed tier: the materialized closed
@@ -517,15 +553,28 @@ class ContinuousAggregate:
         bucket ranges and merge to exactly the full rollup — EXCEPT rows
         the watermark dropped as too late, which are absent from the tier
         by the streaming lateness contract (and from this view: the
-        frontier filter excludes them by construction)."""
+        frontier filter excludes them by construction).
+
+        NOT for tiers fed by :meth:`stream_sink_raw` (state-free mode):
+        there the tier already covers EVERYTHING ingested — the frontier
+        cut would double-count; the realtime view of that mode is plain
+        :meth:`read`."""
         import pandas as pd
         frontier = self.rollup_watermark()
         raw = self.source.read(spark)
+        if self.transform is not None:
+            # row-local transform first: the frontier cut is on the OUTPUT
+            # event time (the raw sequence shape has no ts column at all)
+            raw = self.transform(raw)
         if frontier is None:
-            return self._form.finalize(
-                self._form.merge(self._partial(raw)))
+            return self._form.finalize(self._form.merge(
+                self._form.rebucket(raw) if self.source_kind == 'partial'
+                else self._form.partial(raw)))
         cut = frontier + pd.Timedelta(self.interval)
         tail = raw.filter(F.col(self.ts_col) >= F.lit(cut))
+        part_tail = (self._form.rebucket(tail)
+                     if self.source_kind == 'partial'
+                     else self._form.partial(tail))
         part = self.tier.read(spark).unionByName(
-            self._partial(tail), allowMissingColumns=True)
+            part_tail, allowMissingColumns=True)
         return self._form.finalize(self._form.merge(part))

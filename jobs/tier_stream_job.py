@@ -69,6 +69,25 @@ def main(argv=None, spark=None):
                          'this 1h tier); folds with '
                          'streaming_rebucket_partials instead of the raw '
                          'rollup')
+    ap.add_argument('--mode', default='closed-buckets',
+                    choices=('closed-buckets', 'partials-per-batch'),
+                    help="'closed-buckets' (default): watermarked streaming "
+                         'agg, each bucket emitted once when closed; '
+                         "'partials-per-batch': STATE-FREE ingest — every "
+                         'micro-batch rolls up batch-locally and appends a '
+                         'partial snapshot (merge-on-read exactness, no '
+                         'late-data drops, zero agg state; the mode for '
+                         'draining/backfilling the pre-tokenized sequence '
+                         'table whose position timestamps share one window)')
+    ap.add_argument('--transform', default=None,
+                    choices=(None, 'tokens-points'),
+                    help="row-local transform applied to raw rows before "
+                         "the rollup; 'tokens-points' explodes the "
+                         'north-rule sequence shape (doc_id, tokens, n_tok, '
+                         'source) into timestamped points keyed by --keys')
+    ap.add_argument('--epoch', default='2026-01-01',
+                    help='epoch for the tokens-points position->timestamp '
+                         'mapping')
     ap.add_argument('--available-now', action='store_true',
                     help='drain the current input and stop')
     args = ap.parse_args(argv)
@@ -85,26 +104,46 @@ def main(argv=None, spark=None):
             streaming_rebucket_partials, streaming_rollup_partial)
         raw = IcebergishTable(args.raw)
         partial_src = args.source_kind == 'partial'
+        transform = None
+        if args.transform == 'tokens-points':
+            from changepoynt_spark.operators.scoring import tokens_to_points
+            assert not partial_src, '--transform applies to raw sources'
+
+            def transform(df, _keys=tuple(keys), _epoch=args.epoch):
+                return tokens_to_points(df, keys=_keys, epoch=_epoch,
+                                        ts_col=args.ts_col,
+                                        value_col=args.value_col)
         ca = ContinuousAggregate(
             raw, args.tier, keys,
             # a partial source's event time IS its bucket_start (used by
             # realtime reads to cut the on-the-fly tail)
             ts_col='bucket_start' if partial_src else args.ts_col,
             value_col=args.value_col, interval=args.interval,
-            partition_by=(), source_kind=args.source_kind)
+            partition_by=(), source_kind=args.source_kind,
+            transform=transform)
         stream = raw.stream_read(spark)
-        if partial_src:
-            tier = streaming_rebucket_partials(
-                stream, keys=keys, interval=args.interval,
-                watermark_delay=args.watermark_delay)
+        if args.mode == 'partials-per-batch':
+            # state-free ingest: raw micro-batches roll up batch-locally in
+            # the sink (through the transform hook) — no watermark, nothing
+            # dropped as late, merge-on-read carries exactness
+            writer = (stream.writeStream
+                      .foreachBatch(ca.stream_sink_raw())
+                      .option('checkpointLocation', args.checkpoint))
         else:
-            tier = streaming_rollup_partial(
-                stream, keys=keys, ts_col=args.ts_col,
-                value_col=args.value_col, interval=args.interval,
-                watermark_delay=args.watermark_delay)
-        writer = (tier.writeStream.outputMode('append')
-                  .foreachBatch(ca.stream_sink())
-                  .option('checkpointLocation', args.checkpoint))
+            if partial_src:
+                tier = streaming_rebucket_partials(
+                    stream, keys=keys, interval=args.interval,
+                    watermark_delay=args.watermark_delay)
+            else:
+                if transform is not None:
+                    stream = transform(stream)
+                tier = streaming_rollup_partial(
+                    stream, keys=keys, ts_col=args.ts_col,
+                    value_col=args.value_col, interval=args.interval,
+                    watermark_delay=args.watermark_delay)
+            writer = (tier.writeStream.outputMode('append')
+                      .foreachBatch(ca.stream_sink())
+                      .option('checkpointLocation', args.checkpoint))
         if args.available_now:
             q = writer.trigger(availableNow=True).start()
             q.awaitTermination()

@@ -842,3 +842,64 @@ def test_streaming_hierarchical_continuous_aggregates(spark, sf_dir,
     assert (ca_1m.tier.current_snapshot_id(),
             ca_1h.tier.current_snapshot_id()) == (n1m, n1h)
     ev.unpersist()
+
+
+def test_state_free_tokens_ingest_stream(spark, tmp_path):
+    """r8: STATE-FREE streaming ingest (stream_sink_raw /
+    tier_stream_job --mode partials-per-batch --transform tokens-points).
+    The pre-tokenized sequence table's position timestamps all share one
+    fixed window, so under a watermarked aggregation every batch after the
+    first is 'late' and silently dropped — the state-free mode rolls each
+    micro-batch up batch-locally and lets the merge-on-read monoid carry
+    exactness: two same-window appends (plus a mid-stream raw compact)
+    must read back as exactly the one-shot rollup, with replay a no-op."""
+    import jobs.tier_stream_job as tier_job
+    from changepoynt_spark.operators.rollup import rollup_from_points
+    from changepoynt_spark.operators.scoring import tokens_to_points
+    from changepoynt_spark.sources.continuous import ContinuousAggregate
+    from changepoynt_spark.sources.datagen import tokens_table_distributed
+    from changepoynt_spark.sources.tables import IcebergishTable
+
+    seqs = tokens_table_distributed(spark, n_docs=40, max_len=2000,
+                                    partitions=4).cache()
+    raw = IcebergishTable(str(tmp_path / 'raw'))
+    halves = [seqs.filter(F.pmod(F.xxhash64('doc_id'), F.lit(2)) == i)
+              for i in (0, 1)]
+    raw.append(halves[0], partition_by=())
+
+    args = ['--raw', str(tmp_path / 'raw'), '--tier', str(tmp_path / 'tier'),
+            '--checkpoint', str(tmp_path / 'ckpt'), '--keys', 'source',
+            '--interval', '1 minute', '--mode', 'partials-per-batch',
+            '--transform', 'tokens-points', '--available-now']
+    tier_job.main(args, spark=spark)
+    raw.compact(spark)                      # maintenance mid-stream
+    raw.append(halves[1], partition_by=())  # SAME ts window: would be
+    tier_job.main(args, spark=spark)        # late-dropped under a watermark
+
+    ca = ContinuousAggregate(raw, str(tmp_path / 'tier'), ['source'],
+                             interval='1 minute', partition_by=(),
+                             transform=lambda df: tokens_to_points(
+                                 df, keys=('source',)))
+    cols = ['source', 'bucket_start', 'cnt_points', 'sum_value']
+    got = (ca.read(spark).select(cols).toPandas()
+           .sort_values(['source', 'bucket_start']).reset_index(drop=True))
+    exp = (rollup_from_points(tokens_to_points(seqs, keys=('source',)),
+                              ['source'], ts_col='ts', value_col='value',
+                              interval='1 minute')
+           .select(cols).toPandas()
+           .sort_values(['source', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got, exp, cols)
+
+    # replay: every committed batch id is skipped (exactly-once)
+    tip = ca.tier.current_snapshot_id()
+    sink = ca.stream_sink_raw()
+    for bid in range(ca._max_stream_batch_id() + 1):
+        sink(halves[0].limit(2), bid)
+    assert ca.tier.current_snapshot_id() == tip
+
+    # and a batch refresh takes the state-free tier over cleanly
+    assert ca.refresh(spark)['mode'] == 'full'
+    got2 = (ca.read(spark).select(cols).toPandas()
+            .sort_values(['source', 'bucket_start']).reset_index(drop=True))
+    _cmp_rollup(got2, exp, cols)
+    seqs.unpersist()
