@@ -903,3 +903,36 @@ def test_state_free_tokens_ingest_stream(spark, tmp_path):
             .sort_values(['source', 'bucket_start']).reset_index(drop=True))
     _cmp_rollup(got2, exp, cols)
     seqs.unpersist()
+
+
+def test_snapshot_operation_cache_and_uncommitted(tmp_path):
+    """Unit: the stream filter's snapshot-op lookup caches committed
+    manifests forever (immutable), returns the '__uncommitted__' sentinel
+    (UNCACHED) while the json is missing, and picks the op up once the
+    commit lands — the data-files-before-json window must not poison the
+    cache."""
+    import json as _json
+    import os
+
+    from changepoynt_spark.sources.tables import (
+        _SNAP_OP_CACHE, _snapshot_operation)
+
+    meta = str(tmp_path / 'metadata')
+    os.makedirs(meta)
+    # missing json: sentinel, bounded retry, nothing cached
+    assert _snapshot_operation(meta, 7, retries=2,
+                               delay=0.01) == '__uncommitted__'
+    assert (meta, 7) not in _SNAP_OP_CACHE
+    # commit lands: op resolves and caches
+    with open(os.path.join(meta, 'snapshot-7.json'), 'w') as f:
+        _json.dump({'manifest': {'properties': {'operation': 'compact'}}}, f)
+    assert _snapshot_operation(meta, 7) == 'compact'
+    assert _SNAP_OP_CACHE[(meta, 7)] == 'compact'
+    # cache survives the file disappearing (vacuumed metadata elsewhere
+    # never happens, but the cache must not re-read per row anyway)
+    os.remove(os.path.join(meta, 'snapshot-7.json'))
+    assert _snapshot_operation(meta, 7) == 'compact'
+    # a content snapshot (no operation property) resolves to None
+    with open(os.path.join(meta, 'snapshot-8.json'), 'w') as f:
+        _json.dump({'manifest': {'properties': {}}}, f)
+    assert _snapshot_operation(meta, 8) is None
