@@ -2189,6 +2189,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_ranges(_read_spread(spark, sf_dir, 'documents'),
                                   n=10, min_docs=2)
 
+    def doc_decontaminate_ranges(spark, sf_dir):
+        # exact-substring DECONTAMINATION (round 8): maximal word ranges of
+        # corpus docs that appear verbatim in a benchmark set (here: the
+        # lexicographically-first source plays the benchmark, the rest the
+        # corpus).  Corpus postings ride one exchange; the benchmark's
+        # distinct window hashes BROADCAST into an ids-only semi join — at
+        # 100 TB the corpus never shuffles against the benchmark.
+        docs = _read_spread(spark, sf_dir, 'documents')
+        bench_src = docs.agg(F.min('source')).first()[0]
+        corpus = docs.filter(F.col('source') != F.lit(bench_src))
+        benchmark = docs.filter(F.col('source') == F.lit(bench_src))
+        return dedup.decontaminate_ranges(corpus, benchmark, n=10)
+
     def doc_dup_clusters(spark, sf_dir):
         # connected components over the exact n-gram Jaccard pair graph:
         # cluster_id = smallest reachable doc id (canonical representative).
@@ -2646,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'doc_prefix_dups': doc_prefix_dups,
         'ngram_jaccard_dups': ngram_jaccard_dups,
         'doc_dedup_ranges': doc_dedup_ranges,
+        'doc_decontaminate_ranges': doc_decontaminate_ranges,
         'doc_dup_clusters': doc_dup_clusters,
         'doc_dup_clusters_prop': doc_dup_clusters_prop,
         'doc_split_counts': doc_split_counts,
@@ -3147,6 +3161,41 @@ def oracle_sql() -> dict[str, str]:
                   WHERE len(ws) >= 10),
             d AS (SELECT h FROM p GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
             m AS (SELECT p.doc_id, p.s, p.e FROM p JOIN d USING (h)),
+            x AS (SELECT doc_id, s, e,
+                         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM m),
+            y AS (SELECT doc_id, s, e,
+                         CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS f
+                  FROM x),
+            z AS (SELECT doc_id, s, e,
+                         SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM y)
+            SELECT doc_id, CAST(MIN(s) AS BIGINT) AS range_start,
+                   CAST(MAX(e) AS BIGINT) AS range_end,
+                   CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_positions,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM z GROUP BY doc_id, isl
+        """,
+        'doc_decontaminate_ranges': """
+            WITH bs AS (SELECT MIN(source) AS s FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                  WHERE source <> (SELECT s FROM bs)),
+            bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE source = (SELECT s FROM bs)),
+            p AS (SELECT doc_id, i AS s, i + 9 AS e,
+                         CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')),
+                                                1, 15) AS BIGINT) AS h
+                  FROM w, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            b AS (SELECT DISTINCT
+                         CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')),
+                                                1, 15) AS BIGINT) AS h
+                  FROM bw, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            m AS (SELECT p.doc_id, p.s, p.e FROM p JOIN b USING (h)),
             x AS (SELECT doc_id, s, e,
                          MAX(e) OVER (PARTITION BY doc_id ORDER BY s
                                       ROWS BETWEEN UNBOUNDED PRECEDING

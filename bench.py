@@ -122,7 +122,9 @@ BENCH_QUERY_NAMES = ['events_rollup_1m', 'events_rollup_1d_cascade', 'events_gap
              'events_ca_dd_quantiles_1d',
              # round 7 addition (covers learning + application of the
              # 1152-merge windowed BPE vocabulary)
-             'doc_bpe_tokens_1k']
+             'doc_bpe_tokens_1k',
+             # round 8 addition
+             'doc_decontaminate_ranges']
 
 
 def run_queries(spark, sf_dir: str) -> dict:

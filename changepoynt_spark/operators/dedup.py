@@ -433,8 +433,6 @@ def dedup_ranges(df: DataFrame, n: int = 10, min_docs: int = 2,
     Reference:  the reference repo has no corpus operators; provenance is
     the paper + operators/dedup.py's repeated_passages (same hash formula).
     """
-    from pyspark.sql import Window
-
     if min_docs < 2:
         raise ValueError('min_docs must be >= 2 (cross-document ranges)')
     postings = passage_postings(df, n=n, id_col=id_col, text_col=text_col)
@@ -445,9 +443,19 @@ def dedup_ranges(df: DataFrame, n: int = 10, min_docs: int = 2,
     hits = (postings.join(dup_hashes, 'passage_hash', 'left_semi')
                     .select(id_col, F.col('start_pos').alias('s'),
                             (F.col('start_pos') + n - 1).alias('e')))
-    # gaps-and-islands: a window starts a new island iff its start exceeds
-    # the running max end of all earlier windows + 1 (adjacent coverage
-    # [s,e],[e+1,...] merges — covered positions are contiguous)
+    return _coverage_islands(hits, id_col)
+
+
+def _coverage_islands(hits: DataFrame, id_col: str) -> DataFrame:
+    """Merge per-doc window intervals ``(id, s, e)`` into MAXIMAL covered
+    ranges (gaps-and-islands): a window starts a new island iff its start
+    exceeds the running max end of all earlier windows + 1 (adjacent
+    coverage [s,e],[e+1,...] merges — covered positions are contiguous).
+    One exchange keyed by doc + a partition-local window; group sizes
+    bounded by document length.  Shared by :func:`dedup_ranges` (within-
+    corpus) and :func:`decontaminate_ranges` (corpus-vs-benchmark)."""
+    from pyspark.sql import Window
+
     by_doc = Window.partitionBy(id_col).orderBy('s')
     prev_max = F.max('e').over(by_doc.rowsBetween(Window.unboundedPreceding, -1))
     flagged = hits.withColumn(
@@ -465,6 +473,45 @@ def dedup_ranges(df: DataFrame, n: int = 10, min_docs: int = 2,
                            (F.col('range_end') - F.col('range_start') + 1)
                            .cast('long').alias('n_positions'),
                            F.col('n_windows').cast('long').alias('n_windows')))
+
+
+def decontaminate_ranges(df: DataFrame, benchmark: DataFrame, n: int = 10,
+                         id_col: str = 'doc_id', text_col: str = 'text',
+                         bench_text_col: str = 'text') -> DataFrame:
+    """MAXIMAL word ranges of corpus documents that appear VERBATIM in a
+    benchmark set — exact-substring DECONTAMINATION (the train/test-overlap
+    variant of Lee et al. 2022's exact-substring dedup, the recipe used to
+    scrub eval benchmarks out of pretraining corpora): a corpus position is
+    contaminated iff some n-word window containing it also occurs in ANY
+    benchmark document.  Same resolution floor as :func:`dedup_ranges`
+    (spans >= n words are recovered with exact boundaries); emitting
+    per-doc RANGES lets the caller excise or drop precisely the leaked
+    spans instead of whole documents.
+
+    Scale shape: corpus postings ride one exchange; the benchmark's
+    DISTINCT window-hash set is tiny relative to a 100 TB corpus (eval
+    suites are MBs) and is BROADCAST into an ids-only left-semi join — no
+    shuffle of the corpus against the benchmark, no pair blow-up (k
+    contaminated windows cost k posting rows).  Island merge is the shared
+    per-doc gaps-and-islands pass.
+
+    Output: (doc_id, range_start, range_end, n_positions, n_windows),
+    word positions 1-based inclusive.
+
+    Reference: the reference repo has no corpus operators; provenance is
+    Lee et al. 2022 + the shared window-hash formula of
+    :func:`passage_postings`."""
+    postings = passage_postings(df, n=n, id_col=id_col, text_col=text_col)
+    bench_hashes = (passage_postings(
+        benchmark.select(F.lit('_b').alias(id_col),
+                         F.col(bench_text_col).alias(text_col)),
+        n=n, id_col=id_col, text_col=text_col)
+        .select('passage_hash').distinct())
+    hits = (postings.join(F.broadcast(bench_hashes), 'passage_hash',
+                          'left_semi')
+                    .select(id_col, F.col('start_pos').alias('s'),
+                            (F.col('start_pos') + n - 1).alias('e')))
+    return _coverage_islands(hits, id_col)
 
 
 def dup_clusters_star(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',

@@ -891,3 +891,45 @@ def test_lsh_topk_duplicate_ids_deterministic(spark, embeddings):
         assert out['vec_id'].is_unique
         runs.append(list(zip(out['vec_id'], out['cos_sim'].round(6))))
     assert runs[0] == runs[1] == runs[2]
+
+
+def test_decontaminate_ranges_planted_leak_exact_boundaries(spark):
+    """r8 exact-substring DECONTAMINATION: a benchmark passage leaked
+    verbatim into corpus docs is recovered with exact word boundaries;
+    clean corpus docs and corpus-internal duplication (not in the
+    benchmark) contribute NO range; sub-floor leaks (< n words) are below
+    resolution, as in dedup_ranges."""
+    rng = np.random.default_rng(43)
+
+    def noise(k, tag):
+        return [f'{tag}{rng.integers(0, 10 ** 9)}' for _ in range(k)]
+
+    leak = [f'bench{i}' for i in range(60)]
+    shared_private = [f'dupe{i}' for i in range(40)]   # corpus-internal dup
+    bench = [('b1', ' '.join(noise(20, 'bpre') + leak + noise(20, 'bpost')))]
+    offsets = {'c1': 5, 'c2': 100}
+    corpus = []
+    for doc, off in offsets.items():
+        corpus.append((doc, ' '.join(
+            noise(off, doc) + leak + shared_private + noise(30, doc + 't'))))
+    corpus.append(('c3', ' '.join(noise(25, 'c3a') + shared_private
+                                  + noise(25, 'c3b'))))        # dup only
+    corpus.append(('c4', ' '.join(noise(15, 'c4') + leak[:9]
+                                  + noise(40, 'c4t'))))        # sub-floor
+    cdf = spark.createDataFrame(corpus, 'doc_id string, text string')
+    bdf = spark.createDataFrame(bench, 'doc_id string, text string')
+    got = (dedup.decontaminate_ranges(cdf, bdf, n=10)
+           .orderBy('doc_id', 'range_start').toPandas())
+    assert got['doc_id'].tolist() == ['c1', 'c2']
+    for _, r in got.iterrows():
+        off = offsets[r['doc_id']]
+        assert r['range_start'] == off + 1
+        assert r['range_end'] == off + 60
+        assert r['n_positions'] == 60
+        assert r['n_windows'] == 60 - 10 + 1
+
+    # the benchmark-side hash set rides a BROADCAST semi join (the corpus
+    # must never shuffle against the benchmark at 100 TB)
+    plan = dedup.decontaminate_ranges(cdf, bdf, n=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert 'BroadcastHashJoin' in plan and 'LeftSemi' in plan
