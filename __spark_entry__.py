@@ -2202,6 +2202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         benchmark = docs.filter(F.col('source') == F.lit(bench_src))
         return dedup.decontaminate_ranges(corpus, benchmark, n=10)
 
+    def doc_decontaminated_clean(spark, sf_dir):
+        # the SCRUB step composed end-to-end: find verbatim benchmark
+        # spans (decontaminate_ranges), then EXCISE exactly those words —
+        # clean corpus docs pass through byte-identical, contaminated ones
+        # lose only the leaked ranges.  The excision is a map-only
+        # higher-order-function pass (no Python, no explode).
+        docs = _read_spread(spark, sf_dir, 'documents')
+        bench_src = docs.agg(F.min('source')).first()[0]
+        corpus = docs.filter(F.col('source') != F.lit(bench_src))
+        benchmark = docs.filter(F.col('source') == F.lit(bench_src))
+        ranges = dedup.decontaminate_ranges(corpus, benchmark, n=10)
+        return dedup.excise_ranges(corpus, ranges)
+
     def doc_dup_clusters(spark, sf_dir):
         # connected components over the exact n-gram Jaccard pair graph:
         # cluster_id = smallest reachable doc id (canonical representative).
@@ -2660,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         'ngram_jaccard_dups': ngram_jaccard_dups,
         'doc_dedup_ranges': doc_dedup_ranges,
         'doc_decontaminate_ranges': doc_decontaminate_ranges,
+        'doc_decontaminated_clean': doc_decontaminated_clean,
         'doc_dup_clusters': doc_dup_clusters,
         'doc_dup_clusters_prop': doc_dup_clusters_prop,
         'doc_split_counts': doc_split_counts,
@@ -3213,6 +3227,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS n_positions,
                    CAST(COUNT(*) AS BIGINT) AS n_windows
             FROM z GROUP BY doc_id, isl
+        """,
+        'doc_decontaminated_clean': """
+            WITH bs AS (SELECT MIN(source) AS s FROM documents),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                  WHERE source <> (SELECT s FROM bs)),
+            bw AS (SELECT string_split(text, ' ') AS ws FROM documents
+                   WHERE source = (SELECT s FROM bs)),
+            p AS (SELECT doc_id, i AS s, i + 9 AS e,
+                         CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')),
+                                                1, 15) AS BIGINT) AS h
+                  FROM w, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            b AS (SELECT DISTINCT
+                         CAST('0x' || substring(md5(array_to_string(ws[i:i+9], ' ')),
+                                                1, 15) AS BIGINT) AS h
+                  FROM bw, UNNEST(range(1, len(ws) - 8)) AS t(i)
+                  WHERE len(ws) >= 10),
+            m AS (SELECT p.doc_id, p.s, p.e FROM p JOIN b USING (h)),
+            x AS (SELECT doc_id, s, e,
+                         MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS pmax
+                  FROM m),
+            y AS (SELECT doc_id, s, e,
+                         CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS f
+                  FROM x),
+            z AS (SELECT doc_id, s, e,
+                         SUM(f) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM y),
+            rg AS (SELECT doc_id, MIN(s) AS range_start, MAX(e) AS range_end,
+                          MAX(e) - MIN(s) + 1 AS n_positions
+                   FROM z GROUP BY doc_id, isl),
+            stats AS (SELECT doc_id, SUM(n_positions) AS rm, COUNT(*) AS nr
+                      FROM rg GROUP BY doc_id),
+            pos AS (SELECT w.doc_id, t.i AS i, w.ws[t.i] AS wd
+                    FROM w JOIN stats ON w.doc_id = stats.doc_id,
+                         UNNEST(range(1, len(ws) + 1)) AS t(i)),
+            keep AS (SELECT pos.doc_id, pos.i, pos.wd
+                     FROM pos WHERE NOT EXISTS (
+                         SELECT 1 FROM rg
+                         WHERE rg.doc_id = pos.doc_id
+                           AND pos.i BETWEEN rg.range_start AND rg.range_end)),
+            cln AS (SELECT doc_id,
+                           COALESCE(string_agg(wd, ' ' ORDER BY i), '') AS clean_text
+                    FROM keep GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN stats.doc_id IS NULL THEN d.text
+                        ELSE COALESCE(cln.clean_text, '') END AS clean_text,
+                   CAST(COALESCE(stats.rm, 0) AS BIGINT) AS n_words_removed,
+                   CAST(COALESCE(stats.nr, 0) AS BIGINT) AS n_ranges
+            FROM documents d
+            LEFT JOIN cln ON d.doc_id = cln.doc_id
+            LEFT JOIN stats ON d.doc_id = stats.doc_id
+            WHERE d.source <> (SELECT s FROM bs)
         """,
         'doc_dup_clusters': _DUP_CLUSTERS_SQL,
         'doc_dup_clusters_prop': _DUP_CLUSTERS_SQL,

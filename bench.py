@@ -123,8 +123,8 @@ BENCH_QUERY_NAMES = ['events_rollup_1m', 'events_rollup_1d_cascade', 'events_gap
              # round 7 addition (covers learning + application of the
              # 1152-merge windowed BPE vocabulary)
              'doc_bpe_tokens_1k',
-             # round 8 addition
-             'doc_decontaminate_ranges']
+             # round 8 additions
+             'doc_decontaminate_ranges', 'doc_decontaminated_clean']
 
 
 def run_queries(spark, sf_dir: str) -> dict:

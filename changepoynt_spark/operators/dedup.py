@@ -514,6 +514,48 @@ def decontaminate_ranges(df: DataFrame, benchmark: DataFrame, n: int = 10,
     return _coverage_islands(hits, id_col)
 
 
+def excise_ranges(df: DataFrame, ranges: DataFrame, id_col: str = 'doc_id',
+                  text_col: str = 'text') -> DataFrame:
+    """Scrub step of exact-substring decontamination: remove the words
+    covered by ``ranges`` (the :func:`decontaminate_ranges` /
+    :func:`dedup_ranges` output shape — 1-based inclusive word positions)
+    from each document and reassemble the text.  Documents with no range
+    pass through unchanged; the non-leaked words keep their relative
+    order, which is why range EXCISION beats whole-doc dropping — a
+    100-word benchmark leak in a 100k-word document costs 0.1% of the
+    data, not the document.
+
+    Plan shape: ranges aggregate to ONE array per contaminated doc, join
+    back on the id (the ranges side is tiny relative to the corpus — AQE
+    broadcasts it), and the excision itself is a map-only higher-order-
+    function pass (transform + filter + array_join), no Python, no
+    explode.
+
+    Output: (id, clean_text, n_words_removed, n_ranges)."""
+    per_doc = (ranges.groupBy(id_col)
+                     .agg(F.collect_list(
+                              F.struct('range_start', 'range_end'))
+                          .alias('_rs'),
+                          F.sum('n_positions').alias('_rm'),
+                          F.count('*').alias('_nr')))
+    words = F.split(F.col(text_col), ' ')
+    indexed = F.transform(words, lambda w, i: F.struct(
+        w.alias('w'), (i + 1).cast('long').alias('p')))
+    kept = F.filter(indexed, lambda s: ~F.exists(
+        F.col('_rs'), lambda r: (s['p'] >= r['range_start'])
+                                & (s['p'] <= r['range_end'])))
+    return (df.join(per_doc, id_col, 'left')
+              .select(id_col,
+                      F.when(F.col('_rs').isNull(), F.col(text_col))
+                       .otherwise(F.array_join(
+                           F.transform(kept, lambda s: s['w']), ' '))
+                       .alias('clean_text'),
+                      F.coalesce(F.col('_rm'), F.lit(0)).cast('long')
+                       .alias('n_words_removed'),
+                      F.coalesce(F.col('_nr'), F.lit(0)).cast('long')
+                       .alias('n_ranges')))
+
+
 def dup_clusters_star(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b',
                       max_iterations: int = 30) -> DataFrame:
     """(doc_id, cluster_id) — connected components via alternating

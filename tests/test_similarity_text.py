@@ -933,3 +933,43 @@ def test_decontaminate_ranges_planted_leak_exact_boundaries(spark):
     plan = dedup.decontaminate_ranges(cdf, bdf, n=10)._jdf.queryExecution() \
         .executedPlan().toString()
     assert 'BroadcastHashJoin' in plan and 'LeftSemi' in plan
+
+
+def test_excise_ranges_scrubs_exactly_the_leaked_words(spark):
+    """r8 scrub step: excise_ranges removes precisely the covered word
+    positions, keeps relative order, passes clean docs through
+    BYTE-identical (no split/rejoin round trip), and a fully-covered doc
+    excises to the empty string."""
+    docs = spark.createDataFrame(
+        [('a', 'w1 w2 w3 w4 w5 w6 w7 w8'),
+         ('b', 'keep  double  spaces intact'),      # clean: verbatim out
+         ('c', 'x1 x2 x3')],
+        'doc_id string, text string')
+    ranges = spark.createDataFrame(
+        [('a', 3, 5, 3, 1), ('a', 7, 7, 1, 1), ('c', 1, 3, 3, 1)],
+        'doc_id string, range_start long, range_end long, '
+        'n_positions long, n_windows long')
+    got = {r['doc_id']: r for r in
+           dedup.excise_ranges(docs, ranges).collect()}
+    assert got['a']['clean_text'] == 'w1 w2 w6 w8'
+    assert got['a']['n_words_removed'] == 4 and got['a']['n_ranges'] == 2
+    assert got['b']['clean_text'] == 'keep  double  spaces intact'
+    assert got['b']['n_words_removed'] == 0 and got['b']['n_ranges'] == 0
+    assert got['c']['clean_text'] == ''
+    assert got['c']['n_words_removed'] == 3
+
+    # composed end-to-end: excising the decontaminate_ranges output leaves
+    # NO residual contamination (a second pass finds nothing)
+    rng = np.random.default_rng(47)
+    noise = lambda k, t: [f'{t}{rng.integers(0, 10 ** 9)}' for _ in range(k)]
+    leak = [f'bench{i}' for i in range(30)]
+    bdf = spark.createDataFrame(
+        [('b1', ' '.join(noise(10, 'bp') + leak))],
+        'doc_id string, text string')
+    cdf = spark.createDataFrame(
+        [('c1', ' '.join(noise(20, 'c1') + leak + noise(20, 'c1t')))],
+        'doc_id string, text string')
+    ranges2 = dedup.decontaminate_ranges(cdf, bdf, n=10)
+    clean = (dedup.excise_ranges(cdf, ranges2)
+             .select('doc_id', F.col('clean_text').alias('text')))
+    assert dedup.decontaminate_ranges(clean, bdf, n=10).count() == 0
