@@ -520,14 +520,18 @@ class ContinuousAggregate:
     def _append_stream_batch(self, part: DataFrame, batch_id: int) -> None:
         part = part.persist()
         try:
-            if part.isEmpty():
-                return
             committed = self._max_stream_batch_id()
             if committed is not None and int(batch_id) <= committed:
                 return  # crash-replay of an already-committed micro-batch
+            # one job doubles as the emptiness check: COUNT of the points
+            # column is 0 iff the micro-batch closed no buckets (the
+            # separate isEmpty() this replaces was a second pass)
             stats = part.agg(
                 F.max('bucket_start').alias('wm'),
-                F.sum(self._form.points_col).alias('pts')).first()
+                F.sum(self._form.points_col).alias('pts'),
+                F.count(F.lit(1)).alias('n')).first()
+            if not stats['n']:
+                return
             self.tier.append(
                 part, partition_by=self.partition_by,
                 properties={

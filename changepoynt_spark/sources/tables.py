@@ -514,6 +514,14 @@ class IcebergishTable:
         self.root = root
         self.data_dir = os.path.join(root, 'data')
         self.meta_dir = os.path.join(root, 'metadata')
+        # parsed-manifest cache, stat-validated: committed snapshot jsons
+        # are immutable (rewrites land as NEW snapshots), so lineage walks
+        # (_live_snapshots / read_delta / watermark scans) pay one parse per
+        # manifest per process instead of one parse per walk per manifest —
+        # with bloom-carrying manifests that parse is the dominant metadata
+        # cost.  The (mtime_ns, size) signature keeps the cache honest
+        # against out-of-band edits (tests hand-rewrite manifests).
+        self._snap_cache: dict = {}
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -531,8 +539,22 @@ class IcebergishTable:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         if sid < 0:
             return None
-        with open(os.path.join(self.meta_dir, f'snapshot-{sid}.json')) as f:
-            return json.load(f)
+        path = os.path.join(self.meta_dir, f'snapshot-{sid}.json')
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            self._snap_cache.pop(sid, None)   # vacuumed/removed: never serve stale
+            raise
+        sig = (st.st_mtime_ns, st.st_size)
+        hit = self._snap_cache.get(sid)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        with open(path) as f:
+            snap = json.load(f)
+        if len(self._snap_cache) >= 4096:     # bound memory on huge lineages
+            self._snap_cache.clear()
+        self._snap_cache[sid] = (sig, snap)
+        return snap
 
     def history(self) -> list:
         """Snapshot lineage, oldest first."""
@@ -663,7 +685,6 @@ class IcebergishTable:
             if partition_by:
                 writer = writer.partitionBy(*list(partition_by))
             writer.parquet(snap_dir)
-        n_rows = df.sparkSession.read.parquet(snap_dir).count()
         files = []
         for dirpath, _, names in os.walk(snap_dir):
             for name in names:
@@ -686,17 +707,32 @@ class IcebergishTable:
                         entry['blooms'] = {c: b for c, b in blooms.items()
                                            if b is not None}
                     files.append(entry)
+        # exact row count from the parquet footers already parsed for the
+        # manifest stats — the re-read .count() this replaces was a second
+        # full scan of every written byte, per append (guide §1/§6: the
+        # write is the only data pass; metadata answers metadata questions)
+        n_rows = sum(e['rows'] for e in files)
+        inv = sorted(int(i) for i in invalidates)
+        props = dict(properties or {})
+        if parent >= 0 and set(inv) >= set(self._live_snapshots(parent)):
+            # this commit supersedes EVERY live ancestor (compaction /
+            # full-refresh overwrite): record it so lineage walks
+            # (_live_snapshots) stop here instead of visiting every
+            # snapshot ever committed — bounds per-refresh/per-micro-batch
+            # metadata reads at O(snapshots since the last barrier).  (A
+            # first snapshot needs no marker: the walk ends at parent -1.)
+            props['lineage_barrier'] = True
         snap = {
             'snapshot_id': sid,
             'parent': parent,
-            'invalidates': sorted(int(i) for i in invalidates),
+            'invalidates': inv,
             'timestamp_ms': int(time.time() * 1000),
             'schema': df.schema.jsonValue(),
             'partition_spec': list(partition_by or []),
             'manifest': {
                 'entries': files,
                 'row_count': n_rows,
-                'properties': dict(properties or {}),
+                'properties': props,
             },
         }
         tmp = os.path.join(self.meta_dir, f'.snapshot-{sid}.json.tmp')
@@ -875,6 +911,12 @@ class IcebergishTable:
             snap = self.snapshot(cur)
             chain.append(cur)
             dead.update(snap.get('invalidates', []))
+            if snap['manifest']['properties'].get('lineage_barrier'):
+                # this snapshot invalidated every then-live ancestor, so
+                # every strict ancestor is dead — stop the walk (keeps
+                # always-on refresh/stream loops at O(snapshots since the
+                # last compaction) metadata reads instead of O(history))
+                break
             cur = snap.get('parent', -1)
         return [c for c in chain if c not in dead]
 
@@ -1254,15 +1296,19 @@ class IcebergishTable:
         parent = self.current_snapshot_id()
         sid = self._next_sid()
         prev = self.snapshot(parent) if parent >= 0 else None
+        inv = sorted(int(i) for i in invalidates)
+        props = dict(properties or {})
+        if parent >= 0 and set(inv) >= set(self._live_snapshots(parent)):
+            props['lineage_barrier'] = True   # same rule as append()
         snap = {
             'snapshot_id': sid,
             'parent': parent,
-            'invalidates': sorted(int(i) for i in invalidates),
+            'invalidates': inv,
             'timestamp_ms': int(time.time() * 1000),
             'schema': prev['schema'] if prev else None,
             'partition_spec': prev.get('partition_spec', []) if prev else [],
             'manifest': {'entries': [], 'row_count': 0,
-                         'properties': dict(properties or {})},
+                         'properties': props},
         }
         tmp = os.path.join(self.meta_dir, f'.snapshot-{sid}.json.tmp')
         with open(tmp, 'w') as f:
