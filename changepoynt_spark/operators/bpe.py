@@ -91,6 +91,66 @@ def _symbols(repr_col):
     return F.filter(F.split(repr_col, SEP), lambda t: t != F.lit(''))
 
 
+# -- SQL-string twins of the learning-loop expressions -----------------------
+#
+# The learners rebuild their pair-count expression every round; constructing
+# it Column-by-Column costs hundreds of py4j round trips per round (measured
+# ~0.1 s/round of pure driver chatter).  Building the SAME expression as one
+# SQL string and parsing it with a single F.expr() call removes that driver
+# tax; the parsed plans are identical to the Column forms (same functions,
+# same tie-breaks), so the learned merge tables cannot differ.
+
+def _sql_str(s: str) -> str:
+    """Single-quoted Spark-SQL string literal (escapes backslash/quote;
+    the SEP/EOW control characters are legal raw inside a literal)."""
+    return "'" + s.replace('\\', '\\\\').replace("'", "\\'") + "'"
+
+
+def _apply_merges_sql(src: str, merges) -> str:
+    """Chained literal replaces over ``src`` (a SQL expression string) —
+    the string twin of :func:`_apply_merges`."""
+    for m in merges:
+        src = (f"replace({src}, {_sql_str(m['lhs'] + SEP + m['rhs'])}, "
+               f"{_sql_str(m['lhs'] + m['rhs'])})")
+    return src
+
+
+def _pairs_sql(src: str) -> str:
+    """Adjacent-pair structs of the symbol stream ``src`` — the string twin
+    of ``_pair_structs(_symbols(...))`` (NULL when fewer than 2 symbols)."""
+    syms = f"filter(split({src}, {_sql_str(SEP)}), t -> t != '')"
+    return (f"CASE WHEN size({syms}) >= 2 THEN "
+            f"transform(sequence(1, size({syms}) - 1), "
+            f"i -> struct(element_at({syms}, i) AS lhs, "
+            f"element_at({syms}, i + 1) AS rhs)) END")
+
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned corpus scan across the cores for the one
+    explode+count pass (test parquet is single-split; at cluster scale the
+    scan already carries >= cores splits and this is a no-op).  Used by the
+    classic learner only: its per-word explode is CPU-bound; the windowed
+    learner's build measured FASTER without the extra local shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
+def _sized_parts(n_rows: int, df: DataFrame, target: int = 2048,
+                 floor: int = 1) -> int:
+    """Partition count for the cached learning table, derived from its SIZE
+    (~``target`` rows per task, capped at session cores) — replaces the
+    round-8 ``coalesce(8)`` literal, which serialized the hottest loop onto
+    8 tasks no matter the input (the one scale-killer flagged in VERDICT
+    r8).  A 31-row classic vocab collapses to 1 task; a multi-million-row
+    distinct-window table at corpus scale gets the full cluster (measured
+    at sf0.1: fewer, fuller tasks beat 31 near-empty ones — the floor/
+    target keep the small-input behavior while letting big inputs scale)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return min(par, max(floor, -(-int(n_rows) // target)))
+
+
 MERGE_SCHEMA = T.StructType([
     T.StructField('merge_rank', T.IntegerType(), False),
     T.StructField('lhs', T.StringType(), False),
@@ -111,27 +171,27 @@ def learn_bpe_merges(df: DataFrame, n_merges: int = 16,
     contract query unrolls the rounds as chained DuckDB CTEs)."""
     if n_merges < 1:
         raise ValueError('n_merges must be >= 1')
-    wc = (df.select(F.explode(F.split(F.col(text_col), ' ')).alias('word'))
-            .groupBy('word').agg(F.count('*').alias('cnt')))
+    wc = (_spread_input(df)
+          .select(F.explode(F.split(F.col(text_col), ' ')).alias('word'))
+          .groupBy('word').agg(F.count('*').alias('cnt'))
+          .withColumn('repr', _delimited(F.col('word'), per_word=True)))
     wc = wc.persist()
     try:
-        base = _delimited(F.col('word'), per_word=True)
+        n_words = wc.count()
+        # the cache keeps the groupBy's full shuffle partitioning; for a
+        # vocabulary-bounded table that is mostly empty tasks EVERY round —
+        # read it through a narrow data-sized coalesce instead
+        parts = _sized_parts(n_words, wc)
+        loop = wc.coalesce(parts) if parts < wc.rdd.getNumPartitions() else wc
         merges: list = []
         for rank in range(1, n_merges + 1):
-            syms = _symbols(_apply_merges(base, merges))
-            pairs = F.when(
-                F.size(syms) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(syms) - 1),
-                    lambda i: F.struct(
-                        F.element_at(syms, i).alias('lhs'),
-                        F.element_at(syms, i + 1).alias('rhs'))))
-            best = (wc.select('cnt', F.explode(pairs).alias('p'))
-                      .groupBy('p.lhs', 'p.rhs')
-                      .agg(F.sum('cnt').alias('pair_count'))
-                      .orderBy(F.col('pair_count').desc(),
-                               F.col('lhs').asc(), F.col('rhs').asc())
-                      .take(1))
+            pairs = F.expr(_pairs_sql(_apply_merges_sql('repr', merges)))
+            best = (loop.select('cnt', F.explode(pairs).alias('p'))
+                        .groupBy('p.lhs', 'p.rhs')
+                        .agg(F.sum('cnt').alias('pair_count'))
+                        .orderBy(F.col('pair_count').desc(),
+                                 F.col('lhs').asc(), F.col('rhs').asc())
+                        .take(1))
             if not best:
                 break
             row = best[0]
@@ -286,22 +346,35 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 18,
     scanning up to ``candidates`` pairs.  Driver traffic is ≤
     ``candidates`` rows per round."""
     assert mode in ('rank', 'independent'), mode
-    rep = (df.select(F.explode(_word_windows(F.col(text_col),
-                                             window)).alias('chunk'))
-             .groupBy('chunk').agg(F.count('*').alias('cnt'))
-             .withColumn('repr', _delimited(F.col('chunk'), per_word=False))
-             .coalesce(8)
-             .persist())
-    rep.count()
+    rep0 = (df.select(F.explode(_word_windows(F.col(text_col),
+                                              window)).alias('chunk'))
+              .groupBy('chunk').agg(F.count('*').alias('cnt'))
+              .withColumn('repr', _delimited(F.col('chunk'), per_word=False))
+              .persist())
+    n_chunks = rep0.count()
+    # data-sized parallelism for the hot per-round loop (replaces the r8
+    # coalesce(8) literal): ~8k distinct windows per task, floor 8 (the
+    # measured sweet spot at sf0.1), capped at the session's cores — a
+    # corpus-scale distinct-window table gets the whole cluster instead of
+    # 8 serialized tasks
+    parts = _sized_parts(n_chunks, rep0, target=8192, floor=8)
+    rep = (rep0.coalesce(parts) if parts < rep0.rdd.getNumPartitions()
+           else rep0.repartition(parts)).localCheckpoint(eager=True)
+    rep0.unpersist()
     merges: list = []
+    retired: list = []   # generations awaiting their successor's materialization
     for _ in range(n_rounds):
-        syms = _symbols(F.col('repr'))
-        cand = (rep.select('cnt', F.explode(_pair_structs(syms)).alias('p'))
+        cand = (rep.select('cnt', F.explode(F.expr(_pairs_sql('repr')))
+                                   .alias('p'))
                    .groupBy('p.lhs', 'p.rhs')
                    .agg(F.sum('cnt').alias('pair_count'))
                    .orderBy(F.col('pair_count').desc(),
                             F.col('lhs').asc(), F.col('rhs').asc())
                    .take(batch if mode == 'rank' else candidates))
+        # that take() materialized rep's (lazy) checkpoint, so the
+        # generation BEFORE it no longer backs anything — release it now
+        while retired:
+            retired.pop().unpersist()
         accepted, blocked = [], set()
         for row in cand:
             l, r = row['lhs'], row['rhs']
@@ -318,13 +391,22 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 18,
         # localCheckpoint, not persist: it truncates the LOGICAL plan too,
         # so round k+1's analysis starts from a leaf instead of re-walking
         # k*batch accumulated replace expressions (O(K^2) driver-side
-        # catalyst work — measured minutes by round 18 with plain persist)
+        # catalyst work — measured minutes by round 18 with plain persist).
+        # LAZY (eager=False): the next round's pair-count job materializes
+        # it as a side effect, halving the Spark jobs per round; the parent
+        # generation stays cached until then (released above).
         new = rep.withColumn(
-            'repr', _apply_merges(F.col('repr'), accepted)) \
-            .localCheckpoint(eager=True)
-        rep.unpersist()
+            'repr', F.expr(_apply_merges_sql('repr', accepted))) \
+            .localCheckpoint(eager=False)
+        retired.append(rep)
         rep = new
         merges += accepted
+    if retired:
+        # the final generation is still a lazy checkpoint: materialize it so
+        # the last retired generation's blocks can be released before return
+        rep.count()
+        while retired:
+            retired.pop().unpersist()
     return merges, rep
 
 

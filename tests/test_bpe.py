@@ -317,3 +317,29 @@ def test_merge_table_icebergish_artifact_roundtrip(spark, sf_dir, tmp_path):
     b = b.sort_values('doc_id').reset_index(drop=True)
     assert [list(x) for x in a['token_ids']] == \
            [list(x) for x in b['token_ids']]
+
+
+def test_learning_parallelism_is_data_sized(spark, sf_dir):
+    """r9: the windowed learner's per-round parallelism derives from the
+    distinct-window table size (floor 8, ~8k rows/task, capped at cores) —
+    the r8 coalesce(8) literal is gone, so a corpus-scale table spreads
+    across the cluster instead of 8 serialized tasks."""
+    par = spark.sparkContext.defaultParallelism
+    # unit: the sizing rule itself scales with rows and respects the cap
+    df = spark.range(1)
+    assert bpe._sized_parts(100, df, target=8192, floor=8) == min(par, 8)
+    assert bpe._sized_parts(8192 * 3, df, target=8192, floor=8) == min(par, 8)
+    assert bpe._sized_parts(8192 * 20, df, target=8192, floor=8) == \
+        min(par, 20)
+    assert bpe._sized_parts(10**9, df, target=8192, floor=8) == par
+    # integration: the loop table the learner returns carries the sized
+    # partition count (small test corpus -> the floor, capped at cores)
+    docs = spark.read.parquet(f'{sf_dir}/documents.parquet').limit(120)
+    merges, rep = bpe.learn_bpe_merges_windowed(docs, n_rounds=2, batch=16,
+                                                window=4)
+    try:
+        n = rep.count()
+        assert rep.rdd.getNumPartitions() == \
+            bpe._sized_parts(n, rep, target=8192, floor=8) == min(par, 8)
+    finally:
+        rep.unpersist()
