@@ -135,52 +135,103 @@ def gap_fill(df: DataFrame, keys, value_cols=('avg_value',), bucket_col: str = '
         raise ValueError(f"gap_fill method must be 'null', 'locf' or 'linear', got {method!r}")
     keys = list(keys)
     value_cols = list(value_cols)
-    spine = time_spine(df, keys, bucket_col, interval_seconds)
-    observed = df.select(*keys, bucket_col, *value_cols, F.lit(False).alias('is_gap'))
-    joined = (spine.join(observed, on=keys + [bucket_col], how='left')
-                   .withColumn('is_gap', F.coalesce('is_gap', F.lit(True))))
     if method == 'null':
-        return joined
+        spine = time_spine(df, keys, bucket_col, interval_seconds)
+        observed = df.select(*keys, bucket_col, *value_cols,
+                             F.lit(False).alias('is_gap'))
+        return (spine.join(observed, on=keys + [bucket_col], how='left')
+                     .withColumn('is_gap', F.coalesce('is_gap', F.lit(True))))
 
+    # SEGMENT form (r9): every window/sort/join runs over the OBSERVED rows
+    # only; the dense spine exists solely inside one Generate (explode) that
+    # emits each inter-observation gap with its fill value computed
+    # arithmetically.  The round-2..8 form materialized the full spine
+    # first and then sorted/windowed it twice — at a 1000x gap ratio that
+    # is 1000x more rows through every exchange, sort and window frame
+    # (guide §2.3/§2.4: decide on the small rows, generate the heavy rows
+    # once).  Fill values are BIT-identical: anchors are the same last/
+    # first-non-null observations, and the lerp abscissa differences are
+    # the same exact small-integer doubles (positions shift by a per-key
+    # constant, which subtraction cancels exactly), so the float expression
+    # sees identical operands — asserted against np.interp and the
+    # streaming twin in tests.
+    #
+    # Contract note (unchanged for every engine caller): observed buckets
+    # lie on the global interval grid (epoch-floor rollup buckets).  The
+    # old spine-join silently DROPPED off-grid observations; the segment
+    # form keeps an off-grid row as its own k=0 emission.
     from pyspark.sql import Window
 
-    # The exploded spine is CPU-heavy but byte-light, so AQE happily coalesces
-    # the upstream bounds shuffle to one partition and every key's fill lands
-    # on one core.  Force an explicit key-hash exchange (explicit N disables
-    # AQE coalescing) so per-key fills parallelize across the cluster.
-    n_part = int(joined.sparkSession.conf.get('spark.sql.shuffle.partitions', '200'))
-    joined = joined.repartition(n_part, *keys)
-
+    # Explicit key-hash exchange before the windows: the observed table is
+    # byte-light, so AQE would otherwise coalesce the shuffle to one
+    # partition and every key's (heavy) gap generation would land on one
+    # core; the windows reuse this partitioning (no second exchange).
+    n_part = int(df.sparkSession.conf.get('spark.sql.shuffle.partitions', '200'))
+    step_us = int(interval_seconds) * 1_000_000
+    obs = (df.select(*keys, bucket_col, *value_cols)
+             .repartition(n_part, *keys)
+             .withColumn('_x', F.expr(
+                 f'div(unix_micros(cast(`{bucket_col}` as timestamp)), '
+                 f'{step_us})').cast('double')))
     order = Window.partitionBy(*keys).orderBy(bucket_col)
     order_desc = Window.partitionBy(*keys).orderBy(F.col(bucket_col).desc())
     w_prev = order.rowsBetween(Window.unboundedPreceding, 0)
-    # "next observed at-or-after this row" as a RUNNING frame over the
-    # DESCENDING sort.  first(...).over(rowsBetween(0, unboundedFollowing))
-    # computes the same value but Spark's UnboundedFollowingWindowFunctionFrame
-    # re-aggregates the remaining rows for EVERY row — O(n^2) per key
-    # (measured 24/79/314 s at 20/40/80 k buckets).  The running frame is the
-    # incremental O(n) evaluator; same keys-only partitioning, one extra sort.
+    # "next observed at-or-after" as a RUNNING frame over the DESCENDING
+    # sort — first(...).over(UNBOUNDED FOLLOWING) recomputes the frame per
+    # row, O(n^2) per key (measured 24/79/314 s at 20/40/80 k buckets)
     w_next = order_desc.rowsBetween(Window.unboundedPreceding, 0)
-    # dense spine -> row position is the interpolation abscissa
-    joined = joined.withColumn('_pos', F.row_number().over(order).cast('double'))
+    acols = []
     for col in value_cols:
         v = F.col(col)
-        prev_v = F.last(v, ignorenulls=True).over(w_prev)
+        nn_x = F.when(v.isNotNull(), F.col('_x'))
+        obs = (obs.withColumn(f'_pa_{col}',
+                              F.last(v, ignorenulls=True).over(w_prev))
+                  .withColumn(f'_pax_{col}',
+                              F.last(nn_x, ignorenulls=True).over(w_prev)))
+        acols += [f'_pa_{col}', f'_pax_{col}']
+        if method == 'linear':
+            obs = (obs.withColumn(f'_na_{col}',
+                                  F.last(v, ignorenulls=True).over(w_next))
+                      .withColumn(f'_nax_{col}',
+                                  F.last(nn_x, ignorenulls=True).over(w_next)))
+            # the anchor a GAP row interpolates toward is the NEXT observed
+            # row's at-or-after anchor
+            obs = (obs.withColumn(f'_nna_{col}',
+                                  F.lead(f'_na_{col}').over(order))
+                      .withColumn(f'_nnax_{col}',
+                                  F.lead(f'_nax_{col}').over(order)))
+            acols += [f'_na_{col}', f'_nax_{col}', f'_nna_{col}', f'_nnax_{col}']
+    obs = obs.withColumn('_nx', F.lead('_x').over(order))
+    gap_len = F.when(F.col('_nx').isNotNull(),
+                     F.greatest((F.col('_nx') - F.col('_x')).cast('long'),
+                                F.lit(1))).otherwise(F.lit(1))
+    out = obs.withColumn(
+        '_k', F.explode(F.sequence(F.lit(0).cast('long'), gap_len - 1)))
+    fill_exprs = []
+    for col in value_cols:
+        v = F.col(col)
+        pa, pax = F.col(f'_pa_{col}'), F.col(f'_pax_{col}')
         if method == 'locf':
-            filled = F.coalesce(v, prev_v)   # null before the first observation
-        else:  # linear, np.interp edge semantics (clamp to nearest observed)
-            obs_pos = F.when(v.isNotNull(), F.col('_pos'))
-            prev_x = F.last(obs_pos, ignorenulls=True).over(w_prev)
-            next_v = F.last(v, ignorenulls=True).over(w_next)
-            next_x = F.last(obs_pos, ignorenulls=True).over(w_next)
-            lerp = prev_v + (next_v - prev_v) / (next_x - prev_x) \
-                * (F.col('_pos') - prev_x)
-            filled = (F.when(v.isNotNull(), v)
-                       .when(prev_v.isNull(), next_v)
-                       .when(next_v.isNull(), prev_v)
-                       .otherwise(lerp))
-        joined = joined.withColumn(col, filled)
-    return joined.drop('_pos')
+            filled = F.when(F.col('_k') == 0, F.coalesce(v, pa)).otherwise(pa)
+        else:
+            na_s, nax_s = F.col(f'_na_{col}'), F.col(f'_nax_{col}')
+            na_n, nax_n = F.col(f'_nna_{col}'), F.col(f'_nnax_{col}')
+            pos = F.col('_x') + F.col('_k').cast('double')
+            lerp0 = pa + (na_s - pa) / (nax_s - pax) * (F.col('_x') - pax)
+            on_obs = (F.when(v.isNotNull(), v)
+                       .when(pa.isNull(), na_s)
+                       .when(na_s.isNull(), pa)
+                       .otherwise(lerp0))
+            lerpk = pa + (na_n - pa) / (nax_n - pax) * (pos - pax)
+            on_gap = (F.when(pa.isNull(), na_n)
+                       .when(na_n.isNull(), pa)
+                       .otherwise(lerpk))
+            filled = F.when(F.col('_k') == 0, on_obs).otherwise(on_gap)
+        fill_exprs.append(filled.alias(col))
+    bucket_out = F.expr(
+        f'timestampadd(SECOND, _k * {int(interval_seconds)}, `{bucket_col}`)')
+    return out.select(*keys, bucket_out.alias(bucket_col), *fill_exprs,
+                      (F.col('_k') > 0).alias('is_gap'))
 
 
 # ---------------------------------------------------------------------------
