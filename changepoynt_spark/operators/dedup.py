@@ -66,24 +66,45 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 3, threshold: float = 0.5,
     sh = shingles(df, n).select(F.col(id_col).alias('_id'), 'shingle_set')
     # hash shingle strings to 64-bit first: the exchange carries (id, int64)
     # instead of raw n-gram strings (distinct shingles -> no collisions
-    # within a doc; xxhash64 cross-collisions are ~2^-64 per pair)
-    inv = sh.select('_id', F.explode('shingle_set').alias('_s')) \
-            .select('_id', F.xxhash64('_s').alias('_sh'))
+    # within a doc; xxhash64 cross-collisions are ~2^-64 per pair).
+    # Materialized ONCE (r9): the doc-frequency pass, the per-doc set-size
+    # counts and the posting-list aggregation below all read these skinny
+    # postings — without the checkpoint each one re-ran the text scan and
+    # the shingling CPU (guide §1.2: don't compute things three times).
+    # The materialization is the same order of bytes the posting exchange
+    # already spills to shuffle disk.
+    inv = (sh.select('_id', F.explode('shingle_set').alias('_s'))
+             .select('_id', F.xxhash64('_s').alias('_sh'))
+             .localCheckpoint(eager=True))
+    # per-doc distinct-shingle counts (== size(shingle_set): the postings
+    # are one row per distinct shingle) — map-side combined, BEFORE df_cap
+    # (the union denominator uses full set sizes)
+    counts = inv.groupBy('_id').agg(F.count('*').alias('_n'))
     if df_cap is not None:
         hot = (inv.groupBy('_sh').agg(F.count('*').alias('_df'))
                   .filter(F.col('_df') > df_cap).select('_sh'))
         inv = inv.join(F.broadcast(hot), '_sh', 'left_anti')
-    # tiny (id, n) table used THREE times (two broadcast sides); materialize
-    # so the shingle projection is not recomputed per use — the inverted
-    # index self-join itself is left to ReuseExchange (both sides are the
-    # identical exchange)
-    counts = sh.select('_id', F.size('shingle_set').alias('_n')) \
-               .localCheckpoint(eager=True)
-    inter = (inv.alias('a').join(inv.alias('b'),
-                                 (F.col('a._sh') == F.col('b._sh')) &
-                                 (F.col('a._id') < F.col('b._id')))
-                .groupBy(F.col('a._id').alias('doc_a'), F.col('b._id').alias('doc_b'))
-                .agg(F.count('*').alias('_inter')))
+    # candidate pairs from per-shingle POSTING LISTS (r9): group the
+    # postings by shingle and emit each list's a<b combinations from one
+    # explode — the same pair multiset the a/b self-join produced, without
+    # sorting and merging the posting exchange twice (guide §3: the join
+    # only ever matched rows inside one shingle group; a group-local
+    # combination needs no join at all).  List sizes are BOUNDED by the
+    # df_cap stop-shingle filter above, so the collected arrays are ≤
+    # df_cap elements even on a 100 TB corpus (without a cap, callers
+    # accept unbounded groups in either formulation).
+    posts = (inv.groupBy('_sh')
+                .agg(F.sort_array(F.collect_list('_id')).alias('_ids'))
+                .filter(F.size('_ids') >= 2))
+    arr = F.col('_ids')
+    pair_arr = F.flatten(F.transform(
+        arr, lambda x, i: F.transform(
+            F.slice(arr, i + F.lit(2), F.size(arr) - i - 1),
+            lambda y: F.struct(x.alias('doc_a'), y.alias('doc_b')))))
+    inter = (posts.select(F.explode(pair_arr).alias('p'))
+                  .groupBy(F.col('p.doc_a').alias('doc_a'),
+                           F.col('p.doc_b').alias('doc_b'))
+                  .agg(F.count('*').alias('_inter')))
     ca = counts.select(F.col('_id').alias('doc_a'), F.col('_n').alias('_na'))
     cb = counts.select(F.col('_id').alias('doc_b'), F.col('_n').alias('_nb'))
     joined = inter.join(F.broadcast(ca), 'doc_a').join(F.broadcast(cb), 'doc_b')
@@ -605,8 +626,13 @@ def dup_clusters_star(pairs: DataFrame, id_a: str = 'doc_a', id_b: str = 'doc_b'
 
     sig = _sig(edges)
     for _ in range(max_iterations):
-        edges = _star(edges, large=True).localCheckpoint(eager=True)
-        edges = _star(edges, large=False).localCheckpoint(eager=True)
+        # one materialization per DOUBLE-round (r9): the large-star
+        # intermediate stays a plan subtree — its distinct() exchange is
+        # deduped by ReuseExchange across the small-star's two consumers —
+        # so each double-round costs one job instead of two, and the
+        # checkpoint still truncates the plan every round
+        edges = _star(_star(edges, large=True), large=False) \
+            .localCheckpoint(eager=True)
         new_sig = _sig(edges)
         if new_sig == sig:
             break
