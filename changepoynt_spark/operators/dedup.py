@@ -283,13 +283,17 @@ def simhash(df: DataFrame, id_col: str = 'doc_id', text_col: str = 'text',
     else:
         h = lo
     words = words.withColumn('h', h)
-    votes = [F.sum(F.when(F.shiftrightunsigned(F.col('h'), b).bitwiseAND(F.lit(1)) == 1,
-                          F.lit(1)).otherwise(F.lit(-1))).alias(f'b{b}')
+    # per-bit SET counts (plus one row count) instead of ±1 CASE votes: the
+    # majority test vote_b > 0 is exactly 2*cnt_b > n, and the plain
+    # sum((h>>b)&1) halves the generated aggregate code — with 64 bits the
+    # ±1 CASE form's whole-stage codegen was the dominant driver-side cost
+    votes = [F.sum(F.shiftrightunsigned(F.col('h'), b)
+                    .bitwiseAND(F.lit(1))).alias(f'b{b}')
              for b in range(bits)]
-    agg = words.groupBy('doc_id').agg(*votes)
+    agg = words.groupBy('doc_id').agg(F.count(F.lit(1)).alias('_n'), *votes)
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f'b{b}') > 0,
+        bit = F.when(F.col(f'b{b}') * 2 > F.col('_n'),
                      F.shiftleft(F.lit(1).cast('long'), b)).otherwise(F.lit(0).cast('long'))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return agg.select('doc_id', sim.alias('simhash'))
