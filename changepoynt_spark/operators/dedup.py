@@ -460,7 +460,12 @@ def dedup_ranges(df: DataFrame, n: int = 10, min_docs: int = 2,
     """
     if min_docs < 2:
         raise ValueError('min_docs must be >= 2 (cross-document ranges)')
-    postings = passage_postings(df, n=n, id_col=id_col, text_col=text_col)
+    # materialized once (r9): the dup-hash aggregate AND the semi join both
+    # consume the postings — without the checkpoint the window-hashing scan
+    # (10 md5s per position over the whole corpus) ran twice, since the
+    # broadcast semi join gives ReuseExchange nothing to dedup
+    postings = passage_postings(df, n=n, id_col=id_col, text_col=text_col) \
+        .localCheckpoint(eager=True)
     dup_hashes = (postings.groupBy('passage_hash')
                           .agg(F.countDistinct(id_col).alias('_nd'))
                           .filter(F.col('_nd') >= min_docs)

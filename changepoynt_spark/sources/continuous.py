@@ -266,25 +266,32 @@ class ContinuousAggregate:
 
     def _commit_partial(self, spark: SparkSession, part: DataFrame,
                         mode: str, frm: int, to: int) -> dict:
-        part = part.persist()
-        try:
-            wm_row = part.agg(
-                F.max('bucket_start').alias('wm'),
-                F.sum(self._form.points_col).alias('pts')).first()
-            live = (self.tier._live_snapshots(self.tier.current_snapshot_id())
-                    if mode == 'full' and self.tier.current_snapshot_id() >= 0
-                    else ())
-            snap = self.tier.append(
-                part, partition_by=self.partition_by, invalidates=live,
-                properties={
-                    'operation': f'refresh-{mode}',
-                    WATERMARK_PROP: int(to),
-                    'refresh_from_snapshot': int(frm),
-                    'rollup_watermark': str(wm_row['wm']),
-                    'points_rolled': int(wm_row['pts'] or 0),
-                })
-        finally:
-            part.unpersist()
+        # watermark/points metadata rides the WRITE job as Observation
+        # metrics (r9): one action per refresh — the old persist + separate
+        # pre-commit aggregate was a second pass over the partial (the
+        # listener fires even for an empty zero-partition write, probed in
+        # tests)
+        from pyspark.sql import Observation
+        obs = Observation()
+        part = part.observe(obs, F.max('bucket_start').alias('wm'),
+                            F.sum(self._form.points_col).alias('pts'))
+        live = (self.tier._live_snapshots(self.tier.current_snapshot_id())
+                if mode == 'full' and self.tier.current_snapshot_id() >= 0
+                else ())
+
+        def _stats_props():
+            row = obs.get
+            return {'rollup_watermark': str(row['wm']),
+                    'points_rolled': int(row['pts'] or 0)}
+
+        snap = self.tier.append(
+            part, partition_by=self.partition_by, invalidates=live,
+            properties={
+                'operation': f'refresh-{mode}',
+                WATERMARK_PROP: int(to),
+                'refresh_from_snapshot': int(frm),
+            },
+            properties_fn=_stats_props)
         out = {'mode': mode, 'from': frm, 'to': to,
                'rows': snap['manifest']['row_count']}
         k = self.auto_compact_snapshots

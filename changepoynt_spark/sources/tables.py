@@ -619,7 +619,8 @@ class IcebergishTable:
 
     def append(self, df: DataFrame, partition_by=('source',), properties: dict = None,
                invalidates=(), cluster_by=None, zorder_by=None, n_files: int = None,
-               bloom_cols=None, _parent: int = None, _advance_hint: bool = True) -> dict:
+               bloom_cols=None, _parent: int = None, _advance_hint: bool = True,
+               properties_fn=None) -> dict:
         """Append df as a new snapshot; returns the snapshot dict.
 
         ``properties`` lands in the manifest entry — callers put lineage /
@@ -714,6 +715,11 @@ class IcebergishTable:
         n_rows = sum(e['rows'] for e in files)
         inv = sorted(int(i) for i in invalidates)
         props = dict(properties or {})
+        if properties_fn is not None:
+            # post-write property hook: lets callers derive manifest
+            # properties from Observation metrics collected DURING the data
+            # write (one job instead of a separate pre-commit aggregate)
+            props.update(properties_fn() or {})
         if parent >= 0 and set(inv) >= set(self._live_snapshots(parent)):
             # this commit supersedes EVERY live ancestor (compaction /
             # full-refresh overwrite): record it so lineage walks
