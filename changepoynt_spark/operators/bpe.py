@@ -346,6 +346,13 @@ def learn_bpe_merges_windowed(df: DataFrame, n_rounds: int = 18,
     scanning up to ``candidates`` pairs.  Driver traffic is ≤
     ``candidates`` rows per round."""
     assert mode in ('rank', 'independent'), mode
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        # single-split test parquet: spread the window-explode pass over a
+        # few tasks (par/4 measured best at sf0.1 — full-width repartition
+        # pays more in shuffle overhead than the tiny corpus saves; at
+        # cluster scale the scan has >= cores splits and this is a no-op)
+        df = df.repartition(max(2, par // 4))
     rep0 = (df.select(F.explode(_word_windows(F.col(text_col),
                                               window)).alias('chunk'))
               .groupBy('chunk').agg(F.count('*').alias('cnt'))

@@ -53,6 +53,7 @@ def holt_forecast(df: DataFrame, keys, alpha: float = 0.5,
     series' LAST observed step (regular tiers: the tier interval).
     Forecast rows require n >= 2 (a step is needed to place their ts).
     """
+    import numpy as np
     import pandas as pd
 
     keys = list(keys)
@@ -86,12 +87,17 @@ def holt_forecast(df: DataFrame, keys, alpha: float = 0.5,
             'level': lvl, 'trend': tr, 'fitted': fit_})
         if horizon and n >= 2:
             step = ts.iloc[-1] - ts.iloc[-2]
+            # typed all-NA columns (float64 NaN -> Arrow nulls, same rows
+            # as the old object-dtype None columns) so the concat sees
+            # matching dtypes and never trips pandas' all-NA FutureWarning
+            # / future dtype change
+            na = np.full(horizon, np.nan)
             fc = pd.DataFrame({
                 'rn': [n - 1 + h for h in range(1, horizon + 1)],
                 ts_col: [ts.iloc[-1] + h * step
                          for h in range(1, horizon + 1)],
-                value_col: [None] * horizon,
-                'level': [None] * horizon, 'trend': [None] * horizon,
+                value_col: na,
+                'level': na, 'trend': na,
                 'fitted': [_q6(l + h * b) for h in range(1, horizon + 1)]})
             out = pd.concat([out, fc], ignore_index=True)
         for k in keys:

@@ -838,6 +838,16 @@ def _moments_finalize(agg: DataFrame, keys) -> DataFrame:
                       F.when(well, rnd(kurt)).alias('kurtosis'))
 
 
+def _one_part(col_name: str):
+    """Non-foldable constant partition key for INTENTIONALLY-global windows
+    (keys=[] series, <= k-row rank windows): a plain lit() partition key is
+    constant-folded away and WindowExec then logs its scary single-partition
+    warning on every run; hashing a real column defeats the folding while
+    every row still lands in the single partition the global window needs
+    (value is identically 0)."""
+    return F.xxhash64(col_name).bitwiseAND(F.lit(0))
+
+
 def sax_breakpoints(alphabet: int) -> list:
     """Standard-normal equiprobable breakpoints for a SAX alphabet of size
     ``a`` (Lin/Keogh 2003): the a-1 quantiles at i/a.  Computed with the
@@ -969,7 +979,11 @@ def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600,
     from pyspark.sql import Window
 
     keys = list(keys)
-    win = (Window.partitionBy(*keys).orderBy('frame_start')
+    # keys=[] (global series): a constant partition key keeps the plan on
+    # one partition exactly as before but silences WindowExec's "No
+    # Partition Defined" warning in the driver log (see _one_part)
+    part = keys or [_one_part('frame_start')]
+    win = (Window.partitionBy(*part).orderBy('frame_start')
                  .rowsBetween(Window.currentRow, w - 1))
     word = F.concat_ws('', F.collect_list('symbol').over(win))
     n_sym = F.count('symbol').over(win)
@@ -984,7 +998,7 @@ def sax_words(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600,
         # drop word[i] when word[i] == word[i-1] in the EMITTED stream (the
         # lag runs after the completeness filter — reduction is over the
         # word sequence, not the frame sequence)
-        lag_win = Window.partitionBy(*keys).orderBy('frame_start')
+        lag_win = Window.partitionBy(*part).orderBy('frame_start')
         prev = F.lag('word').over(lag_win)
         words = (words.withColumn('_prev', prev)
                       .filter(F.col('_prev').isNull()
@@ -1030,7 +1044,9 @@ def sax_discords(words: DataFrame, keys, k: int = 20) -> DataFrame:
              F.col('word').asc()]
     if not keys:
         topk = j.orderBy(*order).limit(k)
-        w = Window.orderBy(*order)
+        # constant partition key over the <= k TakeOrdered rows: same
+        # ranking, no WindowExec warning (see _one_part)
+        w = Window.partitionBy(_one_part('word')).orderBy(*order)
         return (topk.withColumn('rank', F.row_number().over(w))
                     .select('frame_start', 'word', 'word_count', 'rank'))
     w = Window.partitionBy(*keys).orderBy(*order)
@@ -1071,7 +1087,9 @@ def sax_motifs(words: DataFrame, keys, k: int = 20) -> DataFrame:
     cols = keys + ['word', 'n_occurrences', 'first_frame', 'last_frame', 'rank']
     if not keys:
         topk = counts.orderBy(*order).limit(k)
-        w = Window.orderBy(*order)
+        # constant partition key over the <= k TakeOrdered rows (see
+        # sax_discords / _one_part): same ranking, no WindowExec warning
+        w = Window.partitionBy(_one_part('word')).orderBy(*order)
         return topk.withColumn('rank', F.row_number().over(w)).select(*cols)
     w = Window.partitionBy(*keys).orderBy(*order)
     return (counts.withColumn('rank', F.row_number().over(w))
@@ -1110,7 +1128,8 @@ def sax_motif_verify(sax: DataFrame, keys, w: int = 4, frame_sec: int = 3600,
     from pyspark.sql import Window
 
     keys = list(keys)
-    win = (Window.partitionBy(*keys).orderBy('frame_start')
+    win = (Window.partitionBy(*(keys or [_one_part('frame_start')]))
+                 .orderBy('frame_start')
                  .rowsBetween(Window.currentRow, w - 1))
     zq = F.round(F.col('z') * 1_000_000).cast('long')
     span = (F.unix_timestamp(F.max('frame_start').over(win))

@@ -171,6 +171,11 @@ def tokens_to_points(df: DataFrame, keys=('source',),
     delta-of-transform, so the tokens table flows into tiers
     incrementally (batch refresh) or via the state-free streaming sink
     (``stream_sink_raw`` / tier_stream_job --transform tokens-points)."""
+    import datetime
+    # validate before interpolating into SQL: a malformed/quoted value
+    # (reachable from tier_stream_job's --epoch CLI arg) must fail here
+    # with a clear error, never reach the parser as expression text
+    datetime.datetime.fromisoformat(epoch)
     keys = list(keys)
     return df.select(
         *keys, F.posexplode(tokens_col).alias('pos', '_tok')).select(
