@@ -828,11 +828,20 @@ def test_sax_discords_keys_empty_is_takeordered(spark):
     d = rollup.sax_discords(words, [], k=5)
     plan = d._jdf.queryExecution().executedPlan().toString()
     assert 'TakeOrderedAndProject' in plan
-    # the final Window's child is the TakeOrdered node, not an Exchange —
-    # i.e. the only single-partition work is over <= k rows
+    # the final Window feeds DIRECTLY off the TakeOrdered node (r9: plus
+    # the <= k-row sort/exchange its non-foldable constant partition key
+    # adds — see rollup._one_part) — i.e. every operator above the
+    # TakeOrdered heap touches <= k rows, never the full word tier
     lines = plan.splitlines()
     wi = next(i for i, l in enumerate(lines) if 'Window' in l)
-    assert 'TakeOrderedAndProject' in lines[wi + 1]
+    ti = next(i for i, l in enumerate(lines) if 'TakeOrderedAndProject' in l)
+    assert wi < ti <= wi + 4, (wi, ti)
+    between = '\n'.join(lines[wi + 1:ti])
+    # nothing between the window and the heap except the constant-key
+    # sort/exchange machinery over the k survivors
+    assert all(('Sort' in l) or ('Exchange' in l) or ('AQEShuffleRead' in l)
+               or ('Project' in l) or (not l.strip('+- '))
+               for l in between.splitlines()), between
     got = d.toPandas()
     assert got['rank'].tolist() == list(range(1, len(got) + 1))
     assert got['word_count'].is_monotonic_increasing
