@@ -951,3 +951,47 @@ def test_sax_motif_verify_keyed_paths(spark):
         assert (r['frame_b'] - r['frame_a']).total_seconds() >= 3 * 3600
     # at most one row per (key, word)
     assert not got.duplicated(['k', 'word']).any()
+
+
+def test_gap_fill_segment_form_null_observations_and_multicols(spark):
+    """r9 segment-form guard: observed rows with NULL values are NOT
+    interpolation anchors (the last/first NON-NULL observation is), two
+    value columns fill independently, single-observation keys emit one
+    row, and LOCF leaves a leading null-valued observation null — the
+    exact semantics of the round-2..8 spine-window form."""
+    pdf = pd.DataFrame({
+        'k': ['a'] * 5 + ['b'],
+        'bucket_start': pd.to_datetime([
+            '2026-01-01 00:00', '2026-01-01 00:02', '2026-01-01 00:03',
+            '2026-01-01 00:06', '2026-01-01 00:07', '2026-01-01 00:05']),
+        'v1': [2.0, None, 8.0, None, 14.0, 7.0],
+        'v2': [None, 4.0, None, 10.0, None, 9.0],
+    })
+    df = spark.createDataFrame(pdf)
+    got = (rollup.gap_fill(df, keys=['k'], value_cols=('v1', 'v2'),
+                           interval_seconds=60, method='linear')
+           .toPandas().sort_values(['k', 'bucket_start'])
+           .reset_index(drop=True))
+    a = got[got.k == 'a']
+    # v1 anchors at 00:00(2.0), 00:03(8.0), 00:07(14.0): null observed rows
+    # (00:02, 00:06) interpolate like gaps
+    np.testing.assert_allclose(a['v1'].tolist(),
+                               [2.0, 4.0, 6.0, 8.0, 9.5, 11.0, 12.5, 14.0])
+    # v2 anchors at 00:02(4.0), 00:06(10.0); ends clamp to nearest anchor
+    np.testing.assert_allclose(a['v2'].tolist(),
+                               [4.0, 4.0, 4.0, 5.5, 7.0, 8.5, 10.0, 10.0])
+    assert a['is_gap'].tolist() == [False, True, False, False,
+                                    True, True, False, False]
+    b = got[got.k == 'b']
+    assert len(b) == 1 and b['v1'].iloc[0] == 7.0 and b['v2'].iloc[0] == 9.0
+    locf = (rollup.gap_fill(df, keys=['k'], value_cols=('v1', 'v2'),
+                            interval_seconds=60, method='locf')
+            .toPandas().sort_values(['k', 'bucket_start']))
+    la = locf[locf.k == 'a']
+    np.testing.assert_allclose(la['v1'].tolist(),
+                               [2.0, 2.0, 2.0, 8.0, 8.0, 8.0, 8.0, 14.0])
+    # nothing to carry before the first non-null observation: the leading
+    # null-valued observation AND the gap row after it stay null
+    assert pd.isna(la['v2'].iloc[0]) and pd.isna(la['v2'].iloc[1])
+    np.testing.assert_allclose(la['v2'].tolist()[2:],
+                               [4.0, 4.0, 4.0, 4.0, 10.0, 10.0])
