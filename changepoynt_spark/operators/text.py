@@ -389,38 +389,46 @@ def repetition_stats(df: DataFrame, n_top: int = 2, n_dup: int = 5,
     combine.  Fractions are single divisions of integer-derived values ->
     bit-exact cross-engine.
     """
-    from pyspark.sql import Window
     words = F.split(F.col(text_col), ' ')
     base = df.select(F.col(id_col), F.col(text_col), words.alias('_w'),
                      F.size(words).alias('n_words'),
                      F.length(text_col).alias('_chars'))
 
     # --- top n_top-gram by count (tie: smallest gram string) ---
+    # struct-min argmax (r9): min over (-cnt, gram) picks exactly the
+    # (count desc, gram asc) winner the old per-doc rank window did, as a
+    # plain hash aggregate — no second exchange, no per-doc sort
     tg = (base.select(id_col, 'n_words', '_chars',
                       F.explode(_word_ngrams(F.col('_w'), n_top)).alias('gram'))
               .groupBy(id_col, 'n_words', '_chars', 'gram')
               .agg(F.count('*').alias('cnt')))
-    rank = Window.partitionBy(id_col).orderBy(F.col('cnt').desc(), F.col('gram').asc())
-    top = (tg.withColumn('_rn', F.row_number().over(rank))
-             .filter(F.col('_rn') == 1)
+    best = F.min(F.struct((-F.col('cnt')).alias('nc'),
+                          F.col('gram').alias('g'))).alias('_b')
+    top = (tg.groupBy(id_col, 'n_words', '_chars').agg(best)
              .select(id_col, 'n_words', '_chars',
-                     F.col('gram').alias('top_gram'),
-                     F.col('cnt').alias('top_gram_cnt'),
-                     (F.col('cnt') * F.length('gram')
+                     F.col('_b.g').alias('top_gram'),
+                     (-F.col('_b.nc')).alias('top_gram_cnt'),
+                     ((-F.col('_b.nc')) * F.length(F.col('_b.g'))
                       / F.col('_chars')).alias(f'top{n_top}gram_char_frac')))
 
     # --- covered-position union of duplicated n_dup-grams ---
+    # grouped occurrence lists (r9) instead of a count-over-window: the
+    # same (doc, gram) grouping as a hash aggregate, skipping the window's
+    # per-partition sort; list sizes are per-doc gram occurrence counts,
+    # bounded by document length exactly like the old window groups
     inst = base.select(id_col,
                        F.posexplode(_word_ngrams(F.col('_w'), n_dup))
                         .alias('start', 'gram'))
-    cnt_w = Window.partitionBy(id_col, 'gram')
-    covered = (inst.withColumn('_cnt', F.count('*').over(cnt_w))
-                   .filter(F.col('_cnt') >= 2)
-                   .select(id_col, F.explode(
-                       F.sequence(F.col('start'),
-                                  F.col('start') + n_dup - 1)).alias('p'))
-                   .groupBy(id_col)
-                   .agg(F.count_distinct('p').alias('_n_cov')))
+    occ = (inst.groupBy(id_col, 'gram')
+               .agg(F.count('*').alias('_cnt'),
+                    F.collect_list('start').alias('_starts'))
+               .filter(F.col('_cnt') >= 2))
+    covered = (occ.select(id_col, F.explode('_starts').alias('start'))
+                  .select(id_col, F.explode(
+                      F.sequence(F.col('start'),
+                                 F.col('start') + n_dup - 1)).alias('p'))
+                  .groupBy(id_col)
+                  .agg(F.count_distinct('p').alias('_n_cov')))
 
     out = (top.join(covered, on=id_col, how='left')
               .withColumn('_n_cov', F.coalesce('_n_cov', F.lit(0))))
