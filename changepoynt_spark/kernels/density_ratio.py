@@ -316,6 +316,26 @@ class ULSIF(RuLSIF):
 _KLIEP_TINY = 1e-12
 
 
+def _width_candidates_batched(refs: np.ndarray, tests: np.ndarray) -> np.ndarray:
+    """Jaakkola median-heuristic sigma candidates for a BATCH of scoring
+    steps — the (B, w, n) twin of
+    :meth:`DensityRatioEstimator.compute_gaussian_width_candidates`, one
+    vectorized pass instead of B tiny numpy calls.  Bit-identical per step:
+    the same squared-distance expansion feeds the same median (non-positive
+    distances are masked to nan; ``nanmedian`` computes the identical
+    median of the identical surviving multiset), asserted in
+    tests/test_kernels_misc.py."""
+    samples = np.concatenate([refs, tests], axis=2).transpose(0, 2, 1)  # (B, 2n, w)
+    sq = np.sum(samples ** 2, axis=2)                                   # (B, 2n)
+    dist = sq[:, :, None] + sq[:, None, :] \
+        - 2.0 * np.matmul(samples, samples.transpose(0, 2, 1))
+    iu = np.triu_indices(samples.shape[1], 1)
+    d = dist[:, iu[0], iu[1]]
+    d = np.where(d > 0, d, np.nan)
+    med = np.sqrt(0.5 * np.nanmedian(d, axis=1))
+    return med[:, None] * np.array([0.6, 0.8, 1, 1.2, 1.4])[None, :]
+
+
 def _kliep_fit_batch(a_stack: np.ndarray, b_stack: np.ndarray, counts: np.ndarray,
                      max_iter: int = 100, tol: float = 1e-6):
     """Feasibility-projected gradient ascent for a BATCH of independent KLIEP
@@ -601,7 +621,6 @@ class KLIEP(Algorithm):
             refs = np.empty((n_chunk, window_length, n_windows))
             tests = np.empty((n_chunk, window_length, n_windows))
             centers = np.empty((n_chunk, window_length, n_kernels))
-            sigma_cands = np.empty((n_chunk, 5))
             reestimate = np.zeros(n_chunk, dtype=bool)
             fold_perms = []
             for i, idx in enumerate(chunk):
@@ -619,8 +638,12 @@ class KLIEP(Algorithm):
                 # keeping the stream aligned with estimation_lag=None)
                 fold_perms.append((np.random.permutation(n_windows),
                                    np.random.permutation(n_windows)))
-                sigma_cands[i] = DensityRatioEstimator.compute_gaussian_width_candidates(
-                    refs[i], tests[i])
+            # Jaakkola width candidates for the WHOLE chunk in one batched
+            # pass (r9): no RNG involved, and per step the same pairwise
+            # distances feed the same median (zero distances masked to nan,
+            # nanmedian == median-of-filtered on the identical multiset) —
+            # bit-identical to the per-step helper, pytest-asserted
+            sigma_cands = _width_candidates_batched(refs, tests)
 
             # ---- phase 1: batched CV over (re-est step, sigma, fold) ------
             cv_steps = np.flatnonzero(reestimate)

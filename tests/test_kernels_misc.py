@@ -299,3 +299,24 @@ def test_tesst_requires_cuda_torch_like_reference():
     from changepoynt_spark.kernels import TESST
     with pytest.raises((ImportError, AssertionError, NotImplementedError)):
         TESST(window_length=30)
+
+
+def test_batched_width_candidates_bitmatch_per_step():
+    """r9: the KLIEP chunk's batched Jaakkola sigma candidates must equal
+    the per-step estimator helper bit-for-bit, including degenerate
+    duplicate-column steps (zero distances masked, nanmedian == median of
+    the filtered multiset)."""
+    import numpy as np
+    from changepoynt_spark.kernels.density_ratio import (
+        DensityRatioEstimator, _width_candidates_batched)
+    rng = np.random.default_rng(17)
+    B, w, n = 64, 4, 8
+    refs = rng.standard_normal((B, w, n))
+    tests = rng.standard_normal((B, w, n))
+    refs[3][:, 2] = refs[3][:, 1]        # duplicated columns -> zero distances
+    tests[9][:, 5] = tests[9][:, 0]
+    exp = np.stack([
+        DensityRatioEstimator.compute_gaussian_width_candidates(refs[i], tests[i])
+        for i in range(B)])
+    got = _width_candidates_batched(refs, tests)
+    assert np.array_equal(exp, got)
